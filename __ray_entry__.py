@@ -1,44 +1,305 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry is an implemented operator/pipeline from SURVEY.md §2
+(+ the scale extensions); ``oracle_sql()`` gives the DuckDB-equivalent SQL on
+the same parquet views. Column names match exactly between both sides.
+
+The transcript stream (BASELINE.json input_hint shape) is derived
+deterministically from the ``events`` view — the SQL twin of the derivation is
+``saber_ray.sources.transcripts.TRANSCRIPTS_SQL`` — so every transcript query
+has an exact value-level oracle.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+from saber_ray import (Window, avg, cnt, col, lit, max_, min_, sum_,
+                       selection, projection, windowed_aggregate,
+                       session_windows, windowed_join, hash_join,
+                       broadcast_join)
+from saber_ray.core.windows import DAY, HOUR, MINUTE
+from saber_ray.sources.parquet import read_table
+from saber_ray.sources.transcripts import TRANSCRIPTS_SQL, transcripts_from_events
+from saber_ray.pipelines import suite
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: CM1 (sliding grouped windowed SUM) on sf0.001 transcripts."""
+    ts = transcripts_from_events("/root/testdata/sf0.001")
+    return suite.cm1(ts)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+ALL_AGGS = [cnt(alias="n"), sum_("value", "sum_value"), avg("value", "avg_value"),
+            min_("value", "min_value"), max_("value", "max_value")]
+ALL_SQL = ("COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value, "
+           "ROUND(AVG(value), 6) AS avg_value, ROUND(MIN(value), 6) AS min_value, "
+           "ROUND(MAX(value), 6) AS max_value")
+
+
+def _sliding_sql(k: int, slide_us: int, select: str, group: str,
+                 from_sql: str = "events", where: str = "") -> str:
+    offsets = ",".join(f"({i})" for i in range(k))
+    return (
+        f"WITH t AS (SELECT *, epoch_us(ts) // {slide_us} AS __s FROM {from_sql}{where}), "
+        f"w AS (SELECT t.*, t.__s - o.i AS window_id FROM t "
+        f"CROSS JOIN (VALUES {offsets}) o(i) WHERE t.__s - o.i >= 0) "
+        f"SELECT {select} FROM w GROUP BY {group}")
+
+
+def _tx(sql_body: str) -> str:
+    """Prepend the transcripts CTE, splicing into an existing WITH clause."""
+    body = sql_body.lstrip()
+    if body[:5].upper() == "WITH ":
+        return f"WITH transcripts AS ({TRANSCRIPTS_SQL}), {body[5:]}"
+    return f"WITH transcripts AS ({TRANSCRIPTS_SQL}) {body}"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_selection(sf):
+    ds = read_table(sf, "events", columns=["event_id", "event_type", "value"])
+    return selection(ds, (col("value") > 100.0) & (col("event_type") != "error"))
+
+
+def _q_projection(sf):
+    ds = read_table(sf, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+    return projection(ds, [
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).alias("revenue"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+         * (lit(1.0) + col("l_tax"))).alias("charged"),
+    ], keep=["l_orderkey"])
+
+
+def _q_tumbling_grouped(sf):
+    ds = read_table(sf, "events", columns=["ts", "event_type", "value"])
+    return windowed_aggregate(ds, window=Window.tumbling(DAY), aggs=ALL_AGGS,
+                              keys=["event_type"], round_decimals=6)
+
+
+def _q_tumbling_global(sf):
+    ds = read_table(sf, "events", columns=["ts", "value"])
+    return windowed_aggregate(ds, window=Window.tumbling(6 * HOUR),
+                              aggs=ALL_AGGS, round_decimals=6)
+
+
+def _q_sliding_global(sf):
+    ds = read_table(sf, "events", columns=["ts", "value"])
+    return windowed_aggregate(ds, window=Window.sliding(4 * DAY, DAY),
+                              aggs=ALL_AGGS, round_decimals=6)
+
+
+def _q_sliding_grouped(sf):
+    ds = read_table(sf, "events", columns=["ts", "user_id", "value"])
+    return windowed_aggregate(ds, window=Window.sliding(2 * DAY, 12 * HOUR),
+                              aggs=[avg("value", "avg_value"), cnt(alias="n")],
+                              keys=["user_id"], round_decimals=6)
+
+
+def _q_row_window(sf):
+    ts = transcripts_from_events(sf)
+    return windowed_aggregate(ts, window=Window.tumbling(4, mode="row"),
+                              aggs=[cnt(alias="n_turns")], keys=["conv_id"],
+                              ts_col="turn_idx")
+
+
+def _q_session(sf):
+    ts = transcripts_from_events(sf)
+    return session_windows(ts, gap=30 * MINUTE, aggs=[cnt(alias="n_turns")],
+                           keys=["conv_id"], order_by=["turn_idx"])
+
+
+def _q_broadcast_join(sf):
+    import pyarrow.parquet as pq
+    nat = pq.read_table(os.path.join(sf, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    cust = read_table(sf, "customer",
+                      columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+    return broadcast_join(cust, nat, on="c_nationkey", right_on="n_nationkey")
+
+
+def _q_hash_join_agg(sf):
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+    li = read_table(sf, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    orders = read_table(sf, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       num_partitions=8)
+    agg = joined.groupby("o_orderpriority").aggregate(
+        Sum("l_extendedprice", alias_name="rev_raw"), Count(alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table({"o_orderpriority": t["o_orderpriority"],
+                            "revenue": np.round(
+                                t["rev_raw"].to_numpy(zero_copy_only=False), 4),
+                            "n": t["n"]}),
+        batch_format="pyarrow")
+
+
+def _q_windowed_join(sf):
+    ev = read_table(sf, "events",
+                    columns=["ts", "user_id", "event_type", "value", "event_id"])
+    purchases = selection(ev, col("event_type") == "purchase")
+    clicks = selection(ev, col("event_type") == "click")
+    out = windowed_join(purchases, clicks, on="user_id",
+                        before=6 * HOUR, after=6 * HOUR,
+                        left_cols=["user_id", "ts", "event_id", "value"],
+                        right_cols=["user_id", "ts", "event_id", "value"])
+    return out.select_columns(["user_id", "ts_l", "ts_r", "event_id_l",
+                               "event_id_r", "value_l", "value_r"])
+
+
+def _q_cm1(sf):
+    return suite.cm1(transcripts_from_events(sf))
+
+
+def _q_cm2(sf):
+    return suite.cm2(transcripts_from_events(sf))
+
+
+def _q_sg1(sf):
+    return suite.sg1(transcripts_from_events(sf))
+
+
+def _q_sg2(sf):
+    return suite.sg2(transcripts_from_events(sf))
+
+
+def _q_sg3(sf):
+    return suite.sg3(transcripts_from_events(sf))
+
+
+def _q_ysb(sf):
+    return suite.ysb(transcripts_from_events(sf))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "selection": _q_selection,
+        "projection": _q_projection,
+        "tumbling_grouped_agg": _q_tumbling_grouped,
+        "tumbling_global_agg": _q_tumbling_global,
+        "sliding_global_agg": _q_sliding_global,
+        "sliding_grouped_agg": _q_sliding_grouped,
+        "row_window_agg": _q_row_window,
+        "session_windows": _q_session,
+        "broadcast_join": _q_broadcast_join,
+        "hash_join_agg": _q_hash_join_agg,
+        "windowed_theta_join": _q_windowed_join,
+        "cm1": _q_cm1,
+        "cm2": _q_cm2,
+        "sg1": _q_sg1,
+        "sg2": _q_sg2,
+        "sg3": _q_sg3,
+        "ysb": _q_ysb,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "selection": (
+            "SELECT event_id, event_type, value FROM events "
+            "WHERE value > 100.0 AND event_type <> 'error'"),
+        "projection": (
+            "SELECT l_orderkey, l_extendedprice * (1.0 - l_discount) AS revenue, "
+            "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charged "
+            "FROM lineitem"),
+        "tumbling_grouped_agg": (
+            f"SELECT event_type, epoch_us(ts) // {DAY} AS window_id, {ALL_SQL} "
+            "FROM events GROUP BY 1, 2"),
+        "tumbling_global_agg": (
+            f"SELECT epoch_us(ts) // {6 * HOUR} AS window_id, {ALL_SQL} "
+            "FROM events GROUP BY 1"),
+        "sliding_global_agg": _sliding_sql(4, DAY, f"window_id, {ALL_SQL}",
+                                           "window_id"),
+        "sliding_grouped_agg": _sliding_sql(
+            4, 12 * HOUR,
+            "user_id, window_id, ROUND(AVG(value), 6) AS avg_value, "
+            "COUNT(*) AS n", "user_id, window_id"),
+        "row_window_agg": _tx(
+            "SELECT conv_id, CAST(turn_idx // 4 AS BIGINT) AS window_id, "
+            "COUNT(*) AS n_turns FROM transcripts GROUP BY 1, 2"),
+        "session_windows": _tx(f"""
+            SELECT conv_id, CAST(session_id AS BIGINT) AS session_id,
+                   MIN(tu) AS session_start_us, MAX(tu) AS session_end_us,
+                   COUNT(*) AS n_turns
+            FROM (
+              SELECT *, SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts, tu
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM (
+                SELECT conv_id, ts, epoch_us(ts) AS tu,
+                       CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                            (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                            > {30 * MINUTE} THEN 1 ELSE 0 END AS brk
+                FROM transcripts))
+            GROUP BY conv_id, session_id"""),
+        "broadcast_join": (
+            "SELECT c_custkey, c_nationkey, c_mktsegment, n_name "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey"),
+        "hash_join_agg": (
+            "SELECT o_orderpriority, ROUND(SUM(l_extendedprice), 4) AS revenue, "
+            "COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY 1"),
+        "windowed_theta_join": (
+            "SELECT p.user_id, epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
+            "p.event_id AS event_id_l, c.event_id AS event_id_r, "
+            "p.value AS value_l, c.value AS value_r "
+            "FROM events p JOIN events c ON p.user_id = c.user_id "
+            "AND p.event_type = 'purchase' AND c.event_type = 'click' "
+            f"AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {6 * HOUR} "
+            f"AND epoch_us(p.ts) + {6 * HOUR}"),
+        "cm1": _tx(_sliding_sql(
+            4, 12 * HOUR,
+            "role, window_id, CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len, "
+            "COUNT(*) AS n_turns", "role, window_id", from_sql="transcripts")),
+        "cm2": _tx(
+            f"SELECT tool, epoch_us(ts) // {DAY} AS window_id, "
+            "ROUND(AVG(LENGTH(text)), 6) AS avg_len, COUNT(*) AS n_turns "
+            "FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2"),
+        "sg1": _tx(_sliding_sql(
+            4, DAY,
+            "window_id, ROUND(AVG(LENGTH(text)), 6) AS avg_len, "
+            "COUNT(*) AS n_turns", "window_id", from_sql="transcripts")),
+        "sg2": _tx(_sliding_sql(
+            4, DAY,
+            "conv_id, window_id, ROUND(AVG(LENGTH(text)), 6) AS avg_len",
+            "conv_id, window_id", from_sql="transcripts")),
+        "sg3": _tx(
+            f"WITH t AS (SELECT conv_id, LENGTH(text) AS len, "
+            f"epoch_us(ts) // {DAY} AS __s FROM transcripts), "
+            "w AS (SELECT t.*, t.__s - o.i AS window_id FROM t "
+            "CROSS JOIN (VALUES (0),(1),(2),(3)) o(i) WHERE t.__s - o.i >= 0), "
+            "pc AS (SELECT conv_id, window_id, ROUND(AVG(len), 6) AS conv_avg "
+            "FROM w GROUP BY 1, 2), "
+            "g AS (SELECT window_id, ROUND(AVG(len), 6) AS global_avg "
+            "FROM w GROUP BY 1) "
+            "SELECT pc.window_id, COUNT(*) AS n_hot_convs FROM pc "
+            "JOIN g ON pc.window_id = g.window_id "
+            "WHERE pc.conv_avg > g.global_avg GROUP BY 1"),
+        "ysb": _tx(
+            f"SELECT dim.campaign, epoch_us(ts) // {6 * HOUR} AS window_id, "
+            "COUNT(*) AS n_turns "
+            f"FROM transcripts JOIN {suite.TOOL_DIM_SQL} "
+            "ON transcripts.tool = dim.tool "
+            "WHERE role = 'assistant' GROUP BY 1, 2"),
+    }

@@ -1,0 +1,35 @@
+"""saber_ray — a from-scratch Ray-Data-native streaming/windowed query engine.
+
+Re-expresses the capabilities of lsds/Saber (SIGMOD'16, window-based hybrid
+stream processing; see /root/reference) as idiomatic Ray Data pipelines:
+
+- streams        = ordered Parquet-backed ``ray.data.Dataset``s of Arrow blocks
+- operators      = vectorized ``map_batches`` stages (zero-copy pyarrow)
+- windowed aggs  = pane-partial combiners inside map_batches + ONE hash shuffle
+                   (``groupby(keys + window_id)``) merging with the associative
+                   algebra of Saber's fragment merge (PartialResultSlot.java:186-212)
+- stateful ops   = actor-pool map_batches stages / groupby().map_groups
+- exactly-once   = partitioned parquet sink + atomic manifest (state/checkpoint.py)
+
+Nothing is ported: the execution engine is Ray Data's streaming executor; only
+the *semantics* (window fragment algebra, operator surface, query suite) follow
+the reference, cited per-module as reference file:line.
+"""
+
+from saber_ray.core.expressions import col, lit, Expr
+from saber_ray.core.windows import Window
+from saber_ray.core.aggregates import AggSpec, cnt, sum_, avg, min_, max_
+from saber_ray.stages.select import selection
+from saber_ray.stages.project import projection
+from saber_ray.stages.window_agg import windowed_aggregate
+from saber_ray.stages.session import session_windows
+from saber_ray.stages.join import windowed_join, hash_join, broadcast_join
+
+__all__ = [
+    "col", "lit", "Expr", "Window", "AggSpec",
+    "cnt", "sum_", "avg", "min_", "max_",
+    "selection", "projection", "windowed_aggregate", "session_windows",
+    "windowed_join", "hash_join", "broadcast_join",
+]
+
+__version__ = "0.1.0"

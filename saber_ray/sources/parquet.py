@@ -1,0 +1,56 @@
+"""Parquet source helpers.
+
+The reference has no real source — applications push byte arrays into a
+circular buffer (reference: QueryApplication.java:51-85,
+dispatchers/TaskDispatcher.java:83-98). Our stream source is ordered Parquet:
+``ray.data.read_parquet`` with column pruning and pyarrow row-group filter
+pushdown, which at 100 TB means only referenced columns/row groups leave
+storage.
+
+``column_minmax`` reads parquet FOOTER statistics only — the watermark of a
+finite input (max event ts) costs a metadata read, not a data scan.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional, Sequence
+
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+def read_table(sf_dir: str, name: str, *, columns: Optional[Sequence[str]] = None,
+               **kwargs):
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                           columns=list(columns) if columns else None, **kwargs)
+
+
+def _files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    return [path]
+
+
+def column_minmax(path: str, column: str) -> tuple:
+    """(min, max) of a column across files from row-group footer stats."""
+    lo, hi = None, None
+    for f in _files(path):
+        md = pq.read_metadata(f)
+        idx = md.schema.to_arrow_schema().get_field_index(column)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError(f"no min/max stats for {column} in {f}")
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return lo, hi
+
+
+def watermark_us(path: str, ts_column: str = "ts") -> int:
+    """End-of-input watermark: max event-time in epoch microseconds."""
+    _, hi = column_minmax(path, ts_column)
+    if hasattr(hi, "timestamp"):
+        return int(hi.timestamp() * 1_000_000)
+    return int(hi)

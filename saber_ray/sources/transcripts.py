@@ -1,0 +1,168 @@
+"""The transcript stream: schema, derivation from `events`, synthetic generator.
+
+Input shape (BASELINE.json input_hint):
+  (conv_id: string, turn_idx: int32, role: string, text: string,
+   tool: string, ts: timestamp[us])
+
+Two ways to obtain it:
+
+1. ``transcripts_from_events`` — a deterministic, SQL-expressible derivation
+   from the driver's ``events`` table, so every transcript query has an exact
+   DuckDB oracle (`TRANSCRIPTS_SQL` is the same mapping in ANSI SQL). turn_idx
+   is the per-conversation row number ordered by (ts, event_id) — computed
+   distributed via one groupby(conv) shuffle.
+2. ``generate_transcripts`` — a seeded, vectorized synthetic generator for
+   benchmarks (multi-file Parquet → parallel reads). No external data.
+
+The per-conv ordinal (turn_idx) is ALSO the ordinal column for row/count-based
+windows (reference: count windows over physical stream position,
+WindowBatch.java:499-643) — the documented partitioning assumption of
+stages/window_agg.py row mode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("us")),
+])
+
+# The SQL twin of transcripts_from_events — prepend to oracle queries as:
+#   WITH transcripts AS ({TRANSCRIPTS_SQL}) SELECT ...
+TRANSCRIPTS_SQL = """
+    SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+                AS INTEGER) AS turn_idx,
+           CASE WHEN event_type IN ('click','view') THEN 'user'
+                WHEN event_type IN ('purchase','signup') THEN 'assistant'
+                ELSE 'system' END AS role,
+           props AS text,
+           CASE WHEN event_type = 'error' THEN 'debugger'
+                WHEN event_type = 'purchase' THEN 'checkout' END AS tool,
+           ts
+    FROM events
+"""
+
+
+def transcripts_from_events(sf_dir: str):
+    """Derive the transcript stream from `events` (see TRANSCRIPTS_SQL)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "props"])
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        et = g["event_type"]
+        role = np.where(et.isin(["click", "view"]), "user",
+                        np.where(et.isin(["purchase", "signup"]),
+                                 "assistant", "system"))
+        tool = np.select([et == "error", et == "purchase"],
+                         ["debugger", "checkout"], default=None)
+        return pd.DataFrame({
+            "conv_id": "c" + g["user_id"].astype(str),
+            "turn_idx": np.arange(len(g), dtype=np.int32),
+            "role": role,
+            "text": g["props"].to_numpy(),
+            "tool": tool,
+            "ts": g["ts"].to_numpy(),
+        })
+
+    return ds.groupby("user_id").map_groups(per_conv, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# synthetic generator (benchmarks; deterministic, no external data)
+# ---------------------------------------------------------------------------
+
+_WORDS = np.array(
+    "the quick brown fox jumps over lazy dog stream window pane merge batch "
+    "agent tool call reply plan search code run test fix error retry done "
+    "hello thanks please result data query join group count model token".split())
+_ROLES = np.array(["user", "assistant", "system"])
+_TOOLS = np.array(["search", "python", "browser", "editor"])
+
+
+def _gen_chunk(chunk_id: int, n_convs: int, mean_turns: int, seed: int) -> pa.Table:
+    rng = np.random.default_rng(seed * 1_000_003 + chunk_id)
+    turns = rng.geometric(1.0 / mean_turns, size=n_convs).clip(2, 400)
+    total = int(turns.sum())
+    conv_ord = np.repeat(np.arange(n_convs), turns)
+    conv_id_str = np.array([f"c{chunk_id:05d}_{i:06d}" for i in range(n_convs)])
+    turn_idx = np.arange(total) - np.repeat(
+        np.concatenate(([0], np.cumsum(turns)[:-1])), turns)
+    # roles: alternate user/assistant, ~4% system
+    role = np.where(turn_idx % 2 == 0, "user", "assistant")
+    role = np.where(rng.random(total) < 0.04, "system", role)
+    # tool calls on ~25% of assistant turns
+    tool = np.where((role == "assistant") & (rng.random(total) < 0.25),
+                    _TOOLS[rng.integers(0, len(_TOOLS), total)], None)
+    # text: 3-40 words
+    nw = rng.integers(3, 41, size=total)
+    words = _WORDS[rng.integers(0, len(_WORDS), size=int(nw.sum()))]
+    wl = words.tolist()
+    text = np.empty(total, dtype=object)
+    pos = 0
+    for i in range(total):
+        k = nw[i]
+        text[i] = " ".join(wl[pos:pos + k])
+        pos += k
+    # ts: conv start uniform over 30 days, gaps lognormal seconds w/ occasional
+    # session-sized gaps (> 30 min) for sessionization workloads
+    base = np.int64(1_700_000_000_000_000)  # fixed epoch anchor, us
+    conv_start = rng.integers(0, 30 * 86_400_000_000, size=n_convs)
+    gaps = (rng.lognormal(1.5, 1.0, size=total) * 1_000_000).astype(np.int64)
+    big = rng.random(total) < 0.02
+    gaps[big] += np.int64(45 * 60 * 1_000_000)
+    gaps[turn_idx == 0] = 0
+    # per-conv cumulative gap: global cumsum minus the cumsum at each conv start
+    cs = np.cumsum(gaps)
+    conv_first = np.concatenate(([0], np.cumsum(turns)[:-1]))
+    offset = np.repeat(cs[conv_first] - gaps[conv_first], turns)
+    ts = base + conv_start[conv_ord] + (cs - offset)
+    return pa.table({
+        "conv_id": pa.array(conv_id_str[conv_ord], type=pa.string()),
+        "turn_idx": pa.array(turn_idx, type=pa.int32()),
+        "role": pa.array(role, type=pa.string()),
+        "text": pa.array(text, type=pa.string()),
+        "tool": pa.array(tool, type=pa.string()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+    })
+
+
+def generate_transcripts(out_dir: str, *, n_turns: int = 1_000_000,
+                         mean_turns: int = 12, seed: int = 42,
+                         n_files: int = 32, force: bool = False) -> str:
+    """Write a deterministic synthetic transcript table as n_files parquet
+    files under out_dir. Returns out_dir. Cached: skipped when the manifest
+    matches (same params → same bytes)."""
+    tag = f"turns={n_turns} mean={mean_turns} seed={seed} files={n_files} v1"
+    manifest = os.path.join(out_dir, "_MANIFEST")
+    if not force and os.path.exists(manifest) and open(manifest).read() == tag:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    convs_per_file = max(1, n_turns // (mean_turns * n_files))
+    for i in range(n_files):
+        t = _gen_chunk(i, convs_per_file, mean_turns, seed)
+        pq.write_table(t, os.path.join(out_dir, f"part-{i:05d}.parquet"),
+                       row_group_size=64 * 1024)
+    with open(manifest, "w") as f:
+        f.write(tag)
+    return out_dir
+
+
+def read_transcripts(path: str, *, columns=None, **kwargs):
+    return rd.read_parquet(path, columns=list(columns) if columns else None,
+                           **kwargs)

@@ -1,0 +1,153 @@
+"""Similarity search over an embedding column (list<float>).
+
+Scale extensions (absent from the reference — SURVEY.md §2.7):
+
+- brute-force cosine top-k: the query matrix is broadcast ONCE (`ray.put`),
+  each batch computes a numpy matmul and emits only its per-query top-k
+  partials; a tiny groupby(query_id) merge re-selects global top-k. The
+  shuffle carries q×k rows per batch, never the embeddings.
+- LSH-bucketed variant (the scale path): seeded random hyperplanes assign
+  each vector a bucket (sign bits); queries probe their own bucket plus all
+  Hamming≤1 neighbors, so only ~ (1+nbits)/2^nbits of the corpus is scored.
+  Deterministic (no training pass), trivially shardable — the documented
+  recall/efficiency trade.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack(col.to_numpy(zero_copy_only=False)
+                    if hasattr(col, "to_numpy") else col).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _BruteForceScorer:
+    def __init__(self, q_ref, k: int, id_col: str, emb_col: str):
+        q = ray.get(q_ref)
+        self.q = _normalize(np.asarray(q, dtype=np.float64))
+        self.k, self.id_col, self.emb_col = k, id_col, emb_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 self.id_col: pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        x = _normalize(_stack(df[self.emb_col]))
+        ids = df[self.id_col].to_numpy()
+        scores = self.q @ x.T                      # (q, n)
+        k = min(self.k, scores.shape[1])
+        out_q, out_id, out_s = [], [], []
+        part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        for qi in range(scores.shape[0]):
+            sel = part[qi]
+            out_q.append(np.full(k, qi, dtype=np.int64))
+            out_id.append(ids[sel])
+            out_s.append(scores[qi, sel])
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             self.id_col: np.concatenate(out_id),
+                             "score": np.concatenate(out_s)})
+
+
+def _topk_merge(k: int, id_col: str, round_decimals: Optional[int]):
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        if round_decimals is not None:
+            g["score"] = g["score"].round(round_decimals)
+        return g
+    return merge
+
+
+def ann_topk_bruteforce(emb_ds, queries: np.ndarray, k: int = 10, *,
+                        id_col: str = "vec_id", emb_col: str = "embedding",
+                        round_decimals: Optional[int] = 6,
+                        concurrency=(1, 4)):
+    """Exact cosine top-k per query row of ``queries`` (q×d).
+
+    → Dataset (query_id, vec_id, score, rank) with deterministic ties
+    (score desc, then id asc)."""
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = emb_ds.map_batches(
+        _BruteForceScorer, batch_format="pandas",
+        concurrency=concurrency, num_cpus=0.5,
+        fn_constructor_kwargs=dict(q_ref=q_ref, k=k, id_col=id_col,
+                                   emb_col=emb_col))
+    return partials.groupby("query_id").map_groups(
+        _topk_merge(k, id_col, round_decimals), batch_format="pandas")
+
+
+class _LshScorer:
+    """Score only vectors whose hyperplane bucket is within Hamming ≤ 1 of a
+    query's bucket."""
+
+    def __init__(self, q_ref, planes_ref, k, id_col, emb_col):
+        self.q = _normalize(np.asarray(ray.get(q_ref), dtype=np.float64))
+        self.planes = ray.get(planes_ref)          # (nbits, d)
+        self.k, self.id_col, self.emb_col = k, id_col, emb_col
+        qb = (self.q @ self.planes.T) > 0
+        self.qbuckets = (qb @ (1 << np.arange(qb.shape[1]))).astype(np.int64)
+        nbits = self.planes.shape[0]
+        # probe set per query: own bucket + flip each bit
+        self.probes = [np.unique(np.concatenate(
+            ([b], [b ^ (1 << i) for i in range(nbits)]))) for b in self.qbuckets]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 self.id_col: pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        x = _normalize(_stack(df[self.emb_col]))
+        ids = df[self.id_col].to_numpy()
+        xb = (x @ self.planes.T) > 0
+        xbuckets = (xb @ (1 << np.arange(xb.shape[1]))).astype(np.int64)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(self.q.shape[0]):
+            mask = np.isin(xbuckets, self.probes[qi])
+            if not mask.any():
+                continue
+            sub = x[mask]
+            scores = sub @ self.q[qi]
+            k = min(self.k, len(scores))
+            sel = np.argpartition(-scores, k - 1)[:k]
+            out_q.append(np.full(k, qi, dtype=np.int64))
+            out_id.append(ids[mask][sel])
+            out_s.append(scores[sel])
+        if not out_q:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 self.id_col: pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             self.id_col: np.concatenate(out_id),
+                             "score": np.concatenate(out_s)})
+
+
+def ann_topk_lsh(emb_ds, queries: np.ndarray, k: int = 10, *, dim: int,
+                 nbits: int = 6, seed: int = 42, id_col: str = "vec_id",
+                 emb_col: str = "embedding", round_decimals: Optional[int] = 6,
+                 concurrency=(1, 4)):
+    """Approximate cosine top-k via random-hyperplane LSH (probe Hamming ≤ 1)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((nbits, dim))
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    p_ref = ray.put(planes)
+    partials = emb_ds.map_batches(
+        _LshScorer, batch_format="pandas",
+        concurrency=concurrency, num_cpus=0.5,
+        fn_constructor_kwargs=dict(q_ref=q_ref, planes_ref=p_ref, k=k,
+                                   id_col=id_col, emb_col=emb_col))
+    return partials.groupby("query_id").map_groups(
+        _topk_merge(k, id_col, round_decimals), batch_format="pandas")

@@ -1,0 +1,172 @@
+"""Windowed (optionally grouped) aggregation — the heart of the engine.
+
+Parity target: Saber's Aggregation operator — CNT/SUM/AVG/MIN/MAX over
+column(s) per tumbling/sliding window, optional group-by, emitting one row per
+(window[, key]) (reference: cql/operators/cpu/Aggregation.java:27-394 dispatch;
+pane classification WindowBatch.java:339-643; fragment merge
+handlers/PartialResultSlot.java:136-300; ordered commit
+handlers/ResultAggregator.java:150-231).
+
+Ray-Data-native design (NOT a port — replaces the fragment/slot-ring machinery):
+
+1. **Pane partials inside map_batches** (stateless, vectorized, zero-copy
+   Arrow): each batch computes ``pane_id = t // pane`` and pre-aggregates per
+   (keys..., pane_id) with ``pyarrow.Table.group_by``. Because panes are the
+   gcd(size, slide) grid, a pane never straddles a window boundary — the
+   opening/closing/pending/complete fragment kinds collapse into "a bag of
+   pane partials", and batch boundaries stop mattering entirely (the property
+   Saber's slot ring works hard to restore; see test_window_agg.py's
+   batch-size-invariance property test).
+2. **Pane→window expansion + in-batch re-merge**: each pane partial is
+   replicated to the ~size/slide windows covering it and re-merged per
+   (keys..., window_id) — still inside the batch, so the shuffle input is at
+   most (#keys × #windows-touched) rows per batch, independent of row count.
+   This is the "pre-aggregate before groupby" combiner pattern.
+3. **ONE hash shuffle**: ``groupby(keys + [window_id]).aggregate(...)``
+   merges partials with the associative algebra of
+   PartialResultSlot.java:186-212 (sum/cnt add, min/max, AVG finalized at
+   emit per Aggregation.java:920-929).
+4. **Finalize** (stateless map_batches): compute requested outputs, window
+   bounds, and optionally drop windows not yet closed by the watermark
+   (watermark-driven flushing replaces the slot-ring commit frontier).
+
+Scale notes: the shuffle moves only merged partials (keys × windows), never
+raw rows; hot keys are pre-combined per batch, so a key appears at most once
+per (batch, window) — classic combiner-based skew mitigation. Wide payload
+columns (e.g. transcript ``text``) never enter the shuffle: project derived
+numeric columns first (SURVEY.md §7.4).
+
+Row (count-based) windows take ``ts_col`` = an explicit ordinal column (e.g.
+``turn_idx`` per conv_id). **Partitioning assumption**: the ordinal must be a
+globally consistent row numbering within each group (reference computes it
+from physical stream position, WindowBatch.java:499-643, which only exists on
+a single totally-ordered stream; a distributed engine needs the ordinal
+materialized — see sources/transcripts.py helpers).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from saber_ray.core.aggregates import (
+    AggSpec, ROWS, arrow_merge_aggs, arrow_partial_aggs, finalize,
+    input_columns, ray_merge_aggs,
+)
+from saber_ray.core.windows import Window
+
+_PANE = "__pane"
+_WID = "window_id"
+
+
+class PanePartialAgg:
+    """Per-batch pane partial aggregation (steps 1+2 above).
+
+    A plain callable class usable both as a stateless map_batches fn and in an
+    actor pool; all per-call work is vectorized Arrow/numpy.
+    """
+
+    def __init__(self, window: Window, aggs: Sequence[AggSpec],
+                 keys: Sequence[str], ts_col: str):
+        self.window = window
+        self.aggs = list(aggs)
+        self.keys = list(keys)
+        self.ts_col = ts_col
+        self.partial_spec, self.partial_rename = arrow_partial_aggs(aggs)
+        self.merge_spec, self.merge_rename = arrow_merge_aggs(aggs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = self.window
+        t = batch[self.ts_col]
+        if not pa.types.is_integer(t.type):
+            t = t.cast(pa.int64())          # timestamp[us] → epoch microseconds
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        pane_np = t.to_numpy(zero_copy_only=False) // w.pane
+
+        cols = [batch[k] for k in self.keys] + \
+               [batch[c] for c in input_columns(self.aggs)] + \
+               [pa.array(pane_np, type=pa.int64())]
+        names = self.keys + input_columns(self.aggs) + [_PANE]
+        tbl = pa.Table.from_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
+            names=names)
+
+        p1 = tbl.group_by(self.keys + [_PANE], use_threads=False).aggregate(self.partial_spec)
+        p1 = p1.rename_columns([self.partial_rename.get(n, n) for n in p1.column_names])
+
+        if w.is_tumbling:
+            # pane == window: just rename (panes_per_slide == panes_per_window == 1)
+            idx = p1.column_names.index(_PANE)
+            return p1.set_column(idx, _WID, p1[_PANE])
+
+        panes = p1[_PANE].to_numpy(zero_copy_only=False)
+        row_sel, window_id = w.expand_panes(panes)
+        p2 = p1.drop_columns([_PANE]).take(row_sel)
+        p2 = p2.append_column(_WID, pa.array(window_id, type=pa.int64()))
+        p3 = p2.group_by(self.keys + [_WID], use_threads=False).aggregate(self.merge_spec)
+        return p3.rename_columns([self.merge_rename.get(n, n) for n in p3.column_names])
+
+
+class FinalizeWindows:
+    """Step 4: partials → requested output columns (+ window bounds, watermark
+    filter). AVG division happens here (Aggregation.java:920-929 semantics)."""
+
+    def __init__(self, window: Window, aggs: Sequence[AggSpec],
+                 keys: Sequence[str], *, watermark: Optional[int],
+                 emit_start: bool, round_decimals: Optional[int]):
+        self.window = window
+        self.aggs = list(aggs)
+        self.keys = list(keys)
+        self.watermark = watermark
+        self.emit_start = emit_start
+        self.round_decimals = round_decimals
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = self.window
+        if self.watermark is not None and batch.num_rows:
+            wid = batch[_WID].to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array(w.closed_mask(wid, self.watermark)))
+        cols: dict[str, pa.Array] = {k: batch[k] for k in self.keys}
+        cols[_WID] = batch[_WID]
+        if self.emit_start:
+            starts = batch[_WID].to_numpy(zero_copy_only=False) * w.slide
+            cols["window_start_us"] = pa.array(starts, type=pa.int64())
+        cols.update(finalize(batch, self.aggs, round_decimals=self.round_decimals))
+        return pa.Table.from_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in cols.values()],
+            names=list(cols.keys()))
+
+
+def windowed_aggregate(
+    ds,
+    *,
+    window: Window,
+    aggs: Sequence[AggSpec],
+    keys: Sequence[str] = (),
+    ts_col: str = "ts",
+    watermark: Optional[int] = None,
+    emit_start: bool = False,
+    round_decimals: Optional[int] = None,
+    batch_size: Optional[int] = None,
+):
+    """Windowed grouped aggregation over a Dataset (see module docstring).
+
+    ``watermark``: event-time microseconds; if given, only windows with
+    ``end <= watermark`` are emitted (closed windows). ``None`` = end-of-stream
+    flush of every non-empty window (finite-input semantics).
+    """
+    aggs = list(aggs)
+    keys = list(keys)
+    partial = PanePartialAgg(window, aggs, keys, ts_col)
+    kwargs = {"batch_format": "pyarrow", "zero_copy_batch": True}
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    partials = ds.map_batches(partial, **kwargs)
+    merged = partials.groupby(keys + [_WID]).aggregate(*ray_merge_aggs(aggs))
+    fin = FinalizeWindows(window, aggs, keys, watermark=watermark,
+                          emit_start=emit_start, round_decimals=round_decimals)
+    return merged.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,95 @@
+"""Join stage tests: broadcast hash, partitioned hash, windowed stream-stream."""
+
+import numpy as np
+
+from saber_ray import broadcast_join, hash_join, windowed_join
+from saber_ray.core.windows import HOUR
+from saber_ray.sources.parquet import read_table
+from tests.oracle_util import assert_matches_oracle, canon, to_pandas
+
+
+def test_broadcast_join_dim(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    cust_full = read_table(sf_dir, "customer",
+                           columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+    out = broadcast_join(cust_full, nat, on="c_nationkey", right_on="n_nationkey")
+    assert_matches_oracle(
+        out,
+        "SELECT c_custkey, c_nationkey, c_mktsegment, n_name "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey",
+        sf_dir)
+
+
+def test_hash_join_large(ray_session, sf_dir):
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       num_partitions=8)
+    from saber_ray import Window, sum_, windowed_aggregate, cnt
+    import pyarrow as pa
+    # plain grouped rollup of the joined stream
+    agg = joined.groupby("o_orderpriority").aggregate()
+    from ray.data.aggregate import Sum, Count
+    agg = joined.groupby("o_orderpriority").aggregate(
+        Sum("l_extendedprice", alias_name="rev_raw"), Count(alias_name="n"))
+    out = agg.map_batches(
+        lambda t: pa.table({"o_orderpriority": t["o_orderpriority"],
+                            "revenue": np.round(t["rev_raw"].to_numpy(zero_copy_only=False), 4),
+                            "n": t["n"]}),
+        batch_format="pyarrow")
+    assert_matches_oracle(
+        out,
+        "SELECT o_orderpriority, ROUND(SUM(l_extendedprice), 4) AS revenue, "
+        "COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY 1",
+        sf_dir, atol=1e-3)
+
+
+def test_windowed_join_self(ray_session, sf_dir):
+    """Purchases joined to clicks of the same user within ±6h (equi + band)."""
+    ev = read_table(sf_dir, "events",
+                    columns=["ts", "user_id", "event_type", "value", "event_id"])
+    from saber_ray import col, selection
+    purchases = selection(ev, col("event_type") == "purchase")
+    clicks = selection(ev, col("event_type") == "click")
+    out = windowed_join(
+        purchases, clicks, on="user_id", before=6 * HOUR, after=6 * HOUR,
+        left_cols=["user_id", "ts", "event_id", "value"],
+        right_cols=["user_id", "ts", "event_id", "value"])
+    out = out.select_columns(["user_id", "ts_l", "ts_r", "event_id_l",
+                              "event_id_r", "value_l", "value_r"])
+    assert_matches_oracle(
+        out,
+        f"SELECT p.user_id, epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
+        "p.event_id AS event_id_l, c.event_id AS event_id_r, "
+        "p.value AS value_l, c.value AS value_r "
+        "FROM events p JOIN events c ON p.user_id = c.user_id "
+        "AND p.event_type = 'purchase' AND c.event_type = 'click' "
+        f"AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {6*HOUR} "
+        f"AND epoch_us(p.ts) + {6*HOUR}",
+        sf_dir)
+
+
+def test_windowed_join_residual_theta(ray_session, sf_dir):
+    """Arbitrary theta predicate on top of the band (ThetaJoin parity)."""
+    ev = read_table(sf_dir, "events",
+                    columns=["ts", "user_id", "event_type", "value", "event_id"])
+    from saber_ray import col, selection
+    purchases = selection(ev, col("event_type") == "purchase")
+    clicks = selection(ev, col("event_type") == "click")
+    out = windowed_join(
+        purchases, clicks, on="user_id", before=6 * HOUR, after=6 * HOUR,
+        left_cols=["user_id", "ts", "event_id", "value"],
+        right_cols=["user_id", "ts", "event_id", "value"],
+        predicate=lambda df: (df["value_l"].to_numpy() > df["value_r"].to_numpy()))
+    out = out.select_columns(["user_id", "event_id_l", "event_id_r"])
+    assert_matches_oracle(
+        out,
+        "SELECT p.user_id, p.event_id AS event_id_l, c.event_id AS event_id_r "
+        "FROM events p JOIN events c ON p.user_id = c.user_id "
+        "AND p.event_type = 'purchase' AND c.event_type = 'click' "
+        f"AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {6*HOUR} "
+        f"AND epoch_us(p.ts) + {6*HOUR} AND p.value > c.value",
+        sf_dir)

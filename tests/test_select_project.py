@@ -1,0 +1,57 @@
+"""Selection / Projection parity vs DuckDB oracle (Selection.java / Projection.java)."""
+
+from saber_ray import col, lit, selection, projection
+from saber_ray.sources.parquet import read_table
+from tests.oracle_util import assert_matches_oracle
+
+
+def test_selection_events(ray_session, sf_dir):
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+    out = selection(ds, (col("value") > 100.0) & (col("event_type") != "error"))
+    assert_matches_oracle(
+        out,
+        "SELECT event_id, event_type, value FROM events "
+        "WHERE value > 100.0 AND event_type <> 'error'",
+        sf_dir)
+
+
+def test_selection_string_predicate(ray_session, sf_dir):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    out = selection(ds, col("lang").isin(["en", "es"]) & col("text").contains("window"))
+    assert_matches_oracle(
+        out,
+        "SELECT doc_id, lang, text FROM documents "
+        "WHERE lang IN ('en','es') AND contains(text, 'window')",
+        sf_dir)
+
+
+def test_projection_lineitem(ray_session, sf_dir):
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+    out = projection(ds, [
+        ((col("l_extendedprice") * (lit(1.0) - col("l_discount")))).alias("revenue"),
+        ((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).alias("charged")),
+    ], keep=["l_orderkey"])
+    assert_matches_oracle(
+        out,
+        "SELECT l_orderkey, l_extendedprice * (1.0 - l_discount) AS revenue, "
+        "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charged "
+        "FROM lineitem",
+        sf_dir)
+
+
+def test_projection_deep_expression(ray_session, sf_dir):
+    # Saber's W1 benchmark stresses deep arithmetic trees (W1.java:138-151)
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+    e = col("value")
+    for _ in range(25):
+        e = e * 1.01 + 0.5
+    out = projection(ds, [e.alias("deep")], keep=["event_id"])
+    sql_e = "value"
+    for _ in range(25):
+        sql_e = f"(({sql_e}) * 1.01 + 0.5)"
+    assert_matches_oracle(
+        out, f"SELECT event_id, {sql_e} AS deep FROM events", sf_dir,
+        rtol=1e-9)

@@ -1,0 +1,57 @@
+"""Session window tests vs a DuckDB window-function oracle (lag + cumsum)."""
+
+import pandas as pd
+
+from saber_ray import avg, cnt, session_windows
+from saber_ray.core.windows import MINUTE
+from saber_ray.sources.transcripts import TRANSCRIPTS_SQL, transcripts_from_events
+from tests.oracle_util import assert_matches_oracle
+
+GAP = 30 * MINUTE
+
+
+def _sql(agg_select: str) -> str:
+    return f"""
+    WITH transcripts AS ({TRANSCRIPTS_SQL}),
+    x AS (
+      SELECT conv_id, ts, text, epoch_us(ts) AS tu,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {GAP}
+                  THEN 1 ELSE 0 END AS brk
+      FROM transcripts
+      WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+    ),
+    s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts, tu
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    )
+    SELECT conv_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(tu) AS session_start_us, MAX(tu) AS session_end_us,
+           {agg_select}
+    FROM s GROUP BY conv_id, session_id
+    """
+
+
+def test_session_counts(ray_session, sf_dir):
+    ts = transcripts_from_events(sf_dir)
+    out = session_windows(ts, gap=GAP, aggs=[cnt(alias="n_turns")],
+                          keys=["conv_id"], order_by=["turn_idx"])
+    assert_matches_oracle(out, _sql("COUNT(*) AS n_turns"), sf_dir)
+
+
+def test_session_avg_text_len(ray_session, sf_dir):
+    import numpy as np
+    ts = transcripts_from_events(sf_dir)
+    # derive a numeric column first (text stays out of the aggregate)
+    def add_len(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["text_len"] = df["text"].str.len().astype("int64")
+        return df
+    ts = ts.map_batches(add_len, batch_format="pandas")
+    out = session_windows(ts, gap=GAP,
+                          aggs=[avg("text_len", "avg_len"), cnt(alias="n_turns")],
+                          keys=["conv_id"], order_by=["turn_idx"],
+                          round_decimals=6)
+    assert_matches_oracle(
+        out, _sql("ROUND(AVG(LENGTH(text)), 6) AS avg_len, COUNT(*) AS n_turns"),
+        sf_dir)

@@ -1,0 +1,147 @@
+"""Windowed aggregation parity vs DuckDB oracle + batch-size invariance.
+
+The invariance property (same input split at ANY batch boundary ⇒ identical
+window outputs) is exactly what Saber's fragment/slot-ring machinery enforces
+(SURVEY.md §5); the pane-partial design makes it structural.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from saber_ray import Window, avg, cnt, max_, min_, sum_, windowed_aggregate
+from saber_ray.core.windows import DAY, HOUR
+from saber_ray.sources.parquet import read_table, watermark_us
+from saber_ray.sources.transcripts import TRANSCRIPTS_SQL, transcripts_from_events
+from tests.oracle_util import assert_matches_oracle, canon, to_pandas
+
+ALL_AGGS = [cnt(alias="n"), sum_("value", "sum_value"), avg("value", "avg_value"),
+            min_("value", "min_value"), max_("value", "max_value")]
+ALL_SQL = ("COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value, "
+           "ROUND(AVG(value), 6) AS avg_value, ROUND(MIN(value), 6) AS min_value, "
+           "ROUND(MAX(value), 6) AS max_value")
+
+
+def test_tumbling_grouped_all_aggs(ray_session, sf_dir):
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = windowed_aggregate(ds, window=Window.tumbling(DAY), aggs=ALL_AGGS,
+                             keys=["event_type"], round_decimals=6)
+    assert_matches_oracle(
+        out,
+        f"SELECT event_type, epoch_us(ts) // {DAY} AS window_id, {ALL_SQL} "
+        "FROM events GROUP BY 1, 2",
+        sf_dir)
+
+
+def test_tumbling_global(ray_session, sf_dir):
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+    out = windowed_aggregate(ds, window=Window.tumbling(6 * HOUR), aggs=ALL_AGGS,
+                             round_decimals=6)
+    assert_matches_oracle(
+        out,
+        f"SELECT epoch_us(ts) // {6 * HOUR} AS window_id, {ALL_SQL} "
+        "FROM events GROUP BY 1",
+        sf_dir)
+
+
+def _sliding_sql(size_slides: int, slide_us: int, select: str, group_extra: str = "",
+                 table: str = "events", cols: str = "value"):
+    offsets = ",".join(f"({i})" for i in range(size_slides))
+    return (
+        f"WITH t AS (SELECT epoch_us(ts) // {slide_us} AS s, * FROM {table}), "
+        f"w AS (SELECT t.*, t.s - o.i AS window_id FROM t "
+        f"CROSS JOIN (VALUES {offsets}) o(i) WHERE t.s - o.i >= 0) "
+        f"SELECT {select} FROM w GROUP BY {group_extra}window_id")
+
+
+def test_sliding_global(ray_session, sf_dir):
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+    out = windowed_aggregate(ds, window=Window.sliding(4 * DAY, DAY),
+                             aggs=ALL_AGGS, round_decimals=6)
+    assert_matches_oracle(
+        out, _sliding_sql(4, DAY, f"window_id, {ALL_SQL}"), sf_dir)
+
+
+def test_sliding_grouped(ray_session, sf_dir):
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id", "value"])
+    out = windowed_aggregate(ds, window=Window.sliding(2 * DAY, 12 * HOUR),
+                             aggs=[avg("value", "avg_value"), cnt(alias="n")],
+                             keys=["user_id"], round_decimals=6)
+    assert_matches_oracle(
+        out,
+        _sliding_sql(4, 12 * HOUR,
+                     "user_id, window_id, ROUND(AVG(value),6) AS avg_value, "
+                     "COUNT(*) AS n", group_extra="user_id, "),
+        sf_dir)
+
+
+def test_sliding_noninteger_ratio(ray_session, sf_dir):
+    # size/slide not integral → gcd pane path (pane=2h, 5 panes/window, 2/slide)
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+    w = Window.sliding(10 * HOUR, 4 * HOUR)
+    out = windowed_aggregate(ds, window=w, aggs=[cnt(alias="n")], round_decimals=6)
+    # oracle: window w covers [w*4h, w*4h + 10h)
+    got = canon(to_pandas(out))
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')")
+    want = con.sql(
+        f"WITH t AS (SELECT epoch_us(ts) AS tu FROM events), "
+        f"b AS (SELECT tu // {4*HOUR} AS hi FROM t), "
+        f"w AS (SELECT t.tu, g.w FROM t, LATERAL (SELECT UNNEST(range("
+        f"GREATEST(0, (t.tu - {10*HOUR}) // {4*HOUR} + 1), t.tu // {4*HOUR} + 1)) AS w) g "
+        f"WHERE t.tu >= g.w * {4*HOUR} AND t.tu < g.w * {4*HOUR} + {10*HOUR}) "
+        f"SELECT w AS window_id, COUNT(*) AS n FROM w GROUP BY 1").df()
+    con.close()
+    want = canon(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_watermark_closed_only(ray_session, sf_dir):
+    import os
+    wm = watermark_us(os.path.join(sf_dir, "events.parquet"))
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+    w = Window.sliding(4 * DAY, DAY)
+    out = windowed_aggregate(ds, window=w, aggs=[cnt(alias="n")], watermark=wm)
+    got = to_pandas(out)
+    # every emitted window closed: end <= watermark
+    assert ((got["window_id"] * DAY + 4 * DAY) <= wm).all()
+    # and it is exactly the closed subset of the flush-everything run
+    all_out = to_pandas(windowed_aggregate(ds, window=w, aggs=[cnt(alias="n")]))
+    expect = all_out[(all_out["window_id"] * DAY + 4 * DAY) <= wm]
+    pd.testing.assert_frame_equal(canon(got), canon(expect), check_dtype=False)
+
+
+def test_row_window_per_key(ray_session, sf_dir):
+    # count-based tumbling window of 4 turns per conversation over turn_idx
+    ts = transcripts_from_events(sf_dir)
+    out = windowed_aggregate(
+        ts, window=Window.tumbling(4, mode="row"),
+        aggs=[cnt(alias="n_turns")], keys=["conv_id"], ts_col="turn_idx")
+    assert_matches_oracle(
+        out,
+        f"WITH transcripts AS ({TRANSCRIPTS_SQL}) "
+        "SELECT conv_id, CAST(turn_idx // 4 AS BIGINT) AS window_id, "
+        "COUNT(*) AS n_turns FROM transcripts GROUP BY 1, 2",
+        sf_dir)
+
+
+def test_batch_size_invariance(ray_session, sf_dir):
+    """Same input at any batch split ⇒ identical windows (the slot-ring property)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id", "value"])
+    w = Window.sliding(3 * DAY, DAY)
+    aggs = [sum_("value", "s"), cnt(alias="n"), min_("value", "mn"), max_("value", "mx")]
+    outs = []
+    for bs in (37, 512, None):
+        out = windowed_aggregate(ds, window=w, aggs=aggs, keys=["user_id"],
+                                 batch_size=bs, round_decimals=6)
+        outs.append(canon(to_pandas(out)))
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
+    pd.testing.assert_frame_equal(outs[0], outs[2], check_dtype=False)
+
+
+def test_emit_start(ray_session, sf_dir):
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+    out = to_pandas(windowed_aggregate(
+        ds, window=Window.tumbling(DAY), aggs=[cnt(alias="n")], emit_start=True))
+    assert (out["window_start_us"] == out["window_id"] * DAY).all()
