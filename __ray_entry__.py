@@ -165,6 +165,85 @@ def _q_windowed_join(sf):
                                "event_id_r", "value_l", "value_r"])
 
 
+def _q_topk(sf):
+    ds = read_table(sf, "events", columns=["event_id", "value"])
+    return ds.sort(["value", "event_id"], descending=[True, False]).limit(10)
+
+
+def _q_distinct(sf):
+    from ray.data.aggregate import Count
+    ds = read_table(sf, "events", columns=["event_type"])
+    return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+def _q_dedup_exact(sf):
+    from saber_ray.stages.dedup import exact_dedup
+    docs = read_table(sf, "documents", columns=["doc_id", "text", "lang"])
+    return exact_dedup(docs, on="text", id_col="doc_id")
+
+
+def _q_token_stats(sf):
+    from saber_ray.stages.text import token_stats
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    return token_stats(docs).select_columns(
+        ["doc_id", "n_chars", "n_ws_tokens", "n_bpe_tokens"])
+
+
+def _q_fingerprint(sf):
+    from saber_ray.stages.text import md5_fingerprint
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    return md5_fingerprint(docs).select_columns(["doc_id", "fingerprint"])
+
+
+def _q_ann_topk(sf):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    from saber_ray.stages.similarity import ann_topk_bruteforce
+    t = pq.read_table(os.path.join(sf, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    q = np.asarray([t["embedding"][0].as_py()], dtype=np.float64)
+    emb = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    return ann_topk_bruteforce(emb, q, k=10)
+
+
+def _q_minhash_clusters(sf):
+    from saber_ray.stages.dedup import minhash_lsh_clusters
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_clusters(docs, threshold=0.9)
+
+
+def _q_simhash(sf):
+    from saber_ray.stages.dedup import simhash
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    return simhash(docs)
+
+
+def _q_quality(sf):
+    from saber_ray.stages.text import quality_score
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    return quality_score(docs).select_columns(["doc_id", "quality"])
+
+
+def _q_lang_id(sf):
+    from saber_ray.stages.text import lang_id
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    return lang_id(docs).select_columns(["doc_id", "lang_pred"])
+
+
+def _q_ann_lsh(sf):
+    import numpy as np
+    import pyarrow.parquet as pq
+    from saber_ray.stages.similarity import ann_topk_lsh
+    t = pq.read_table(os.path.join(sf, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    q = np.asarray([t["embedding"][0].as_py()], dtype=np.float64)
+    emb = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    return ann_topk_lsh(emb, q, k=10, dim=q.shape[1], nbits=4, probe_hamming=2)
+
+
 def _q_cm1(sf):
     return suite.cm1(transcripts_from_events(sf))
 
@@ -208,6 +287,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sg2": _q_sg2,
         "sg3": _q_sg3,
         "ysb": _q_ysb,
+        "topk": _q_topk,
+        "distinct_count": _q_distinct,
+        "dedup_exact": _q_dedup_exact,
+        "token_stats": _q_token_stats,
+        "doc_fingerprint": _q_fingerprint,
+        "ann_topk": _q_ann_topk,
+        # rows-only checks (non-SQL-expressible; deterministic, pytest-verified)
+        "dedup_minhash_lsh": _q_minhash_clusters,
+        "simhash_fingerprint": _q_simhash,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "ann_topk_lsh": _q_ann_lsh,
     }
 
 
@@ -302,4 +393,29 @@ def oracle_sql() -> dict[str, str]:
             f"FROM transcripts JOIN {suite.TOOL_DIM_SQL} "
             "ON transcripts.tool = dim.tool "
             "WHERE role = 'assistant' GROUP BY 1, 2"),
+        "topk": ("SELECT event_id, value FROM events "
+                 "ORDER BY value DESC, event_id LIMIT 10"),
+        "distinct_count": ("SELECT event_type, COUNT(*) AS n FROM events "
+                           "GROUP BY 1"),
+        "dedup_exact": (
+            "SELECT d.doc_id, d.text, d.lang FROM documents d "
+            "JOIN (SELECT text, MIN(doc_id) AS doc_id FROM documents "
+            "GROUP BY text) k ON d.doc_id = k.doc_id"),
+        "token_stats": (
+            "SELECT doc_id, LENGTH(text) AS n_chars, "
+            "len(string_split(text, ' ')) AS n_ws_tokens, "
+            r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) "
+            "AS n_bpe_tokens FROM documents"),
+        "doc_fingerprint": (
+            "SELECT doc_id, md5(text) AS fingerprint FROM documents"),
+        "ann_topk": ("""
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT 0 AS query_id, vec_id,
+                   ROUND(list_cosine_similarity(embedding, qe), 6) AS score, rank
+            FROM (SELECT vec_id, embedding, qe,
+                         ROW_NUMBER() OVER (
+                           ORDER BY list_cosine_similarity(embedding, qe) DESC,
+                                    vec_id) AS rank
+                  FROM embeddings, q) t
+            WHERE rank <= 10"""),
     }

@@ -24,8 +24,8 @@ import ray
 
 
 def _stack(col) -> np.ndarray:
-    return np.stack(col.to_numpy(zero_copy_only=False)
-                    if hasattr(col, "to_numpy") else col).astype(np.float64)
+    """pandas Series of per-row float arrays → (n, d) float64 matrix."""
+    return np.stack(col.to_numpy()).astype(np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -94,16 +94,18 @@ class _LshScorer:
     """Score only vectors whose hyperplane bucket is within Hamming ≤ 1 of a
     query's bucket."""
 
-    def __init__(self, q_ref, planes_ref, k, id_col, emb_col):
+    def __init__(self, q_ref, planes_ref, k, id_col, emb_col, probe_hamming=1):
         self.q = _normalize(np.asarray(ray.get(q_ref), dtype=np.float64))
         self.planes = ray.get(planes_ref)          # (nbits, d)
         self.k, self.id_col, self.emb_col = k, id_col, emb_col
         qb = (self.q @ self.planes.T) > 0
         self.qbuckets = (qb @ (1 << np.arange(qb.shape[1]))).astype(np.int64)
         nbits = self.planes.shape[0]
-        # probe set per query: own bucket + flip each bit
-        self.probes = [np.unique(np.concatenate(
-            ([b], [b ^ (1 << i) for i in range(nbits)]))) for b in self.qbuckets]
+        # probe set per query: all buckets within Hamming ≤ probe_hamming
+        all_b = np.arange(1 << nbits)
+        pop = np.array([bin(x).count("1") for x in range(1 << nbits)])
+        self.probes = [all_b[pop[all_b ^ b] <= probe_hamming]
+                       for b in self.qbuckets]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -136,10 +138,13 @@ class _LshScorer:
 
 
 def ann_topk_lsh(emb_ds, queries: np.ndarray, k: int = 10, *, dim: int,
-                 nbits: int = 6, seed: int = 42, id_col: str = "vec_id",
-                 emb_col: str = "embedding", round_decimals: Optional[int] = 6,
-                 concurrency=(1, 4)):
-    """Approximate cosine top-k via random-hyperplane LSH (probe Hamming ≤ 1)."""
+                 nbits: int = 6, probe_hamming: int = 1, seed: int = 42,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 round_decimals: Optional[int] = 6, concurrency=(1, 4)):
+    """Approximate cosine top-k via random-hyperplane LSH.
+
+    ``probe_hamming`` trades recall for work: fraction of corpus scored ≈
+    C(nbits, ≤probe_hamming)/2^nbits."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((nbits, dim))
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
@@ -148,6 +153,7 @@ def ann_topk_lsh(emb_ds, queries: np.ndarray, k: int = 10, *, dim: int,
         _LshScorer, batch_format="pandas",
         concurrency=concurrency, num_cpus=0.5,
         fn_constructor_kwargs=dict(q_ref=q_ref, planes_ref=p_ref, k=k,
-                                   id_col=id_col, emb_col=emb_col))
+                                   id_col=id_col, emb_col=emb_col,
+                                   probe_hamming=probe_hamming))
     return partials.groupby("query_id").map_groups(
         _topk_merge(k, id_col, round_decimals), batch_format="pandas")

@@ -1,0 +1,95 @@
+"""Dedup + text analysis stage tests (documents table)."""
+
+import numpy as np
+import pandas as pd
+
+from saber_ray.sources.parquet import read_table
+from saber_ray.stages.dedup import (exact_dedup, minhash_lsh_clusters,
+                                    ngram_jaccard, simhash, simhash_near_pairs)
+from saber_ray.stages.text import (lang_id, md5_fingerprint, quality_score,
+                                   token_stats)
+from tests.oracle_util import assert_matches_oracle, canon, to_pandas
+
+
+def test_exact_dedup(ray_session, sf_dir):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = exact_dedup(docs, on="text", id_col="doc_id")
+    assert_matches_oracle(
+        out,
+        "SELECT d.doc_id, d.text, d.lang FROM documents d "
+        "JOIN (SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text) k "
+        "ON d.doc_id = k.doc_id",
+        sf_dir)
+
+
+def test_token_stats(ray_session, sf_dir):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = token_stats(docs).select_columns(
+        ["doc_id", "n_chars", "n_ws_tokens", "n_bpe_tokens"])
+    assert_matches_oracle(
+        out,
+        "SELECT doc_id, LENGTH(text) AS n_chars, "
+        "len(string_split(text, ' ')) AS n_ws_tokens, "
+        r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens "
+        "FROM documents",
+        sf_dir)
+
+
+def test_md5_fingerprint(ray_session, sf_dir):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = md5_fingerprint(docs).select_columns(["doc_id", "fingerprint"])
+    assert_matches_oracle(
+        out, "SELECT doc_id, md5(text) AS fingerprint FROM documents", sf_dir)
+
+
+def test_quality_score_deterministic(ray_session, sf_dir):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    a = canon(to_pandas(quality_score(docs)))
+    b = canon(to_pandas(quality_score(docs)))
+    pd.testing.assert_frame_equal(a, b)
+    assert a["quality"].between(0, 1).all()
+
+
+def test_lang_id_runs(ray_session, sf_dir):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = to_pandas(lang_id(docs))
+    assert set(out["lang_pred"]) <= {"en", "es", "fr", "de", "und"}
+    assert len(out) == to_pandas(docs).shape[0]
+
+
+def test_minhash_clusters_finds_exact_dups(ray_session, sf_dir):
+    # exact duplicates must land in the same cluster; clustering deterministic
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cl = minhash_lsh_clusters(docs, threshold=0.9)
+    cl2 = minhash_lsh_clusters(docs, threshold=0.9)
+    pd.testing.assert_frame_equal(canon(cl), canon(cl2))
+    df = to_pandas(docs)
+    merged = df.merge(cl, on="doc_id")
+    for _, g in merged.groupby("text"):
+        if len(g) > 1:
+            assert g["cluster_id"].nunique() == 1, "exact dups split across clusters"
+
+
+def test_simhash_deterministic_and_near_pairs(ray_session, sf_dir):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    f1 = canon(to_pandas(simhash(docs)))
+    f2 = canon(to_pandas(simhash(docs)))
+    pd.testing.assert_frame_equal(f1, f2)
+    pairs = to_pandas(simhash_near_pairs(docs, max_hamming=3))
+    if len(pairs):
+        assert (pairs["hamming"] <= 3).all()
+        assert (pairs["a"] < pairs["b"]).all()
+    # exact duplicate texts → identical simhash → hamming 0 pairs present
+    df = to_pandas(docs)
+    dup_texts = df[df.duplicated("text", keep=False)]
+    if len(dup_texts):
+        ids = set(map(tuple, pairs[pairs["hamming"] == 0][["a", "b"]].to_numpy()))
+        g = dup_texts.groupby("text")["doc_id"].apply(list)
+        some = next(iter([v for v in g if len(v) > 1]))
+        a, b = sorted(some)[:2]
+        assert (a, b) in ids
+
+
+def test_ngram_jaccard_kernel():
+    j = ngram_jaccard(["a b c d", "a b c d"], ["a b c d", "x y z w"], n=2)
+    assert j[0] == 1.0 and j[1] == 0.0

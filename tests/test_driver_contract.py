@@ -20,6 +20,13 @@ def test_query_vs_oracle(name, ray_session, sf_dir):
     assert_matches_oracle(result, ORACLES[name], sf_dir)
 
 
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_query_runs(name, ray_session, sf_dir):
+    from tests.oracle_util import to_pandas
+    result = to_pandas(QUERIES[name](sf_dir))
+    assert len(result) > 0
+
+
 def test_entry_smoke(ray_session):
     out = entry_mod.entry()
     import ray.data as rd
