@@ -135,9 +135,9 @@ def _q_broadcast_join(sf):
 
 
 def _q_hash_join_agg(sf):
-    import numpy as np
     import pyarrow as pa
     from ray.data.aggregate import Count, Sum
+    from saber_ray.core.aggregates import _round_half_even
     li = read_table(sf, "lineitem", columns=["l_orderkey", "l_extendedprice"])
     orders = read_table(sf, "orders", columns=["o_orderkey", "o_orderpriority"])
     joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
@@ -146,8 +146,7 @@ def _q_hash_join_agg(sf):
         Sum("l_extendedprice", alias_name="rev_raw"), Count(alias_name="n"))
     return agg.map_batches(
         lambda t: pa.table({"o_orderpriority": t["o_orderpriority"],
-                            "revenue": np.round(
-                                t["rev_raw"].to_numpy(zero_copy_only=False), 4),
+                            "revenue": _round_half_even(t["rev_raw"], 4),
                             "n": t["n"]}),
         batch_format="pyarrow")
 

@@ -158,8 +158,23 @@ def finalize(table: pa.Table, aggs: Sequence[AggSpec],
             arr = table[_p(a.column, "min")]
         else:
             arr = table[_p(a.column, "max")]
-        if round_decimals is not None and pa.types.is_floating(
-                arr.type if not isinstance(arr, pa.ChunkedArray) else arr.type):
-            arr = pc.round(arr, ndigits=round_decimals)
+        if round_decimals is not None and pa.types.is_floating(arr.type):
+            arr = _round_half_even(arr, round_decimals)
         out[a.alias] = arr
     return out
+
+
+def _round_half_even(arr, ndigits: int) -> pa.Array:
+    """Correctly-rounded decimal rounding (ties-to-even), bit-identical to
+    DuckDB's ROUND and CPython's round().
+
+    ``pc.round`` uses scale-multiply rounding, which is off by an ulp for
+    values like 68.31400000000001 — enough to break value-hash parity with a
+    SQL oracle when summation order differs. Only applied to *final* (already
+    aggregated, hence small) outputs, so the per-element cost is irrelevant
+    at any scale.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pa.array([v if v is None else round(v, ndigits) for v in arr.to_pylist()],
+                    type=arr.type)

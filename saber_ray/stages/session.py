@@ -82,7 +82,8 @@ def session_windows(
         for a in aggs:
             s = _agg_series(gb, a)
             if round_decimals is not None and s.dtype.kind == "f":
-                s = s.round(round_decimals)
+                # correctly-rounded, matching the SQL oracle's ROUND
+                s = s.map(lambda v: round(v, round_decimals))
             out[a.alias] = s
         return out.reset_index(drop=True)
 

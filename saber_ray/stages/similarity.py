@@ -67,7 +67,8 @@ def _topk_merge(k: int, id_col: str, round_decimals: Optional[int]):
                           kind="mergesort").head(k).reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         if round_decimals is not None:
-            g["score"] = g["score"].round(round_decimals)
+            # correctly-rounded (ties-to-even), matching the SQL oracle's ROUND
+            g["score"] = g["score"].map(lambda v: round(v, round_decimals))
         return g
     return merge
 
