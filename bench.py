@@ -62,16 +62,17 @@ def run_suite() -> dict:
     # warm the page cache (untimed): one pass over the narrow ts column
     read_transcripts(data_dir, columns=["ts"]).count()
 
-    def src():
-        return read_transcripts(data_dir)
+    def src(*cols):
+        # column-pruned read: only the columns a query touches leave storage
+        return read_transcripts(data_dir, columns=list(cols))
 
     pipelines = {
-        "cm1": lambda: suite.cm1(src()),
-        "cm2": lambda: suite.cm2(src()),
-        "sg1": lambda: suite.sg1(src()),
-        "sg2": lambda: suite.sg2(src()),
-        "sg3": lambda: suite.sg3(src()),
-        "ysb": lambda: suite.ysb(src()),
+        "cm1": lambda: suite.cm1(src("role", "ts", "text")),
+        "cm2": lambda: suite.cm2(src("tool", "ts", "text")),
+        "sg1": lambda: suite.sg1(src("ts", "text")),
+        "sg2": lambda: suite.sg2(src("conv_id", "ts", "text")),
+        "sg3": lambda: suite.sg3(src("conv_id", "ts", "text")),
+        "ysb": lambda: suite.ysb(src("role", "tool", "ts")),
     }
     per_query, total = {}, 0.0
     for name, build in pipelines.items():

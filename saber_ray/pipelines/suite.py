@@ -60,15 +60,19 @@ TOOL_DIM_SQL = ("(VALUES ('debugger','ops'), ('checkout','sales'), "
                 "('editor','eng')) AS dim(tool, campaign)")
 
 
-def _with_text_len(ts_ds):
+def _with_text_len(ts_ds, keep):
+    """Derive text_len and DROP the wide text column immediately — only
+    (keep..., ts, text_len) flow further (SURVEY.md §7.4: text never enters
+    a shuffle). Callers select the needed input columns first so the parquet
+    read prunes at the source."""
     return projection(ts_ds, [col("text").str_len().cast(pa.int64()).alias("text_len"),
                               col("ts").alias("ts")],
-                      keep=["conv_id", "turn_idx", "role", "tool"])
+                      keep=list(keep))
 
 
 def cm1(ts_ds, w: Window = DEFAULT.cm1, **kw):
     """Sliding grouped SUM(length(text)) per role."""
-    ds = _with_text_len(ts_ds).select_columns(["role", "ts", "text_len"])
+    ds = _with_text_len(ts_ds.select_columns(["role", "ts", "text"]), keep=["role"])
     kw.setdefault("merge", "tree")      # 4 roles × windows — bounded output
     return windowed_aggregate(ds, window=w, keys=["role"],
                               aggs=[sum_("text_len", "sum_len"), cnt(alias="n_turns")],
@@ -77,7 +81,7 @@ def cm1(ts_ds, w: Window = DEFAULT.cm1, **kw):
 
 def cm2(ts_ds, w: Window = DEFAULT.cm2, **kw):
     """Tumbling grouped AVG(length(text)) per tool, tool IS NOT NULL."""
-    ds = _with_text_len(ts_ds).select_columns(["tool", "ts", "text_len"])
+    ds = _with_text_len(ts_ds.select_columns(["tool", "ts", "text"]), keep=["tool"])
     ds = selection(ds, col("tool").is_not_null())
     kw.setdefault("merge", "tree")      # ~16 tools × windows — bounded output
     return windowed_aggregate(ds, window=w, keys=["tool"],
@@ -87,7 +91,7 @@ def cm2(ts_ds, w: Window = DEFAULT.cm2, **kw):
 
 def sg1(ts_ds, w: Window = DEFAULT.sg, **kw):
     """Sliding GLOBAL AVG(length(text))."""
-    ds = _with_text_len(ts_ds).select_columns(["ts", "text_len"])
+    ds = _with_text_len(ts_ds.select_columns(["ts", "text"]), keep=[])
     kw.setdefault("merge", "tree")      # global: one row per window
     return windowed_aggregate(ds, window=w,
                               aggs=[avg("text_len", "avg_len"), cnt(alias="n_turns")],
@@ -98,7 +102,8 @@ def sg2(ts_ds, w: Window = DEFAULT.sg, **kw):
     """Sliding per-conv_id AVG(length(text)) — the hot-key case. The pane
     combiner bounds each key to one partial per (batch, window), which is the
     skew mitigation (window_agg.py scale notes)."""
-    ds = _with_text_len(ts_ds).select_columns(["conv_id", "ts", "text_len"])
+    ds = _with_text_len(ts_ds.select_columns(["conv_id", "ts", "text"]),
+                        keep=["conv_id"])
     return windowed_aggregate(ds, window=w, keys=["conv_id"],
                               aggs=[avg("text_len", "avg_len")],
                               round_decimals=6, **kw)
@@ -115,7 +120,8 @@ def sg3(ts_ds, w: Window = DEFAULT.sg, **kw):
     once, not twice. The materialized per-conv aggregate is |convs|×|windows|
     rows — orders of magnitude below the input, safe to hold. The global side
     (≤ #windows rows) broadcast-joins back with ray.put, no second shuffle."""
-    ds = _with_text_len(ts_ds).select_columns(["conv_id", "ts", "text_len"])
+    ds = _with_text_len(ts_ds.select_columns(["conv_id", "ts", "text"]),
+                        keep=["conv_id"])
     per_conv = windowed_aggregate(
         ds, window=w, keys=["conv_id"],
         aggs=[avg("text_len", "avg_len"), sum_("text_len", "__s"),

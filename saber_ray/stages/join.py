@@ -68,21 +68,39 @@ class _BroadcastJoiner:
 def broadcast_join(ds, small, on: Sequence[str] | str, *,
                    right_on: Optional[Sequence[str] | str] = None,
                    how: str = "inner", batch_size: Optional[int] = None,
+                   mode: str = "task",
                    concurrency: int | tuple[int, int] = (1, 8),
                    num_cpus: float = 0.5):
     """Join ``ds`` against a small in-memory table broadcast via ray.put.
 
     ``small``: pyarrow.Table or pandas.DataFrame (deduplicate keys yourself if
-    you need 1:1). The table ships to the object store ONCE; each actor
-    dereferences it once in ``__init__`` — never re-shipped per batch.
+    you need 1:1). The table ships to the object store ONCE (``ray.put``) and
+    is never re-shipped per batch.
+
+    ``mode="task"`` (default): stateless map_batches tasks dereference the
+    ref per call — a zero-copy local object-store read, so the stage scales
+    with the whole cluster and has no actor spin-up latency. ``mode="actor"``:
+    an actor pool caching the dereferenced table in ``__init__`` — use when
+    the join also needs per-actor derived state (e.g. a built index) whose
+    construction cost should be paid once.
     """
     on = [on] if isinstance(on, str) else list(on)
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on))
     if isinstance(small, pd.DataFrame):
         small = pa.Table.from_pandas(small, preserve_index=False)
-    ref = ray.put(small)
-    # fractional num_cpus + small default pool: an actor pool that reserves
+    ref = ray.put(small.combine_chunks())
+    if mode == "task":
+        def join_batch(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 and how == "inner":
+                return batch
+            return batch.join(ray.get(ref), keys=on, right_keys=right_on,
+                              join_type=how)
+        kwargs = {"batch_format": "pyarrow", "zero_copy_batch": True}
+        if batch_size is not None:
+            kwargs["batch_size"] = batch_size
+        return ds.map_batches(join_batch, **kwargs)
+    # fractional num_cpus + bounded pool: an actor pool that reserves
     # every CPU starves the upstream read stage and the pipeline deadlocks
     # (the guide's "pool fits the node alongside other stages" rule).
     kwargs = {"batch_format": "pyarrow", "zero_copy_batch": True,
