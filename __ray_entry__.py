@@ -243,6 +243,34 @@ def _q_ann_lsh(sf):
     return ann_topk_lsh(emb, q, k=10, dim=q.shape[1], nbits=4, probe_hamming=2)
 
 
+def _q_noop(sf):
+    from saber_ray import noop
+    ds = read_table(sf, "region")
+    return noop(ds)
+
+
+def _q_w1_chained(sf):
+    """W1-style chained queries (scheduling/W1.java:34-252): projection with a
+    deep float expression tree feeding a grouped windowed COUNT+SUM — two
+    queries chained as one lazy Dataset (the reference re-enqueues bytes into
+    the downstream query's buffer, ResultCollector.java:104-135; here the
+    streaming executor pipelines the stages)."""
+    ds = read_table(sf, "events", columns=["ts", "user_id", "value"])
+    e = col("value").cast("float64")
+    for _ in range(8):                       # depth-8 multiply-add chain
+        e = e * lit(0.98) + lit(1.5)
+    q1 = projection(ds, [e.alias("v")], keep=["ts", "user_id"])
+    return windowed_aggregate(
+        q1, window=Window.tumbling(DAY), keys=["user_id"],
+        aggs=[cnt(alias="n"), sum_("v", "sum_v")], round_decimals=4)
+
+
+def _q_embedding_near_dup(sf):
+    from saber_ray.stages.similarity import embedding_near_dup_pairs
+    emb = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dup_pairs(emb, threshold=0.35)
+
+
 def _q_cm1(sf):
     return suite.cm1(transcripts_from_events(sf))
 
@@ -286,6 +314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sg2": _q_sg2,
         "sg3": _q_sg3,
         "ysb": _q_ysb,
+        "noop": _q_noop,
+        "w1_chained": _q_w1_chained,
+        "embedding_near_dup": _q_embedding_near_dup,
         "topk": _q_topk,
         "distinct_count": _q_distinct,
         "dedup_exact": _q_dedup_exact,
@@ -392,6 +423,23 @@ def oracle_sql() -> dict[str, str]:
             f"FROM transcripts JOIN {suite.TOOL_DIM_SQL} "
             "ON transcripts.tool = dim.tool "
             "WHERE role = 'assistant' GROUP BY 1, 2"),
+        "noop": "SELECT * FROM region",
+        "w1_chained": (
+            "WITH q1 AS (SELECT ts, user_id, "
+            + "".join("(" * 8) + "CAST(value AS DOUBLE)"
+            + " * 0.98 + 1.5)" * 8 + " AS v FROM events) "
+            f"SELECT user_id, epoch_us(ts) // {DAY} AS window_id, "
+            "COUNT(*) AS n, ROUND(SUM(v), 4) AS sum_v FROM q1 GROUP BY 1, 2"),
+        "embedding_near_dup": ("""
+            -- DOUBLE[] cast: duckdb's list_cosine_similarity is float32 on
+            -- FLOAT[] columns; the engine computes in float64 (numpy)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6)
+                       AS score
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.35"""),
         "topk": ("SELECT event_id, value FROM events "
                  "ORDER BY value DESC, event_id LIMIT 10"),
         "distinct_count": ("SELECT event_type, COUNT(*) AS n FROM events "

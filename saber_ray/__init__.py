@@ -21,6 +21,7 @@ from saber_ray.core.windows import Window
 from saber_ray.core.aggregates import AggSpec, cnt, sum_, avg, min_, max_
 from saber_ray.stages.select import selection
 from saber_ray.stages.project import projection
+from saber_ray.stages.noop import noop
 from saber_ray.stages.window_agg import windowed_aggregate
 from saber_ray.stages.session import session_windows
 from saber_ray.stages.join import windowed_join, hash_join, broadcast_join
@@ -28,7 +29,7 @@ from saber_ray.stages.join import windowed_join, hash_join, broadcast_join
 __all__ = [
     "col", "lit", "Expr", "Window", "AggSpec",
     "cnt", "sum_", "avg", "min_", "max_",
-    "selection", "projection", "windowed_aggregate", "session_windows",
+    "selection", "projection", "noop", "windowed_aggregate", "session_windows",
     "windowed_join", "hash_join", "broadcast_join",
 ]
 

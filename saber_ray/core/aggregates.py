@@ -168,13 +168,34 @@ def _round_half_even(arr, ndigits: int) -> pa.Array:
     """Correctly-rounded decimal rounding (ties-to-even), bit-identical to
     DuckDB's ROUND and CPython's round().
 
-    ``pc.round`` uses scale-multiply rounding, which is off by an ulp for
-    values like 68.31400000000001 — enough to break value-hash parity with a
-    SQL oracle when summation order differs. Only applied to *final* (already
-    aggregated, hence small) outputs, so the per-element cost is irrelevant
-    at any scale.
+    ``pc.round``/``np.round`` use scale-multiply rounding, which is off by an
+    ulp for values like 68.31400000000001 — enough to break value-hash parity
+    with a SQL oracle when summation order differs.
+
+    Vectorized: ``rint(x*s)/s`` agrees with CPython's round except when the
+    scaled value sits within a few ulps of a .5 tie (ambiguous which side the
+    exact product falls on) — only those rare elements take the per-element
+    CPython fallback, so grouped outputs of any size round at numpy speed.
     """
+    import numpy as np
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    return pa.array([v if v is None else round(v, ndigits) for v in arr.to_pylist()],
-                    type=arr.type)
+    typ = arr.type
+    x = arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=True)
+    s = 10.0 ** ndigits
+    with np.errstate(invalid="ignore", over="ignore"):
+        p = x * s
+        r = np.rint(p) / s
+        finite = np.isfinite(p)
+        d = np.abs(p - np.floor(p) - 0.5)
+        ulp = np.abs(p) * 2.0 ** -52
+        amb = finite & (d <= 4.0 * ulp + 1e-12)
+    if amb.any():
+        idx = np.nonzero(amb)[0]
+        r[idx] = [round(float(v), ndigits) for v in x[idx]]
+    keep_nan = ~np.isfinite(x)
+    r[keep_nan] = x[keep_nan]
+    out = pa.array(r, type=pa.float64())
+    if arr.null_count:
+        out = pc.if_else(pc.is_valid(arr), out, pa.scalar(None, pa.float64()))
+    return pc.cast(out, typ) if typ != pa.float64() else out

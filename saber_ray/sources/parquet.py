@@ -21,6 +21,39 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 
+def _seed_fsspec_http_stub() -> None:
+    """Make concurrent read_parquet calls thread-safe in this environment.
+
+    Every ``read_parquet`` runs Ray's ``_is_http_filesystem``, which attempts
+    ``from fsspec.implementations.http import HTTPFileSystem``. Here that
+    import always fails (no aiohttp), and Ray only catches
+    ``ModuleNotFoundError`` — but when two threads race the import, Python
+    raises a plain ImportError from the partially-initialized module, which
+    escapes and kills one reader. Seeding a stub module with a never-matching
+    HTTPFileSystem class makes the import succeed deterministically (the
+    isinstance check it feeds is then simply False, identical to the
+    ModuleNotFoundError path).
+    """
+    import sys
+    import types
+    name = "fsspec.implementations.http"
+    try:
+        __import__(name)
+        return                        # real module imports fine — nothing to do
+    except ImportError:
+        pass
+    if name in sys.modules:
+        return
+    stub = types.ModuleType(name)
+    class HTTPFileSystem:             # pragma: no cover - never instantiated
+        pass
+    stub.HTTPFileSystem = HTTPFileSystem
+    sys.modules[name] = stub
+
+
+_seed_fsspec_http_stub()
+
+
 def read_table(sf_dir: str, name: str, *, columns: Optional[Sequence[str]] = None,
                **kwargs):
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),

@@ -31,6 +31,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
+import saber_ray.sources.parquet  # noqa: F401  (thread-safe read seeding)
+
 SCHEMA = pa.schema([
     ("conv_id", pa.string()),
     ("turn_idx", pa.int32()),
@@ -109,16 +111,19 @@ def _gen_chunk(chunk_id: int, n_convs: int, mean_turns: int, seed: int) -> pa.Ta
     # tool calls on ~25% of assistant turns
     tool = np.where((role == "assistant") & (rng.random(total) < 0.25),
                     _TOOLS[rng.integers(0, len(_TOOLS), total)], None)
-    # text: 3-40 words
+    # text: 3-40 words — vectorized via Arrow list + binary_join (no row loop)
+    import pyarrow.compute as pc
     nw = rng.integers(3, 41, size=total)
     words = _WORDS[rng.integers(0, len(_WORDS), size=int(nw.sum()))]
-    wl = words.tolist()
-    text = np.empty(total, dtype=object)
-    pos = 0
-    for i in range(total):
-        k = nw[i]
-        text[i] = " ".join(wl[pos:pos + k])
-        pos += k
+    offsets = np.concatenate(([0], np.cumsum(nw))).astype(np.int32)
+    word_arr = pa.array(words, type=pa.string())
+    if isinstance(word_arr, pa.ChunkedArray):
+        word_arr = word_arr.combine_chunks()
+    word_lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                          word_arr)
+    text = pc.binary_join(word_lists, " ")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
     # ts: conv start uniform over 30 days, gaps lognormal seconds w/ occasional
     # session-sized gaps (> 30 min) for sessionization workloads
     base = np.int64(1_700_000_000_000_000)  # fixed epoch anchor, us
@@ -136,7 +141,7 @@ def _gen_chunk(chunk_id: int, n_convs: int, mean_turns: int, seed: int) -> pa.Ta
         "conv_id": pa.array(conv_id_str[conv_ord], type=pa.string()),
         "turn_idx": pa.array(turn_idx, type=pa.int32()),
         "role": pa.array(role, type=pa.string()),
-        "text": pa.array(text, type=pa.string()),
+        "text": text,
         "tool": pa.array(tool, type=pa.string()),
         "ts": pa.array(ts, type=pa.timestamp("us")),
     })
@@ -154,10 +159,19 @@ def generate_transcripts(out_dir: str, *, n_turns: int = 1_000_000,
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     convs_per_file = max(1, n_turns // (mean_turns * n_files))
-    for i in range(n_files):
+
+    def _write_one(i: int) -> None:
         t = _gen_chunk(i, convs_per_file, mean_turns, seed)
         pq.write_table(t, os.path.join(out_dir, f"part-{i:05d}.parquet"),
                        row_group_size=64 * 1024)
+
+    import ray
+    if ray.is_initialized():
+        gen = ray.remote(_write_one)
+        ray.get([gen.remote(i) for i in range(n_files)])
+    else:
+        for i in range(n_files):
+            _write_one(i)
     with open(manifest, "w") as f:
         f.write(tag)
     return out_dir

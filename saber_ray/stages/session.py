@@ -9,11 +9,15 @@ are defined here and property-tested:
   0-based session ordinal within the key. One output row per (key, session)
   with the requested aggregates plus session bounds.
 
-Ray-native: ``groupby(keys).map_groups`` — the hash shuffle co-locates each
-key, the per-group function is vectorized pandas (diff → cumsum → groupby).
-State never outlives a group; a streaming deployment would hold open sessions
-in the checkpointed pane store (state/checkpoint.py) keyed by conv_id and
-close them when the watermark passes ``last_ts + gap``.
+Ray-native: ONE range shuffle ``sort(keys)`` co-locates and orders each key
+(Ray's sort partitions by value boundaries, so equal keys never split across
+reduce outputs — same invariant stages/window_agg.py's sortmerge relies on),
+then a per-block vectorized pandas pass sessionizes EVERY key in the block at
+once (lexsort → diff → cumsum → groupby agg) — no per-group Python call, no
+per-group function dispatch. State never outlives a block; a streaming
+deployment would hold open sessions in the checkpointed pane store
+(state/checkpoint.py) keyed by conv_id and close them when the watermark
+passes ``last_ts + gap``.
 
 Scale note: one group = one conversation — bounded and small for transcripts.
 The shuffle key is conv_id; skew means a single huge conversation, which is
@@ -66,17 +70,30 @@ def session_windows(
     order_by = list(order_by)
     aggs = list(aggs)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    def per_block(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
             return g
-        g = g.sort_values([ts_col] + order_by, kind="mergesort")
+        # block holds complete key groups (sorted by keys); order within each
+        # key by (ts, order_by) and sessionize all keys in one vector pass.
+        g = g.sort_values(keys + [ts_col] + order_by,
+                          kind="mergesort").reset_index(drop=True)
         t = _ts_to_us(g[ts_col])
-        brk = np.zeros(len(t), dtype=np.int64)
-        brk[1:] = (np.diff(t) > sw.gap).astype(np.int64)
-        g = g.assign(__sess=np.cumsum(brk), __t=t)
+        same_key = np.ones(len(g), dtype=bool)
+        for k in keys:
+            kv = g[k].to_numpy()
+            same_key[1:] &= kv[1:] == kv[:-1]
+        same_key[0] = False
+        brk = np.ones(len(t), dtype=np.int64)      # new session at key change
+        brk[1:] = np.where(same_key[1:] & (np.diff(t) <= sw.gap), 0, 1)
+        sess = np.cumsum(brk) - 1                  # global session ordinal
+        # session_id = ordinal within the key (0-based)
+        first_of_key = ~same_key
+        key_start_sess = np.where(first_of_key, sess, 0)
+        np.maximum.accumulate(key_start_sess, out=key_start_sess)
+        g = g.assign(__sess=sess, __sid=sess - key_start_sess, __t=t)
         gb = g.groupby("__sess", sort=True)
         out = pd.DataFrame({k: gb[k].first() for k in keys})
-        out["session_id"] = out.index.to_numpy(dtype=np.int64)
+        out["session_id"] = gb["__sid"].first().to_numpy(dtype=np.int64)
         out["session_start_us"] = gb["__t"].min()
         out["session_end_us"] = gb["__t"].max()
         for a in aggs:
@@ -87,4 +104,4 @@ def session_windows(
             out[a.alias] = s
         return out.reset_index(drop=True)
 
-    return ds.groupby(keys).map_groups(per_key, batch_format="pandas")
+    return ds.sort(keys).map_batches(per_block, batch_format="pandas")

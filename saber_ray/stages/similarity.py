@@ -138,6 +138,69 @@ class _LshScorer:
                              "score": np.concatenate(out_s)})
 
 
+class _NearDupScorer:
+    """Per-batch rows × broadcast full matrix cosine; emits pairs ≥ threshold.
+
+    Exact (oracle-checkable) embedding near-dup: the corpus matrix ships to
+    the object store ONCE; each batch computes a vectorized matmul against it
+    and keeps only (a < b, score ≥ threshold) pairs. O(n²/B) per batch — the
+    exact baseline; ``ann_topk_lsh``'s bucketing is the same trade applied to
+    this stage at scale (score only same/adjacent LSH buckets).
+    """
+
+    def __init__(self, mat_ref, ids_ref, threshold, id_col, emb_col,
+                 round_decimals):
+        self.mat = _normalize(ray.get(mat_ref))        # (n, d), corpus order
+        self.ids = ray.get(ids_ref)                    # (n,)
+        self.threshold = threshold
+        self.id_col, self.emb_col = id_col, emb_col
+        self.round_decimals = round_decimals
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if len(df) == 0:
+            return empty
+        x = _normalize(_stack(df[self.emb_col]))
+        xi = df[self.id_col].to_numpy()
+        scores = x @ self.mat.T                        # (batch, n)
+        bi, cj = np.nonzero(scores >= self.threshold)
+        if len(bi) == 0:
+            return empty
+        a, b = xi[bi], self.ids[cj]
+        keep = a < b                                   # each pair once, a < b
+        if not keep.any():
+            return empty
+        s = scores[bi[keep], cj[keep]]
+        if self.round_decimals is not None:
+            s = np.array([round(v, self.round_decimals) for v in s])
+        return pd.DataFrame({"a": a[keep], "b": b[keep], "score": s})
+
+
+def embedding_near_dup_pairs(emb_ds, *, threshold: float = 0.95,
+                             id_col: str = "vec_id", emb_col: str = "embedding",
+                             round_decimals: Optional[int] = 6,
+                             concurrency=(1, 8)):
+    """Exact cosine near-duplicate pairs (a < b, score ≥ threshold).
+
+    The corpus is broadcast once via ray.put (exact path — for corpora whose
+    (n, d) matrix fits a worker's heap); the LSH-bucketed variant is the
+    documented scale path."""
+    import pyarrow.compute as pc
+    flat = emb_ds.select_columns([id_col, emb_col]).to_pandas()
+    mat = _stack(flat[emb_col])
+    mat_ref = ray.put(mat)
+    ids_ref = ray.put(flat[id_col].to_numpy())
+    return emb_ds.map_batches(
+        _NearDupScorer, batch_format="pandas",
+        concurrency=concurrency, num_cpus=0.5,
+        fn_constructor_kwargs=dict(mat_ref=mat_ref, ids_ref=ids_ref,
+                                   threshold=threshold, id_col=id_col,
+                                   emb_col=emb_col,
+                                   round_decimals=round_decimals))
+
+
 def ann_topk_lsh(emb_ds, queries: np.ndarray, k: int = 10, *, dim: int,
                  nbits: int = 6, probe_hamming: int = 1, seed: int = 42,
                  id_col: str = "vec_id", emb_col: str = "embedding",

@@ -59,6 +59,7 @@ from saber_ray.core.windows import Window
 
 _PANE = "__pane"
 _WID = "window_id"
+_SALT = "__salt"
 
 
 class PanePartialAgg:
@@ -69,11 +70,12 @@ class PanePartialAgg:
     """
 
     def __init__(self, window: Window, aggs: Sequence[AggSpec],
-                 keys: Sequence[str], ts_col: str):
+                 keys: Sequence[str], ts_col: str, salt: int = 0):
         self.window = window
         self.aggs = list(aggs)
         self.keys = list(keys)
         self.ts_col = ts_col
+        self.salt = salt
         self.partial_spec, self.partial_rename = arrow_partial_aggs(aggs)
         self.merge_spec, self.merge_rename = arrow_merge_aggs(aggs)
 
@@ -100,14 +102,22 @@ class PanePartialAgg:
         if w.is_tumbling:
             # pane == window: just rename (panes_per_slide == panes_per_window == 1)
             idx = p1.column_names.index(_PANE)
-            return p1.set_column(idx, _WID, p1[_PANE])
-
-        panes = p1[_PANE].to_numpy(zero_copy_only=False)
-        row_sel, window_id = w.expand_panes(panes)
-        p2 = p1.drop_columns([_PANE]).take(row_sel)
-        p2 = p2.append_column(_WID, pa.array(window_id, type=pa.int64()))
-        p3 = p2.group_by(self.keys + [_WID], use_threads=False).aggregate(self.merge_spec)
-        return p3.rename_columns([self.merge_rename.get(n, n) for n in p3.column_names])
+            out = p1.set_column(idx, _WID, p1[_PANE])
+        else:
+            panes = p1[_PANE].to_numpy(zero_copy_only=False)
+            row_sel, window_id = w.expand_panes(panes)
+            p2 = p1.drop_columns([_PANE]).take(row_sel)
+            p2 = p2.append_column(_WID, pa.array(window_id, type=pa.int64()))
+            p3 = p2.group_by(self.keys + [_WID], use_threads=False).aggregate(self.merge_spec)
+            out = p3.rename_columns([self.merge_rename.get(n, n) for n in p3.column_names])
+        if self.salt:
+            # per-block salt: spreads a hot key's block-partials over `salt`
+            # first-round reducers (deterministic — derived from block content,
+            # stable across retries of the same block).
+            sv = int(pane_np[0] ^ pane_np[-1] ^ len(pane_np)) % self.salt
+            out = out.append_column(
+                _SALT, pa.array(np.full(out.num_rows, sv, dtype=np.int64)))
+        return out
 
 
 class PartialMerge:
@@ -115,8 +125,9 @@ class PartialMerge:
     associative algebra — PartialResultSlot.java:186-212). Used by the
     tree-reduce merge path."""
 
-    def __init__(self, aggs: Sequence[AggSpec], keys: Sequence[str]):
-        self.keys = list(keys)
+    def __init__(self, aggs: Sequence[AggSpec], keys: Sequence[str],
+                 extra_keys: Sequence[str] = ()):
+        self.keys = list(keys) + list(extra_keys)
         self.merge_spec, self.merge_rename = arrow_merge_aggs(aggs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -170,6 +181,7 @@ def windowed_aggregate(
     batch_size: Optional[int] = None,
     merge: str = "sortmerge",
     shuffle_partitions: Optional[int] = None,
+    salt: int = 8,
 ):
     """Windowed grouped aggregation over a Dataset (see module docstring).
 
@@ -197,22 +209,45 @@ def windowed_aggregate(
       removes shuffle overhead entirely. This is the Saber ResultAggregator
       analogue: a small ordered merge of partials, not a data-sized exchange
       (handlers/ResultAggregator.java:76-135).
+    - ``"salted"``: the explicit skew path for hot keys (north rule:
+      "skew-aware repartitioning of hot conv_id keys"). Each block's
+      partials get a deterministic ``__salt ∈ [0, salt)``; round 1 merges
+      per (salt, key, window) so a hot key's block-partials spread over up
+      to ``salt`` reducers; round 2 merges the ≤ salt remaining rows per
+      (key, window). Safe for any key because the §2.5 algebra is
+      associative/commutative (SURVEY.md §7.2 skew note).
     - ``"shuffle"``: Ray Data's native ``groupby(keys + window_id)``
       aggregate — kept as the conservative fallback (no reliance on sort
       partition semantics).
     """
     aggs = list(aggs)
     keys = list(keys)
-    partial = PanePartialAgg(window, aggs, keys, ts_col)
+    partial = PanePartialAgg(window, aggs, keys, ts_col,
+                             salt=salt if merge == "salted" else 0)
     kwargs = {"batch_format": "pyarrow", "zero_copy_batch": True}
     if batch_size is not None:
         kwargs["batch_size"] = batch_size
     partials = ds.map_batches(partial, **kwargs)
-    if merge == "tree":
+    if merge == "salted":
+        import ray
+        nparts = shuffle_partitions or max(
+            8, int(ray.cluster_resources().get("CPU", 8)))
+        # round 1: merge per (salt, key, window) — a hot key's partials land
+        # on up to `salt` different reducers, each merging its share.
+        r1 = partials.repartition(nparts).sort([_SALT] + keys + [_WID]) \
+            .map_batches(PartialMerge(aggs, keys, extra_keys=[_SALT]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+        # round 2: ≤ salt rows per (key, window) remain — a tiny final merge.
+        merged = r1.drop_columns([_SALT]) \
+            .repartition(max(8, nparts // 4)).sort(keys + [_WID]) \
+            .map_batches(PartialMerge(aggs, keys),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    elif merge == "tree":
+        # single fan-in: per-block combining already happened in the partial
+        # stage, so the root sees ≤ blocks × (keys × windows) tiny rows —
+        # one coalesce + one in-task merge, no all-to-all.
         remerge = PartialMerge(aggs, keys)
-        mid = partials.repartition(8).map_batches(
-            remerge, batch_format="pyarrow", zero_copy_batch=True)
-        merged = mid.repartition(1).map_batches(
+        merged = partials.repartition(1).map_batches(
             remerge, batch_format="pyarrow", zero_copy_batch=True)
     elif merge == "sortmerge":
         import ray

@@ -82,3 +82,30 @@ def test_kill_resume_exactly_once(ray_session, sf_dir, tmp_path):
         _partitions(), crash_dir, resume=True)
     assert set(manifest2["partitions"]) == set(manifest["partitions"])
     pd.testing.assert_frame_equal(_read_all(crash_dir), clean)
+
+
+def test_job_entry_resumable(tmp_path):
+    """jobs/run_suite.py runs via its CLI, commits per-query partitions, and a
+    re-run with an intact manifest is a no-op (same emitted rows, epoch+1)."""
+    import json
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = str(tmp_path / "job_out")
+    cmd = [sys.executable, os.path.join(repo, "jobs", "run_suite.py"),
+           "--sf-dir", "/root/testdata/sf0.001", "--out", out_dir,
+           "--queries", "cm2,ysb"]
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r1 = subprocess.run(cmd, env=env, cwd=repo, capture_output=True, text=True,
+                        timeout=420)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    s1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert s1["emitted_rows"] > 0
+    r2 = subprocess.run(cmd, env=env, cwd=repo, capture_output=True, text=True,
+                        timeout=420)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["emitted_rows"] == s1["emitted_rows"]
+    assert s2["epoch"] == s1["epoch"] + 1
+    assert s2["wall_sec"] < s1["wall_sec"]      # resume skipped all partitions

@@ -140,6 +140,48 @@ def test_batch_size_invariance(ray_session, sf_dir):
     pd.testing.assert_frame_equal(outs[0], outs[2], check_dtype=False)
 
 
+def test_merge_strategies_agree(ray_session, sf_dir):
+    """sortmerge / tree / salted / shuffle all implement the same algebra."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id", "value"])
+    w = Window.sliding(2 * DAY, 12 * HOUR)
+    aggs = [avg("value", "a"), sum_("value", "s"), cnt(alias="n"),
+            min_("value", "mn"), max_("value", "mx")]
+    outs = {}
+    for m in ("sortmerge", "tree", "salted", "shuffle"):
+        out = windowed_aggregate(ds, window=w, aggs=aggs, keys=["user_id"],
+                                 merge=m, round_decimals=6)
+        outs[m] = canon(to_pandas(out))
+    for m in ("tree", "salted", "shuffle"):
+        pd.testing.assert_frame_equal(outs["sortmerge"], outs[m], check_dtype=False)
+
+
+def test_salted_merge_hot_key(ray_session, tmp_path):
+    """One pathologically hot key: salted two-stage merge = plain merge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    n = 50_000
+    rng = np.random.default_rng(7)
+    key = np.where(rng.random(n) < 0.9, "hot", "k" + pd.Series(
+        rng.integers(0, 50, n).astype(str)))   # 90% of rows on one key
+    t = pa.table({
+        "ts": pa.array(rng.integers(0, 10 * DAY, n), type=pa.timestamp("us")),
+        "k": pa.array(key.astype(object), type=pa.string()),
+        "value": rng.random(n),
+    })
+    p = str(tmp_path / "hot.parquet")
+    pq.write_table(t, p)
+    w = Window.sliding(2 * DAY, DAY)
+    aggs = [sum_("value", "s"), cnt(alias="n")]
+    plain = canon(to_pandas(windowed_aggregate(
+        rd.read_parquet(p), window=w, aggs=aggs, keys=["k"],
+        merge="sortmerge", round_decimals=6)))
+    salted = canon(to_pandas(windowed_aggregate(
+        rd.read_parquet(p), window=w, aggs=aggs, keys=["k"],
+        merge="salted", salt=4, round_decimals=6)))
+    pd.testing.assert_frame_equal(plain, salted, check_dtype=False)
+
+
 def test_emit_start(ray_session, sf_dir):
     ds = read_table(sf_dir, "events", columns=["ts", "value"])
     out = to_pandas(windowed_aggregate(
