@@ -271,6 +271,41 @@ def _q_embedding_near_dup(sf):
     return embedding_near_dup_pairs(emb, threshold=0.35)
 
 
+def _q_streaming_cm1(sf):
+    """CM1 via the incremental streaming engine: time-ordered stream files →
+    micro-batch epochs → pane-store actors → watermark-driven emission →
+    end-of-stream flush. Output must equal the batch/SQL answer exactly —
+    the streaming-vs-batch equivalence the north rule demands."""
+    import shutil
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from saber_ray.streaming import StreamingWindowedAggregate
+
+    t = transcripts_from_events(sf).to_pandas()
+    t["text_len"] = t["text"].str.len().astype("int64")
+    t = t.sort_values("ts", kind="mergesort")[["role", "ts", "text_len"]]
+    import pyarrow as pa
+    tbl = pa.Table.from_pandas(t, preserve_index=False)
+
+    work = os.path.join("/tmp/saber_ray_gate", f"stream_cm1-{abs(hash(sf))}")
+    shutil.rmtree(work, ignore_errors=True)
+    src_dir = os.path.join(work, "in")
+    os.makedirs(src_dir)
+    files = []
+    n = tbl.num_rows
+    for i in range(8):
+        part = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+        p = os.path.join(src_dir, f"f{i:03d}.parquet")
+        pq.write_table(part, p)
+        files.append(p)
+    job = StreamingWindowedAggregate(
+        os.path.join(work, "out"), window=Window.sliding(2 * DAY, 12 * HOUR),
+        aggs=[sum_("text_len", "sum_len"), cnt(alias="n_turns")],
+        keys=["role"], num_partitions=3)
+    job.run(files, epoch_size=2)
+    return job.results()
+
+
 def _q_cm1(sf):
     return suite.cm1(transcripts_from_events(sf))
 
@@ -309,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_agg": _q_hash_join_agg,
         "windowed_theta_join": _q_windowed_join,
         "cm1": _q_cm1,
+        "streaming_cm1": _q_streaming_cm1,
         "cm2": _q_cm2,
         "sg1": _q_sg1,
         "sg2": _q_sg2,
@@ -389,6 +425,10 @@ def oracle_sql() -> dict[str, str]:
             "AND p.event_type = 'purchase' AND c.event_type = 'click' "
             f"AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {6 * HOUR} "
             f"AND epoch_us(p.ts) + {6 * HOUR}"),
+        "streaming_cm1": _tx(_sliding_sql(
+            4, 12 * HOUR,
+            "role, window_id, CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len, "
+            "COUNT(*) AS n_turns", "role, window_id", from_sql="transcripts")),
         "cm1": _tx(_sliding_sql(
             4, 12 * HOUR,
             "role, window_id, CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len, "

@@ -1,0 +1,393 @@
+"""Incremental streaming execution: micro-batch epochs over stateful
+pane-store actors with watermark-driven flushing and exactly-once resume.
+
+This is the engine's structured-streaming/CEP mode — the part of the north
+rule the batch path cannot express: an unbounded, in-motion stream processed
+epoch by epoch, windows emitted AS they close (not at end-of-input), state
+retained across epochs, and the whole job resumable from checkpoint.
+
+Parity map (what replaces what in the reference):
+
+- Saber's app thread pushing byte arrays into the circular buffer
+  (QueryApplication.java:51-61, dispatchers/TaskDispatcher.java:83-98)
+  → an ordered sequence of Parquet files consumed in micro-batch epochs
+  (``epoch_size`` files per epoch); the committed **offset** is the file
+  index — the analogue of the buffer's free pointer.
+- Saber's pooled per-worker WindowHashTable + the PartialResultSlot ring
+  merging opening/closing/pending/complete fragments across batches
+  (buffers/WindowHashTable.java, handlers/ResultAggregator.java:76-135)
+  → ``PaneStoreActor``: a fixed pool of hash-partitioned Ray actors, each
+  holding pane partials keyed by (group_key, pane_id) — merged with the same
+  associative algebra (PartialResultSlot.java:186-212). A pane never
+  straddles a window boundary, so fragment kinds are unnecessary.
+- Saber's strictly-ordered slot-ring commit frontier
+  (handlers/ResultAggregator.java:150-231) → the **watermark**: panes whose
+  windows have all closed (window_end <= watermark) are emitted and EVICTED —
+  the pane store is the circular buffer, the watermark advance is the free
+  pointer advance. Bounded state for unbounded streams.
+- No recovery in the reference (System.exit on error) → epoch checkpoint:
+  after each epoch the job atomically commits {offset, per-actor pane-store
+  snapshot, emitted rows so far, per-partition lineage/metrics}; resume
+  restores actor state and continues from the committed offset. Output rows
+  carry no duplicates across kill/resume (exactly-once, test-asserted).
+
+Late data: ``allowed_lateness`` holds the watermark back from the observed
+max event time. Rows older than the watermark at ingest (i.e. their newest
+window already closed) are counted in ``metrics["late_dropped"]`` — the
+explicit policy the reference lacks (it assumes strict order, SURVEY.md §1.2).
+
+Scale notes: partials are combined per micro-batch block BEFORE actor
+routing (same combiner as stages/window_agg.py), so each actor receives at
+most (its key share x panes-touched) rows per epoch, never raw turns. Actor
+count = shuffle width; key-hash routing is stable so state never moves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from saber_ray.core.aggregates import (AggSpec, ROWS, arrow_merge_aggs,
+                                       finalize)
+from saber_ray.core.windows import Window
+from saber_ray.stages.window_agg import PanePartialAgg, _WID
+
+_PANE = "__pane"
+
+
+def _key_hash(table: pa.Table, keys: Sequence[str], n: int) -> np.ndarray:
+    """Stable partition id per row from the group key columns."""
+    if not keys:
+        return np.zeros(table.num_rows, dtype=np.int64)
+    import pandas as pd
+    h = np.zeros(table.num_rows, dtype=np.uint64)
+    for k in keys:
+        col = table[k].to_pandas().to_numpy(dtype=object)
+        h ^= pd.util.hash_array(col).astype(np.uint64)
+    return (h % np.uint64(n)).astype(np.int64)
+
+
+@ray.remote
+class PaneStoreActor:
+    """One hash partition of streaming window state.
+
+    Holds merged pane partials for its key share as an Arrow table (compacted
+    per epoch with the associative algebra); flushes windows closed by the
+    watermark; evicts panes no window still needs; snapshots/restores itself
+    for the epoch checkpoint.
+    """
+
+    def __init__(self, window_dict: dict, aggs: list, keys: list):
+        self.window = Window(**window_dict)
+        self.aggs = [AggSpec(**a) for a in aggs]
+        self.keys = list(keys)
+        self.merge_spec, self.merge_rename = arrow_merge_aggs(self.aggs)
+        self.state: Optional[pa.Table] = None      # pane partials (key, pane)
+        self.emitted = 0
+
+    def _merge(self, t: pa.Table) -> pa.Table:
+        m = t.group_by(self.keys + [_PANE], use_threads=False).aggregate(self.merge_spec)
+        return m.rename_columns([self.merge_rename.get(c, c) for c in m.column_names])
+
+    def add(self, partials: pa.Table) -> None:
+        """Ingest an epoch's pane partials for this partition (pre-combined)."""
+        if partials.num_rows == 0:
+            return
+        if self.state is None:
+            self.state = self._merge(partials)
+        else:
+            self.state = self._merge(pa.concat_tables(
+                [self.state, partials.select(self.state.column_names)],
+                promote_options="default"))
+
+    def flush(self, prev_wm: Optional[int], new_wm: Optional[int]) -> pa.Table:
+        """Emit every window that closed in (prev_wm, new_wm] using ALL its
+        covering panes, then evict panes whose newest window has closed (the
+        circular-buffer free-pointer advance). ``new_wm=None`` = end of
+        stream: emit every window not yet emitted and drop all state.
+
+        A window closes exactly once (the watermark is monotone), so the
+        half-open interval makes emission exactly-once per window without
+        remembering emitted window ids.
+        """
+        empty = pa.table({})
+        if self.state is None or self.state.num_rows == 0:
+            return empty
+        w = self.window
+        panes = self.state[_PANE].to_numpy(zero_copy_only=False)
+
+        # emit: expand EVERY retained pane to its windows, keep windows that
+        # closed within the interval. Panes of still-open windows stay in
+        # state, so each emitted window sees all of its panes.
+        row_sel, window_id = w.expand_panes(panes)
+        w_end = w.window_end(window_id)
+        keep = np.ones(len(window_id), dtype=bool)
+        if new_wm is not None:
+            keep &= w_end <= new_wm
+        if prev_wm is not None:
+            keep &= w_end > prev_wm
+        out = empty
+        if keep.any():
+            t = self.state.drop_columns([_PANE]).take(row_sel[keep])
+            t = t.append_column(_WID, pa.array(window_id[keep], type=pa.int64()))
+            merged = t.group_by(self.keys + [_WID], use_threads=False) \
+                      .aggregate(self.merge_spec)
+            merged = merged.rename_columns(
+                [self.merge_rename.get(c, c) for c in merged.column_names])
+            cols = {k: merged[k] for k in self.keys}
+            cols[_WID] = merged[_WID]
+            cols.update(finalize(merged, self.aggs))
+            out = pa.table(cols)
+            self.emitted += out.num_rows
+
+        # evict: a pane's NEWEST covering window is pane // panes_per_slide;
+        # once that closes the pane can never contribute again.
+        if new_wm is None:
+            self.state = None
+        else:
+            newest = w.window_end(panes // w.panes_per_slide) <= new_wm
+            if newest.any():
+                self.state = self.state.filter(pa.array(~newest))
+        return out
+
+    def snapshot(self, path: str) -> int:
+        """Write this partition's pane store to parquet; returns state rows."""
+        t = self.state if self.state is not None else pa.table({})
+        if t.num_rows:
+            pq.write_table(t, path)
+        elif os.path.exists(path):
+            os.remove(path)
+        return t.num_rows
+
+    def restore(self, path: str) -> int:
+        if os.path.exists(path):
+            self.state = pq.read_table(path)
+            return self.state.num_rows
+        self.state = None
+        return 0
+
+
+class StreamingWindowedAggregate:
+    """Micro-batch streaming windowed aggregation over an ordered file list.
+
+    >>> job = StreamingWindowedAggregate(out_dir, window=w, aggs=[...],
+    ...                                  keys=["conv_id"], num_partitions=8)
+    >>> job.run(files, epoch_size=4)     # kill anytime; re-run resumes
+
+    Output: ``out_dir/emit-{epoch:05d}.parquet`` (one file per epoch with
+    emitted closed windows) + ``checkpoint.json`` + per-partition pane-store
+    snapshots. The union of emit files after a resumed run equals the batch
+    engine's output on the same input (tested: tests/test_streaming.py).
+    """
+
+    def __init__(self, out_dir: str, *, window: Window, aggs: Sequence[AggSpec],
+                 keys: Sequence[str] = (), ts_col: str = "ts",
+                 num_partitions: int = 4, allowed_lateness: int = 0,
+                 columns: Optional[Sequence[str]] = None):
+        self.out_dir = out_dir
+        self.window = window
+        self.aggs = list(aggs)
+        self.keys = list(keys)
+        self.ts_col = ts_col
+        self.n = num_partitions
+        self.lateness = allowed_lateness
+        self.columns = list(columns) if columns else None
+        os.makedirs(out_dir, exist_ok=True)
+        # partials at PANE granularity (the state unit): a pane-sized
+        # tumbling window makes PanePartialAgg emit one partial per
+        # (key, pane) — the actor expands panes to real windows at flush.
+        self.partial = PanePartialAgg(
+            Window.tumbling(window.pane, mode=window.mode),
+            self.aggs, self.keys, ts_col)
+
+    # -- checkpoint ------------------------------------------------------
+    @property
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.out_dir, "checkpoint.json")
+
+    def _load_ckpt(self) -> dict:
+        if os.path.exists(self._ckpt_path):
+            with open(self._ckpt_path) as f:
+                return json.load(f)
+        return {"offset": 0, "epoch": 0, "watermark": None, "metrics": {
+            "emitted_rows": 0, "late_dropped": 0}, "partitions": {}}
+
+    def _store_ckpt(self, ck: dict) -> None:
+        tmp = self._ckpt_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ck, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._ckpt_path)
+
+    def _snap_path(self, pid: int, epoch: int) -> str:
+        # epoch-tagged: a crash between writing snapshots and committing the
+        # checkpoint must NOT advance visible state — resume reads the
+        # snapshot tag recorded in the committed checkpoint, so half-written
+        # next-epoch snapshots are simply overwritten on re-run (no double
+        # ingestion of an epoch's partials).
+        return os.path.join(self.out_dir,
+                            f"state-p{pid:03d}-e{epoch:05d}.parquet")
+
+    def _gc_snaps(self, keep_epoch: int) -> None:
+        for f in os.listdir(self.out_dir):
+            if f.startswith("state-p") and not f.endswith(f"-e{keep_epoch:05d}.parquet"):
+                os.remove(os.path.join(self.out_dir, f))
+
+    # -- pane partials for one epoch ------------------------------------
+    def _epoch_partials(self, files: list[str], watermark) -> tuple[list[pa.Table], int, int]:
+        """(per-partition partial tables, max_ts, late_rows) for the epoch."""
+        import ray.data as rd
+        ds = rd.read_parquet(files, columns=self.columns)
+        keys, ts_col, lateness = self.keys, self.ts_col, self.lateness
+        partial = self.partial
+
+        def to_partials(batch: pa.Table) -> pa.Table:
+            t = batch[ts_col]
+            if not pa.types.is_integer(t.type):
+                t = t.cast(pa.int64())
+            tn = (t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t) \
+                .to_numpy(zero_copy_only=False)
+            mx = int(tn.max()) if len(tn) else 0
+            late = 0
+            if watermark is not None:
+                ok = tn >= watermark
+                late = int((~ok).sum())
+                if late:
+                    batch = batch.filter(pa.array(ok))
+            p = partial(batch) if batch.num_rows else pa.table({})
+            # pane partials keyed by pane id, not window id (state unit)
+            if p.num_rows and _WID in p.column_names:
+                # tumbling path renames pane->window_id; undo for the store
+                idx = p.column_names.index(_WID)
+                p = p.set_column(idx, _PANE, p[_WID])
+            meta = pa.table({"__max_ts": pa.array([mx], type=pa.int64()),
+                             "__late": pa.array([late], type=pa.int64())})
+            # route rows to partitions here (vectorized) and tag
+            if p.num_rows:
+                part = _key_hash(p, keys, self.n)
+                p = p.append_column("__part", pa.array(part))
+            return pa.table({"__blob": pa.array(
+                [_ser(p), _ser(meta)], type=pa.binary())})
+
+        blobs = ds.map_batches(to_partials, batch_format="pyarrow").take_all()
+        per_part: list[list[pa.Table]] = [[] for _ in range(self.n)]
+        max_ts, late_total = 0, 0
+        for row in blobs:
+            t = _de(row["__blob"])
+            if "__max_ts" in t.column_names:
+                max_ts = max(max_ts, int(t["__max_ts"][0].as_py()))
+                late_total += int(t["__late"][0].as_py())
+            elif t.num_rows:
+                parts = t["__part"].to_numpy(zero_copy_only=False)
+                body = t.drop_columns(["__part"])
+                for pid in np.unique(parts):
+                    per_part[pid].append(body.filter(pa.array(parts == pid)))
+        tables = [pa.concat_tables(ts) if ts else pa.table({})
+                  for ts in per_part]
+        return tables, max_ts, late_total
+
+    # -- run -------------------------------------------------------------
+    def run(self, files: Sequence[str], *, epoch_size: int = 4,
+            end_of_stream: bool = True, max_epochs: Optional[int] = None) -> dict:
+        """Process ``files`` from the checkpointed offset in epochs of
+        ``epoch_size`` files. Returns final checkpoint (metrics inside).
+
+        ``end_of_stream=True`` flushes all remaining state after the last
+        file (finite-input semantics, same as the batch engine's default);
+        with False, open windows stay in the pane stores for a later run —
+        the unbounded-stream mode.
+        """
+        files = list(files)
+        ck = self._load_ckpt()
+        actors = [PaneStoreActor.remote(
+            dict(mode=self.window.mode, size=self.window.size,
+                 slide=self.window.slide),
+            [dict(op=a.op, column=a.column, alias=a.alias) for a in self.aggs],
+            self.keys) for i in range(self.n)]
+        try:
+            ray.get([a.restore.remote(self._snap_path(i, ck["epoch"]))
+                     for i, a in enumerate(actors)])
+            epochs_run = 0
+            while ck["offset"] < len(files):
+                if max_epochs is not None and epochs_run >= max_epochs:
+                    break
+                chunk = files[ck["offset"]:ck["offset"] + epoch_size]
+                wm = ck["watermark"]
+                partials, max_ts, late = self._epoch_partials(chunk, wm)
+                ray.get([a.add.remote(p) for a, p in zip(actors, partials)
+                         if p.num_rows])
+                new_wm = max(int(max_ts) - self.lateness, wm or 0)
+                outs = ray.get([a.flush.remote(wm, new_wm) for a in actors])
+                emitted = _write_emit(self.out_dir, ck["epoch"], outs)
+                next_epoch = ck["epoch"] + 1
+                ray.get([a.snapshot.remote(self._snap_path(i, next_epoch))
+                         for i, a in enumerate(actors)])
+                ck["offset"] += len(chunk)
+                ck["epoch"] = next_epoch
+                ck["watermark"] = new_wm
+                ck["metrics"]["emitted_rows"] += emitted
+                ck["metrics"]["late_dropped"] += late
+                ck.setdefault("lineage", {})[str(next_epoch - 1)] = chunk
+                self._store_ckpt(ck)                  # commit point
+                self._gc_snaps(next_epoch)
+                epochs_run += 1
+            if end_of_stream and ck["offset"] >= len(files) and not ck.get("finalized"):
+                outs = ray.get([a.flush.remote(ck["watermark"], None)
+                                for a in actors])
+                emitted = _write_emit(self.out_dir, ck["epoch"], outs)
+                next_epoch = ck["epoch"] + 1
+                ray.get([a.snapshot.remote(self._snap_path(i, next_epoch))
+                         for i, a in enumerate(actors)])
+                ck["epoch"] = next_epoch
+                ck["metrics"]["emitted_rows"] += emitted
+                ck["finalized"] = True
+                self._store_ckpt(ck)                  # commit point
+                self._gc_snaps(next_epoch)
+            return ck
+        finally:
+            for a in actors:
+                ray.kill(a)
+
+    def results(self):
+        """All emitted rows so far as one Arrow table."""
+        files = sorted(
+            os.path.join(self.out_dir, f) for f in os.listdir(self.out_dir)
+            if f.startswith("emit-") and f.endswith(".parquet"))
+        if not files:
+            return pa.table({})
+        return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def _write_emit(out_dir: str, epoch: int, tables: list[pa.Table]) -> int:
+    """Write one epoch's emitted windows atomically; idempotent per epoch."""
+    tables = [t for t in tables if t.num_rows]
+    path = os.path.join(out_dir, f"emit-{epoch:05d}.parquet")
+    if not tables:
+        if os.path.exists(path):
+            os.remove(path)
+        return 0
+    out = pa.concat_tables(tables, promote_options="default")
+    tmp = path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    return out.num_rows
+
+
+def _ser(t: pa.Table) -> bytes:
+    import io
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return sink.getvalue()
+
+
+def _de(b: bytes) -> pa.Table:
+    return pa.ipc.open_stream(pa.BufferReader(b)).read_all()

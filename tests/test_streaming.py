@@ -1,0 +1,150 @@
+"""Streaming mode: micro-batch epochs + pane-store actors + watermark.
+
+The invariants asserted here are the north rule's streaming requirements:
+(1) streaming output == batch engine output for the same input + watermark,
+(2) kill + resume from checkpoint emits exactly the same rows (exactly-once),
+(3) windows are emitted incrementally as the watermark passes them,
+(4) late rows beyond allowed_lateness are dropped AND counted.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from saber_ray import Window, cnt, sum_, windowed_aggregate
+from saber_ray.core.windows import DAY, HOUR
+from saber_ray.sources.transcripts import _gen_chunk
+from saber_ray.streaming import StreamingWindowedAggregate
+from tests.oracle_util import canon, to_pandas
+
+W = Window.sliding(2 * DAY, 12 * HOUR)
+AGGS = [sum_("text_len", "sum_len"), cnt(alias="n_turns")]
+
+
+@pytest.fixture(scope="module")
+def stream_files(tmp_path_factory):
+    """A time-ordered stream: deterministic transcripts sorted by ts, split
+    into 12 sequential files (arrival order == event order, the reference's
+    stream assumption — SURVEY.md §1.2)."""
+    root = tmp_path_factory.mktemp("stream")
+    t = _gen_chunk(0, 2000, 12, seed=7)
+    t = t.append_column(
+        "text_len",
+        pa.compute.cast(pa.compute.utf8_length(t["text"]), pa.int64()))
+    t = t.select(["conv_id", "role", "ts", "text_len"])
+    t = t.sort_by("ts")
+    files = []
+    n = t.num_rows
+    for i in range(12):
+        part = t.slice(i * n // 12, (i + 1) * n // 12 - i * n // 12)
+        p = str(root / f"f{i:03d}.parquet")
+        pq.write_table(part, p)
+        files.append(p)
+    return files
+
+
+def _batch_result(ray_session, files, keys):
+    import ray.data as rd
+    out = windowed_aggregate(rd.read_parquet(files), window=W, aggs=AGGS,
+                             keys=keys)
+    return canon(to_pandas(out))
+
+
+def _stream_df(job):
+    return canon(job.results().to_pandas())
+
+
+def test_streaming_matches_batch_grouped(ray_session, stream_files, tmp_path):
+    job = StreamingWindowedAggregate(
+        str(tmp_path / "out"), window=W, aggs=AGGS, keys=["role"],
+        num_partitions=3)
+    ck = job.run(stream_files, epoch_size=3)
+    assert ck["finalized"]
+    got = _stream_df(job)
+    want = _batch_result(ray_session, stream_files, ["role"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert ck["metrics"]["emitted_rows"] == len(got)
+    assert ck["metrics"]["late_dropped"] == 0
+
+
+def test_streaming_matches_batch_global(ray_session, stream_files, tmp_path):
+    job = StreamingWindowedAggregate(
+        str(tmp_path / "out"), window=W, aggs=AGGS, keys=[], num_partitions=2)
+    job.run(stream_files, epoch_size=4)
+    got = _stream_df(job)
+    want = _batch_result(ray_session, stream_files, [])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_emits_incrementally(ray_session, stream_files, tmp_path):
+    """Windows close and emit BEFORE end of stream (watermark-driven)."""
+    out = str(tmp_path / "out")
+    job = StreamingWindowedAggregate(out, window=W, aggs=AGGS, keys=["role"],
+                                     num_partitions=2)
+    job.run(stream_files, epoch_size=3, end_of_stream=False)
+    mid = job.results()
+    assert mid.num_rows > 0          # some windows closed mid-stream
+    ck = job._load_ckpt()
+    assert not ck.get("finalized")
+    # every emitted window is genuinely closed at the checkpointed watermark
+    ends = mid["window_id"].to_numpy(zero_copy_only=False) * W.slide + W.size
+    assert (ends <= ck["watermark"]).all()
+
+
+def test_kill_resume_exactly_once(ray_session, stream_files, tmp_path):
+    """Stop after 2 epochs, resume with a NEW job instance: the union of
+    emitted rows equals the single-run output — no dupes, no gaps."""
+    out = str(tmp_path / "out")
+    job1 = StreamingWindowedAggregate(out, window=W, aggs=AGGS, keys=["role"],
+                                      num_partitions=3)
+    ck1 = job1.run(stream_files, epoch_size=2, max_epochs=2)
+    assert not ck1.get("finalized") and ck1["offset"] == 4
+    job2 = StreamingWindowedAggregate(out, window=W, aggs=AGGS, keys=["role"],
+                                      num_partitions=3)
+    ck2 = job2.run(stream_files, epoch_size=2)
+    assert ck2["finalized"]
+    got = _stream_df(job2)
+    want = _batch_result(ray_session, stream_files, ["role"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # re-running a finalized job is a no-op (idempotent)
+    ck3 = StreamingWindowedAggregate(out, window=W, aggs=AGGS, keys=["role"],
+                                     num_partitions=3).run(stream_files,
+                                                           epoch_size=2)
+    assert ck3["metrics"]["emitted_rows"] == ck2["metrics"]["emitted_rows"]
+    pd.testing.assert_frame_equal(_stream_df(job2), got, check_dtype=False)
+
+
+def test_late_rows_dropped_and_counted(ray_session, stream_files, tmp_path):
+    """An out-of-order file far behind the watermark: late rows are dropped
+    under lateness=0 and surface in metrics (no silent loss)."""
+    t0 = pq.read_table(stream_files[0])
+    late_file = str(tmp_path / "late.parquet")
+    pq.write_table(t0, late_file)
+    files = list(stream_files) + [late_file]   # oldest data arrives last
+    job = StreamingWindowedAggregate(
+        str(tmp_path / "out"), window=W, aggs=AGGS, keys=["role"],
+        num_partitions=2, allowed_lateness=0)
+    ck = job.run(files, epoch_size=3)
+    assert ck["metrics"]["late_dropped"] == t0.num_rows
+
+
+def test_allowed_lateness_absorbs_disorder(ray_session, stream_files, tmp_path):
+    """With lateness >= the disorder bound, a mildly shuffled stream still
+    matches batch exactly (bounded-disorder guarantee)."""
+    # swap adjacent files: disorder bounded by ~one file's time span
+    files = list(stream_files)
+    files[2], files[3] = files[3], files[2]
+    files[7], files[8] = files[8], files[7]
+    span_us = 40 * DAY                         # generous bound
+    job = StreamingWindowedAggregate(
+        str(tmp_path / "out"), window=W, aggs=AGGS, keys=["role"],
+        num_partitions=2, allowed_lateness=span_us)
+    ck = job.run(files, epoch_size=3)
+    assert ck["metrics"]["late_dropped"] == 0
+    got = _stream_df(job)
+    want = _batch_result(ray_session, stream_files, ["role"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
