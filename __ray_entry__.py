@@ -306,6 +306,46 @@ def _q_streaming_cm1(sf):
     return job.results()
 
 
+def _q_streaming_join(sf):
+    """Streaming stateful band join (purchases x clicks per user) — same
+    semantics as windowed_theta_join, executed incrementally through
+    hash-partitioned JoinStateActors with watermark eviction."""
+    import shutil
+    import duckdb
+    import pyarrow.parquet as pq
+    from saber_ray.streaming_join import StreamingWindowedJoin
+
+    work = os.path.join("/tmp/saber_ray_gate", f"stream_join-{abs(hash(sf))}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(os.path.join(work, "in"))
+    con = duckdb.connect()
+    ev = os.path.join(sf, "events.parquet")
+    sides = {}
+    for tag, et in (("L", "purchase"), ("R", "click")):
+        t = con.execute(
+            "SELECT user_id, epoch_us(ts) AS ts, event_id, value "
+            f"FROM read_parquet('{ev}') WHERE event_type = '{et}' "
+            "ORDER BY ts, event_id").arrow()
+        files = []
+        n = t.num_rows
+        for i in range(6):
+            part = t.slice(i * n // 6, (i + 1) * n // 6 - i * n // 6)
+            p = os.path.join(work, "in", f"{tag}-{i:02d}.parquet")
+            pq.write_table(part, p)
+            files.append(p)
+        sides[tag] = files
+    job = StreamingWindowedJoin(
+        os.path.join(work, "out"), on="user_id",
+        before=6 * HOUR, after=6 * HOUR,
+        left_cols=["user_id", "ts", "event_id", "value"],
+        right_cols=["user_id", "ts", "event_id", "value"],
+        num_partitions=3)
+    job.run(sides["L"], sides["R"], epoch_size=2)
+    out = job.results()
+    return out.select(["user_id", "ts_l", "ts_r", "event_id_l",
+                       "event_id_r", "value_l", "value_r"])
+
+
 def _q_cm1(sf):
     return suite.cm1(transcripts_from_events(sf))
 
@@ -345,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_theta_join": _q_windowed_join,
         "cm1": _q_cm1,
         "streaming_cm1": _q_streaming_cm1,
+        "streaming_windowed_join": _q_streaming_join,
         "cm2": _q_cm2,
         "sg1": _q_sg1,
         "sg2": _q_sg2,
@@ -418,6 +459,14 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY 1"),
         "windowed_theta_join": (
+            "SELECT p.user_id, epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
+            "p.event_id AS event_id_l, c.event_id AS event_id_r, "
+            "p.value AS value_l, c.value AS value_r "
+            "FROM events p JOIN events c ON p.user_id = c.user_id "
+            "AND p.event_type = 'purchase' AND c.event_type = 'click' "
+            f"AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {6 * HOUR} "
+            f"AND epoch_us(p.ts) + {6 * HOUR}"),
+        "streaming_windowed_join": (
             "SELECT p.user_id, epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
             "p.event_id AS event_id_l, c.event_id AS event_id_r, "
             "p.value AS value_l, c.value AS value_r "

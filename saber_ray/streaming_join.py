@@ -1,0 +1,303 @@
+"""Streaming stateful two-stream join: hash-partitioned buffer actors with
+watermark eviction and exactly-once epoch commit.
+
+Parity target: Saber's two-stream windowed ThetaJoin
+(cql/operators/cpu/ThetaJoin.java:15-321) and its JoinTaskDispatcher, which
+snapshots each side's new data plus the OPPOSITE side's open window region —
+window state is the un-reclaimed circular-buffer span
+(dispatchers/JoinTaskDispatcher.java:196-214,282-403).
+
+Ray-native streaming design (shares the epoch/checkpoint machinery shape of
+saber_ray/streaming.py):
+
+- Both input streams advance in lock-step epochs (the reference alternates
+  processFirstStream/processSecondStream the same way,
+  TestThetaJoin.java:269-270).
+- ``JoinStateActor`` = one hash partition of join state: for each side a
+  buffered Arrow table of rows still inside the time band. Each epoch it
+  (a) joins new-left x (buffered+new right) and new-right x buffered-left —
+  the classic symmetric hash join decomposition, every pair produced exactly
+  once; (b) evicts rows older than ``watermark - band`` (the free-pointer
+  advance; the reference evicts lazily in-scan, ThetaJoin.java:176-196).
+- Equi-key + event-time band + optional residual theta predicate — same
+  semantics as stages/join.py windowed_join, which is the batch oracle the
+  tests compare against.
+
+State bound: per partition, rows within ``before+after`` of the watermark —
+exactly the reference's open-window region, but hash-sharded across actors.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from saber_ray.streaming import _key_hash
+
+
+def _band_pairs(left: pd.DataFrame, right: pd.DataFrame, on: list,
+                before: int, after: int, lcols: list, rcols: list,
+                lmap: dict, rmap: dict,
+                predicate: Optional[Callable]) -> pd.DataFrame:
+    """Vectorized per-key band join of two already-key-matched frames (same
+    merge-join kernel as stages/join.py windowed_join per_key)."""
+    out_cols = on + ["ts_l", "ts_r"] + [lmap[c] for c in lcols] + \
+        [rmap[c] for c in rcols]
+    if len(left) == 0 or len(right) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+    res_parts = []
+    # group by key within the partition; sort right side once per key
+    for key, lg in left.groupby(on, sort=False):
+        key_t = key if isinstance(key, tuple) else (key,)
+        mask = np.ones(len(right), dtype=bool)
+        for k, v in zip(on, key_t):
+            mask &= right[k].to_numpy() == v
+        rg = right[mask]
+        if len(rg) == 0:
+            continue
+        rg = rg.sort_values("__ts", kind="mergesort")
+        tL = lg["__ts"].to_numpy()
+        tR = rg["__ts"].to_numpy()
+        lo = np.searchsorted(tR, tL - before, side="left")
+        hi = np.searchsorted(tR, tL + after, side="right")
+        counts = hi - lo
+        li = np.repeat(np.arange(len(tL)), counts)
+        offs = np.arange(counts.sum()) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        ri = lo[li] + offs
+        res = {k: np.repeat([v], len(li)) for k, v in zip(on, key_t)}
+        res["ts_l"] = tL[li]
+        res["ts_r"] = tR[ri]
+        for c in lcols:
+            res[lmap[c]] = lg[c].to_numpy()[li]
+        for c in rcols:
+            res[rmap[c]] = rg[c].to_numpy()[ri]
+        res_parts.append(pd.DataFrame(res))
+    if not res_parts:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+    df = pd.concat(res_parts, ignore_index=True)[out_cols]
+    if predicate is not None and len(df):
+        df = df[np.asarray(predicate(df), dtype=bool)]
+    return df
+
+
+@ray.remote
+class JoinStateActor:
+    """One hash partition of streaming join state (both sides' open bands)."""
+
+    def __init__(self, on: list, before: int, after: int,
+                 lcols: list, rcols: list, lmap: dict, rmap: dict,
+                 predicate=None):
+        self.on = on
+        self.before, self.after = before, after
+        self.lcols, self.rcols = lcols, rcols
+        self.lmap, self.rmap = lmap, rmap
+        self.predicate = predicate
+        self.bufL = pd.DataFrame()
+        self.bufR = pd.DataFrame()
+
+    def process(self, newL: Optional[pa.Table], newR: Optional[pa.Table],
+                watermark: Optional[int]) -> pa.Table:
+        """Ingest an epoch's new rows for both sides; emit every new pair;
+        evict rows the watermark proves can never pair again."""
+        nL = newL.to_pandas() if newL is not None and newL.num_rows else pd.DataFrame()
+        nR = newR.to_pandas() if newR is not None and newR.num_rows else pd.DataFrame()
+        args = (self.on, self.before, self.after, self.lcols, self.rcols,
+                self.lmap, self.rmap, self.predicate)
+        parts = []
+        # new-left x (old + new right), old-left x new-right: each pair
+        # produced exactly once (symmetric hash join decomposition).
+        if len(nL):
+            allR = pd.concat([self.bufR, nR], ignore_index=True) if len(nR) \
+                else self.bufR
+            parts.append(_band_pairs(nL, allR, *args[0:3], *args[3:]))
+        if len(nR) and len(self.bufL):
+            parts.append(_band_pairs(self.bufL, nR, *args[0:3], *args[3:]))
+        self.bufL = pd.concat([self.bufL, nL], ignore_index=True) if len(nL) else self.bufL
+        self.bufR = pd.concat([self.bufR, nR], ignore_index=True) if len(nR) else self.bufR
+        if watermark is not None:
+            # a left row pairs with right ts <= own ts + after; once
+            # watermark > ts + after no future right row can match (and
+            # symmetrically) — the JoinTaskDispatcher free-pointer rule.
+            if len(self.bufL):
+                self.bufL = self.bufL[
+                    self.bufL["__ts"].to_numpy() + self.after >= watermark]
+            if len(self.bufR):
+                self.bufR = self.bufR[
+                    self.bufR["__ts"].to_numpy() + self.before >= watermark]
+        out = _band_pairs(pd.DataFrame(), pd.DataFrame(), *args[0:3], *args[3:]) \
+            if not parts else pd.concat(parts, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def state_size(self) -> tuple:
+        return len(self.bufL), len(self.bufR)
+
+    def snapshot(self, path: str) -> None:
+        pq.write_table(pa.Table.from_pandas(
+            pd.concat([self.bufL.assign(__side=0), self.bufR.assign(__side=1)],
+                      ignore_index=True), preserve_index=False), path)
+
+    def restore(self, path: str) -> None:
+        if os.path.exists(path):
+            df = pq.read_table(path).to_pandas()
+            self.bufL = df[df["__side"] == 0].drop(columns="__side") \
+                .reset_index(drop=True)
+            self.bufR = df[df["__side"] == 1].drop(columns="__side") \
+                .reset_index(drop=True)
+
+
+class StreamingWindowedJoin:
+    """Micro-batch streaming band join of two ordered file streams.
+
+    Semantics identical to ``stages.join.windowed_join`` (the batch oracle):
+    pairs (l, r) with equal ``on`` key and ``tL - before <= tR <= tL + after``,
+    columns suffixed per ``suffixes``. Emission is incremental: a pair is
+    emitted in the epoch its later row arrives.
+    """
+
+    def __init__(self, out_dir: str, *, on: Sequence[str] | str,
+                 before: int, after: int,
+                 left_ts: str = "ts", right_ts: str = "ts",
+                 left_cols: Sequence[str], right_cols: Sequence[str],
+                 num_partitions: int = 4, allowed_lateness: int = 0,
+                 suffixes: tuple[str, str] = ("_l", "_r"),
+                 predicate: Optional[Callable] = None):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.on = [on] if isinstance(on, str) else list(on)
+        self.before, self.after = before, after
+        self.left_ts, self.right_ts = left_ts, right_ts
+        self.n = num_partitions
+        self.lateness = allowed_lateness
+        sl, sr = suffixes
+        self.lcols = [c for c in left_cols if c not in self.on and c != left_ts]
+        self.rcols = [c for c in right_cols if c not in self.on and c != right_ts]
+        self.lmap = {c: (c + sl if c in self.rcols else c) for c in self.lcols}
+        self.rmap = {c: (c + sr if c in self.lcols else c) for c in self.rcols}
+        self.predicate = predicate
+
+    def _prep(self, files: list[str], ts_col: str, cols: list[str],
+              watermark) -> tuple[list[Optional[pa.Table]], int, int]:
+        """Read one side's epoch files → per-partition key-routed tables."""
+        if not files:
+            return [None] * self.n, 0, 0
+        t = pa.concat_tables([pq.read_table(f, columns=self.on + [ts_col] + cols)
+                              for f in files])
+        ts = t[ts_col]
+        if not pa.types.is_integer(ts.type):
+            ts = ts.cast(pa.int64())
+        tn = (ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts) \
+            .to_numpy(zero_copy_only=False)
+        mx = int(tn.max()) if len(tn) else 0
+        late = 0
+        if watermark is not None:
+            ok = tn >= watermark
+            late = int((~ok).sum())
+            if late:
+                t = t.filter(pa.array(ok))
+                tn = tn[ok]
+        t = t.drop_columns([ts_col]).append_column(
+            "__ts", pa.array(tn, type=pa.int64()))
+        part = _key_hash(t, self.on, self.n)
+        out = []
+        for pid in range(self.n):
+            sel = part == pid
+            out.append(t.filter(pa.array(sel)) if sel.any() else None)
+        return out, mx, late
+
+    @property
+    def _ckpt_path(self):
+        return os.path.join(self.out_dir, "checkpoint.json")
+
+    def run(self, left_files: Sequence[str], right_files: Sequence[str], *,
+            epoch_size: int = 4, max_epochs: Optional[int] = None) -> dict:
+        import json
+        files_l, files_r = list(left_files), list(right_files)
+        ck = {"offset_l": 0, "offset_r": 0, "epoch": 0, "watermark": None,
+              "metrics": {"emitted_rows": 0, "late_dropped": 0}}
+        if os.path.exists(self._ckpt_path):
+            with open(self._ckpt_path) as f:
+                ck = json.load(f)
+        actors = [JoinStateActor.remote(
+            self.on, self.before, self.after, self.lcols, self.rcols,
+            self.lmap, self.rmap, self.predicate) for _ in range(self.n)]
+
+        def snap(pid, epoch):
+            return os.path.join(self.out_dir,
+                                f"jstate-p{pid:03d}-e{epoch:05d}.parquet")
+        try:
+            ray.get([a.restore.remote(snap(i, ck["epoch"]))
+                     for i, a in enumerate(actors)])
+            epochs = 0
+            while ck["offset_l"] < len(files_l) or ck["offset_r"] < len(files_r):
+                if max_epochs is not None and epochs >= max_epochs:
+                    break
+                wm = ck["watermark"]
+                chunk_l = files_l[ck["offset_l"]:ck["offset_l"] + epoch_size]
+                chunk_r = files_r[ck["offset_r"]:ck["offset_r"] + epoch_size]
+                pl, mxl, latel = self._prep(chunk_l, self.left_ts, self.lcols, wm)
+                pr, mxr, later = self._prep(chunk_r, self.right_ts, self.rcols, wm)
+                # watermark = min over both streams of max seen ts (north
+                # star: "per-partition watermark = min over inputs"), minus
+                # the lateness allowance.
+                seen = [m for m in (mxl, mxr) if m]
+                new_wm = wm
+                if seen:
+                    new_wm = max(min(seen) - self.lateness, wm or 0)
+                outs = ray.get([a.process.remote(pl[i], pr[i], new_wm)
+                                for i, a in enumerate(actors)])
+                emitted = _write_epoch(self.out_dir, ck["epoch"], outs)
+                nxt = ck["epoch"] + 1
+                ray.get([a.snapshot.remote(snap(i, nxt))
+                         for i, a in enumerate(actors)])
+                ck["offset_l"] += len(chunk_l)
+                ck["offset_r"] += len(chunk_r)
+                ck["epoch"] = nxt
+                ck["watermark"] = new_wm
+                ck["metrics"]["emitted_rows"] += emitted
+                ck["metrics"]["late_dropped"] += latel + later
+                tmp = self._ckpt_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(ck, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, self._ckpt_path)     # commit point
+                for f2 in os.listdir(self.out_dir):
+                    if f2.startswith("jstate-") and \
+                            not f2.endswith(f"-e{nxt:05d}.parquet"):
+                        os.remove(os.path.join(self.out_dir, f2))
+                epochs += 1
+            return ck
+        finally:
+            for a in actors:
+                ray.kill(a)
+
+    def results(self) -> pa.Table:
+        files = sorted(
+            os.path.join(self.out_dir, f) for f in os.listdir(self.out_dir)
+            if f.startswith("pairs-") and f.endswith(".parquet"))
+        if not files:
+            return pa.table({})
+        return pa.concat_tables([pq.read_table(f) for f in files],
+                                promote_options="default")
+
+
+def _write_epoch(out_dir: str, epoch: int, tables: list[pa.Table]) -> int:
+    tables = [t for t in tables if t.num_rows]
+    path = os.path.join(out_dir, f"pairs-{epoch:05d}.parquet")
+    if not tables:
+        if os.path.exists(path):
+            os.remove(path)
+        return 0
+    out = pa.concat_tables(tables, promote_options="default")
+    tmp = path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    return out.num_rows

@@ -1,0 +1,113 @@
+"""Streaming stateful join vs the batch windowed_join oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from saber_ray.core.windows import HOUR
+from saber_ray.stages.join import windowed_join
+from saber_ray.streaming_join import StreamingWindowedJoin
+from tests.oracle_util import canon, to_pandas
+
+BAND = 6 * HOUR
+
+
+def _make_side(root, tag, seed, n_files=8, n=4000):
+    rng = np.random.default_rng(seed)
+    t = pa.table({
+        "user_id": rng.integers(0, 120, n),
+        "ts": np.sort(rng.integers(0, 10 * 24 * HOUR, n)).astype("int64"),
+        "event_id": np.arange(n, dtype=np.int64) + seed * 1_000_000,
+        "value": np.round(rng.random(n) * 100, 3),
+    })
+    files = []
+    for i in range(n_files):
+        part = t.slice(i * n // n_files, (i + 1) * n // n_files - i * n // n_files)
+        p = str(root / f"{tag}-{i:03d}.parquet")
+        pq.write_table(part, p)
+        files.append(p)
+    return files
+
+
+@pytest.fixture(scope="module")
+def join_streams(tmp_path_factory):
+    root = tmp_path_factory.mktemp("jstream")
+    return _make_side(root, "L", 1), _make_side(root, "R", 2)
+
+
+def _batch(ray_session, lf, rf):
+    import ray.data as rd
+    out = windowed_join(
+        rd.read_parquet(lf), rd.read_parquet(rf), on="user_id",
+        before=BAND, after=BAND,
+        left_cols=["user_id", "ts", "event_id", "value"],
+        right_cols=["user_id", "ts", "event_id", "value"])
+    return canon(to_pandas(out.select_columns(
+        ["user_id", "ts_l", "ts_r", "event_id_l", "event_id_r",
+         "value_l", "value_r"])))
+
+
+def _stream_df(job):
+    df = job.results().to_pandas()
+    return canon(df[["user_id", "ts_l", "ts_r", "event_id_l", "event_id_r",
+                     "value_l", "value_r"]])
+
+
+def test_streaming_join_matches_batch(ray_session, join_streams, tmp_path):
+    lf, rf = join_streams
+    job = StreamingWindowedJoin(
+        str(tmp_path / "out"), on="user_id", before=BAND, after=BAND,
+        left_cols=["user_id", "ts", "event_id", "value"],
+        right_cols=["user_id", "ts", "event_id", "value"],
+        num_partitions=3)
+    ck = job.run(lf, rf, epoch_size=2)
+    assert ck["metrics"]["late_dropped"] == 0
+    got = _stream_df(job)
+    want = _batch(ray_session, lf, rf)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert ck["metrics"]["emitted_rows"] == len(got)
+
+
+def test_streaming_join_state_bounded(ray_session, join_streams, tmp_path):
+    """Watermark eviction keeps join state to the open band, not the whole
+    stream (the JoinTaskDispatcher free-pointer rule)."""
+    import ray as _ray
+    from saber_ray.streaming_join import JoinStateActor
+    lf, rf = join_streams
+    job = StreamingWindowedJoin(
+        str(tmp_path / "out"), on="user_id", before=BAND, after=BAND,
+        left_cols=["user_id", "ts", "event_id", "value"],
+        right_cols=["user_id", "ts", "event_id", "value"],
+        num_partitions=1)
+    job.run(lf, rf, epoch_size=2)
+    # state snapshot from the final epoch holds only rows within the band of
+    # the final watermark
+    import json, os
+    ck = json.load(open(os.path.join(str(tmp_path / "out"), "checkpoint.json")))
+    snaps = [f for f in os.listdir(str(tmp_path / "out"))
+             if f.startswith("jstate-")]
+    assert snaps
+    st = pq.read_table(os.path.join(str(tmp_path / "out"), snaps[0]))
+    assert (st["__ts"].to_numpy(zero_copy_only=False) + BAND
+            >= ck["watermark"]).all()
+    total_rows = sum(pq.read_metadata(f).num_rows for f in lf + rf)
+    assert st.num_rows < total_rows        # strictly bounded
+
+
+def test_streaming_join_kill_resume(ray_session, join_streams, tmp_path):
+    lf, rf = join_streams
+    out = str(tmp_path / "out")
+    kw = dict(on="user_id", before=BAND, after=BAND,
+              left_cols=["user_id", "ts", "event_id", "value"],
+              right_cols=["user_id", "ts", "event_id", "value"],
+              num_partitions=3)
+    j1 = StreamingWindowedJoin(out, **kw)
+    ck1 = j1.run(lf, rf, epoch_size=2, max_epochs=2)
+    assert ck1["offset_l"] == 4
+    j2 = StreamingWindowedJoin(out, **kw)
+    j2.run(lf, rf, epoch_size=2)
+    got = _stream_df(j2)
+    want = _batch(ray_session, lf, rf)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
