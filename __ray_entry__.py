@@ -346,6 +346,58 @@ def _q_streaming_join(sf):
                        "event_id_r", "value_l", "value_r"])
 
 
+def _q_streaming_sessions(sf):
+    """Gap-timeout sessions via the streaming engine (watermark-closed),
+    equal to the batch/SQL sessionization."""
+    import shutil
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from saber_ray.streaming_session import StreamingSessionWindows
+
+    t = transcripts_from_events(sf).to_pandas()
+    t = t.sort_values(["ts", "conv_id", "turn_idx"],
+                      kind="mergesort")[["conv_id", "ts"]]
+    tbl = pa.Table.from_pandas(t, preserve_index=False)
+    work = os.path.join("/tmp/saber_ray_gate", f"stream_sess-{abs(hash(sf))}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(os.path.join(work, "in"))
+    files, n = [], tbl.num_rows
+    for i in range(8):
+        part = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+        p = os.path.join(work, "in", f"f{i:03d}.parquet")
+        pq.write_table(part, p)
+        files.append(p)
+    job = StreamingSessionWindows(
+        os.path.join(work, "out"), gap=30 * MINUTE,
+        aggs=[cnt(alias="n_turns")], keys=["conv_id"], num_partitions=3)
+    job.run(files, epoch_size=2)
+    return job.results()
+
+
+def _q_multimodal_features(sf):
+    """Multimodal plumbing: synthesized binary payload table → actor-pool
+    decode (deterministic fake codec — real libs absent in this container,
+    stages/multimodal.py docstring) → feature summary. Rows-only check:
+    deterministic across runs/actors by construction."""
+    import pyarrow as pa
+    import ray.data as rd
+    from saber_ray.stages.multimodal import decode_features, synthesize_media
+    media = rd.from_arrow(synthesize_media(n=96, seed=7))
+    feats = decode_features(media, feature_dim=8, deterministic_fake=True)
+
+    def summarize(df):
+        import numpy as np
+        import pandas as pd
+        return pd.DataFrame({
+            "media_id": df["media_id"],
+            "media_type": df["media_type"],
+            "payload_bytes": df["payload_bytes"],
+            "feat_norm": [float(np.round(np.linalg.norm(v), 6))
+                          for v in df["feature"]],
+        })
+    return feats.map_batches(summarize, batch_format="pandas")
+
+
 def _q_cm1(sf):
     return suite.cm1(transcripts_from_events(sf))
 
@@ -386,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm1": _q_cm1,
         "streaming_cm1": _q_streaming_cm1,
         "streaming_windowed_join": _q_streaming_join,
+        "streaming_sessions": _q_streaming_sessions,
         "cm2": _q_cm2,
         "sg1": _q_sg1,
         "sg2": _q_sg2,
@@ -401,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
         # rows-only checks (non-SQL-expressible; deterministic, pytest-verified)
+        "multimodal_features": _q_multimodal_features,
         "dedup_minhash_lsh": _q_minhash_clusters,
         "simhash_fingerprint": _q_simhash,
         "quality_score": _q_quality,
@@ -474,6 +528,20 @@ def oracle_sql() -> dict[str, str]:
             "AND p.event_type = 'purchase' AND c.event_type = 'click' "
             f"AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {6 * HOUR} "
             f"AND epoch_us(p.ts) + {6 * HOUR}"),
+        "streaming_sessions": _tx(f"""
+            SELECT conv_id, CAST(session_id AS BIGINT) AS session_id,
+                   MIN(tu) AS session_start_us, MAX(tu) AS session_end_us,
+                   COUNT(*) AS n_turns
+            FROM (
+              SELECT *, SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts, tu
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM (
+                SELECT conv_id, ts, epoch_us(ts) AS tu,
+                       CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                            (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                            > {30 * MINUTE} THEN 1 ELSE 0 END AS brk
+                FROM transcripts))
+            GROUP BY conv_id, session_id"""),
         "streaming_cm1": _tx(_sliding_sql(
             4, 12 * HOUR,
             "role, window_id, CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len, "

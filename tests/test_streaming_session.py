@@ -1,0 +1,79 @@
+"""Streaming session windows vs the batch session_windows oracle."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from saber_ray import avg, cnt, session_windows, sum_
+from saber_ray.core.windows import MINUTE
+from saber_ray.sources.transcripts import _gen_chunk
+from saber_ray.streaming_session import StreamingSessionWindows
+from tests.oracle_util import canon, to_pandas
+
+GAP = 30 * MINUTE
+AGGS = [cnt(alias="n_turns"), sum_("text_len", "sum_len")]
+
+
+@pytest.fixture(scope="module")
+def session_stream(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sess_stream")
+    t = _gen_chunk(3, 1500, 12, seed=11)
+    t = t.append_column(
+        "text_len", pc.cast(pc.utf8_length(t["text"]), pa.int64()))
+    t = t.select(["conv_id", "ts", "text_len"]).sort_by("ts")
+    files, n = [], t.num_rows
+    for i in range(10):
+        part = t.slice(i * n // 10, (i + 1) * n // 10 - i * n // 10)
+        p = str(root / f"s{i:03d}.parquet")
+        pq.write_table(part, p)
+        files.append(p)
+    return files
+
+
+def _batch(ray_session, files):
+    import ray.data as rd
+    out = session_windows(rd.read_parquet(files), gap=GAP, aggs=AGGS,
+                          keys=["conv_id"])
+    return canon(to_pandas(out))
+
+
+def test_streaming_sessions_match_batch(ray_session, session_stream, tmp_path):
+    job = StreamingSessionWindows(
+        str(tmp_path / "out"), gap=GAP, aggs=AGGS, keys=["conv_id"],
+        num_partitions=3)
+    ck = job.run(session_stream, epoch_size=3)
+    got = canon(job.results().to_pandas())
+    want = _batch(ray_session, session_stream)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert ck["metrics"]["emitted_rows"] == len(got)
+    assert ck["metrics"]["late_dropped"] == 0
+
+
+def test_streaming_sessions_incremental_close(ray_session, session_stream,
+                                              tmp_path):
+    """Sessions close mid-stream once the watermark passes last_ts + gap."""
+    out = str(tmp_path / "out")
+    job = StreamingSessionWindows(out, gap=GAP, aggs=AGGS, keys=["conv_id"],
+                                  num_partitions=2)
+    job.run(session_stream, epoch_size=3, end_of_stream=False)
+    mid = job.results()
+    assert mid.num_rows > 0
+    import json, os
+    ck = json.load(open(os.path.join(out, "checkpoint.json")))
+    ends = mid["session_end_us"].to_numpy(zero_copy_only=False)
+    assert (ends + GAP < ck["watermark"]).all()
+
+
+def test_streaming_sessions_kill_resume(ray_session, session_stream, tmp_path):
+    out = str(tmp_path / "out")
+    kw = dict(gap=GAP, aggs=AGGS, keys=["conv_id"], num_partitions=3)
+    j1 = StreamingSessionWindows(out, **kw)
+    ck1 = j1.run(session_stream, epoch_size=2, max_epochs=2)
+    assert not ck1.get("finalized")
+    j2 = StreamingSessionWindows(out, **kw)
+    j2.run(session_stream, epoch_size=2)
+    got = canon(j2.results().to_pandas())
+    want = _batch(ray_session, session_stream)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
