@@ -134,6 +134,66 @@ def ray_merge_aggs(aggs: Sequence[AggSpec]):
     return out
 
 
+def null_fill_scalar(typ: pa.DataType) -> pa.Scalar:
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.scalar("", type=typ)
+    if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+        return pa.scalar(0, type=typ)
+    if pa.types.is_timestamp(typ):
+        return pa.scalar(0, type=typ)
+    raise TypeError(f"no null-fill default for group key type {typ}")
+
+
+def compact_array(col):
+    """Copy a possibly chunked/sliced array to a single offset-0 array.
+
+    pyarrow 16.1's ``pc.if_else`` emits arrays with out-of-bounds binary
+    offsets when the value input is a SLICED string chunk (repro in
+    tests/test_window_agg.py::test_null_group_keys_all_strategies history) —
+    compacting the input first sidesteps the bug.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.offset:
+        col = pa.concat_arrays([col])
+    return col
+
+
+def group_by_null_safe(tbl: pa.Table, keys: Sequence[str], spec,
+                       use_threads: bool = False) -> pa.Table:
+    """``tbl.group_by(keys).aggregate(spec)`` with SQL null semantics.
+
+    pyarrow's MULTI-key group_by (observed on 16.1) fails to merge rows whose
+    key is null — every null-keyed row becomes its own group (single-key
+    grouping is fine). SQL GROUP BY has one NULL group, and the DuckDB oracle
+    expects it, so any nullable key column is encoded as (validity int8,
+    null-filled value) for the grouping and decoded afterwards — the encoded
+    pair determines the original key exactly.
+    """
+    enc_keys: list[str] = []
+    added: list[tuple[str, str]] = []
+    for k in keys:
+        col = tbl[k]
+        if col.null_count:
+            nn = f"__nnk_{k}"
+            tbl = tbl.append_column(nn, pc.cast(pc.is_valid(col), pa.int64()))
+            idx = tbl.column_names.index(k)
+            tbl = tbl.set_column(idx, k, pc.fill_null(col, null_fill_scalar(col.type)))
+            enc_keys.extend([nn, k])
+            added.append((k, nn))
+        else:
+            enc_keys.append(k)
+    out = tbl.group_by(enc_keys, use_threads=use_threads).aggregate(spec)
+    for k, nn in added:
+        valid = compact_array(pc.equal(out[nn], pa.scalar(1, pa.int64())))
+        col = compact_array(out[k])
+        idx = out.column_names.index(k)
+        out = out.set_column(idx, k, pc.if_else(valid, col,
+                                                pa.scalar(None, col.type)))
+        out = out.drop_columns([nn])
+    return out
+
+
 def finalize(table: pa.Table, aggs: Sequence[AggSpec],
              round_decimals: Optional[int] = None) -> dict[str, pa.Array]:
     """Compute the requested output columns from merged partials.

@@ -53,7 +53,7 @@ import pyarrow as pa
 
 from saber_ray.core.aggregates import (
     AggSpec, ROWS, arrow_merge_aggs, arrow_partial_aggs, finalize,
-    input_columns, ray_merge_aggs,
+    group_by_null_safe, input_columns, null_fill_scalar, ray_merge_aggs,
 )
 from saber_ray.core.windows import Window
 
@@ -96,7 +96,7 @@ class PanePartialAgg:
             [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
             names=names)
 
-        p1 = tbl.group_by(self.keys + [_PANE], use_threads=False).aggregate(self.partial_spec)
+        p1 = group_by_null_safe(tbl, self.keys + [_PANE], self.partial_spec)
         p1 = p1.rename_columns([self.partial_rename.get(n, n) for n in p1.column_names])
 
         if w.is_tumbling:
@@ -108,7 +108,7 @@ class PanePartialAgg:
             row_sel, window_id = w.expand_panes(panes)
             p2 = p1.drop_columns([_PANE]).take(row_sel)
             p2 = p2.append_column(_WID, pa.array(window_id, type=pa.int64()))
-            p3 = p2.group_by(self.keys + [_WID], use_threads=False).aggregate(self.merge_spec)
+            p3 = group_by_null_safe(p2, self.keys + [_WID], self.merge_spec)
             out = p3.rename_columns([self.merge_rename.get(n, n) for n in p3.column_names])
         if self.salt:
             # per-block salt: spreads a hot key's block-partials over `salt`
@@ -133,8 +133,45 @@ class PartialMerge:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        m = batch.group_by(self.keys + [_WID], use_threads=False).aggregate(self.merge_spec)
+        m = group_by_null_safe(batch, self.keys + [_WID], self.merge_spec)
         return m.rename_columns([self.merge_rename.get(n, n) for n in m.column_names])
+
+
+def _encode_null_keys(keys: Sequence[str]):
+    """SQL GROUP BY keeps NULL groups, but Ray's sort boundaries can't
+    compare None — so around the sort each key column k rides with a
+    validity companion __nn_k and nulls filled with a type default; the
+    encoded tuple (__nn_k, k) uniquely determines the original key, so
+    equal-key co-location is preserved. Decoded right after the sort."""
+    import pyarrow.compute as pc
+
+    def enc(t: pa.Table) -> pa.Table:
+        for k in keys:
+            col = t[k]
+            t = t.append_column(f"__nn_{k}", pc.cast(pc.is_valid(col), pa.int64()))
+            if col.null_count:        # fill is identity on non-null values
+                idx = t.column_names.index(k)
+                t = t.set_column(idx, k,
+                                 pc.fill_null(col, null_fill_scalar(col.type)))
+        # uniform single-chunk layout: appending an unchunked column next to
+        # multi-chunk ones makes a heterogeneously-chunked table, which the
+        # shuffle's slice+serialize path corrupts (invalid binary offsets)
+        return t.combine_chunks()
+
+    def dec(t: pa.Table) -> pa.Table:
+        from saber_ray.core.aggregates import compact_array
+        for k in keys:
+            # compaction first: pc.if_else on a SLICED string chunk emits
+            # invalid binary offsets on this pyarrow (see compact_array)
+            valid = compact_array(pc.equal(t[f"__nn_{k}"], pa.scalar(1, pa.int64())))
+            col = compact_array(t[k])
+            idx = t.column_names.index(k)
+            t = t.set_column(idx, k, pc.if_else(valid, col,
+                                                pa.scalar(None, col.type)))
+        return t.drop_columns([f"__nn_{k}" for k in keys]).combine_chunks()
+
+    sort_keys = [c for k in keys for c in (f"__nn_{k}", k)]
+    return enc, dec, sort_keys
 
 
 class FinalizeWindows:
@@ -232,16 +269,21 @@ def windowed_aggregate(
         import ray
         nparts = shuffle_partitions or max(
             8, int(ray.cluster_resources().get("CPU", 8)))
+        enc, dec, sort_keys = _encode_null_keys(keys)
         # round 1: merge per (salt, key, window) — a hot key's partials land
         # on up to `salt` different reducers, each merging its share.
-        r1 = partials.repartition(nparts).sort([_SALT] + keys + [_WID]) \
-            .map_batches(PartialMerge(aggs, keys, extra_keys=[_SALT]),
+        r1 = partials.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True) \
+            .repartition(nparts).sort([_SALT] + sort_keys + [_WID]) \
+            .map_batches(PartialMerge(aggs, keys,
+                                      extra_keys=[_SALT] + [f"__nn_{k}" for k in keys]),
                          batch_format="pyarrow", zero_copy_batch=True)
         # round 2: ≤ salt rows per (key, window) remain — a tiny final merge.
         merged = r1.drop_columns([_SALT]) \
-            .repartition(max(8, nparts // 4)).sort(keys + [_WID]) \
-            .map_batches(PartialMerge(aggs, keys),
-                         batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(max(8, nparts // 4)).sort(sort_keys + [_WID]) \
+            .map_batches(PartialMerge(aggs, keys,
+                                      extra_keys=[f"__nn_{k}" for k in keys]),
+                         batch_format="pyarrow", zero_copy_batch=True) \
+            .map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
     elif merge == "tree":
         # single fan-in: per-block combining already happened in the partial
         # stage, so the root sees ≤ blocks × (keys × windows) tiny rows —
@@ -251,7 +293,9 @@ def windowed_aggregate(
             remerge, batch_format="pyarrow", zero_copy_batch=True)
     elif merge == "sortmerge":
         import ray
-        remerge = PartialMerge(aggs, keys)
+        enc, dec, sort_keys = _encode_null_keys(keys)
+        remerge = PartialMerge(aggs, keys,
+                               extra_keys=[f"__nn_{k}" for k in keys])
         # Coalesce the (already combiner-reduced) partials to ~one block per
         # core before the range shuffle: the sort's cost is dominated by
         # per-block fixed overhead (sampling + partition tasks), so 200 tiny
@@ -259,10 +303,17 @@ def windowed_aggregate(
         # multi-node scale this tracks total cluster cores.
         nparts = shuffle_partitions or max(
             8, int(ray.cluster_resources().get("CPU", 8)))
-        merged = partials.repartition(nparts).sort(keys + [_WID]).map_batches(
-            remerge, batch_format="pyarrow", zero_copy_batch=True)
+        merged = partials.map_batches(enc, batch_format="pyarrow",
+                                      zero_copy_batch=True) \
+            .repartition(nparts).sort(sort_keys + [_WID]).map_batches(
+                remerge, batch_format="pyarrow", zero_copy_batch=True) \
+            .map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
     else:
-        merged = partials.groupby(keys + [_WID]).aggregate(*ray_merge_aggs(aggs))
+        enc, dec, sort_keys = _encode_null_keys(keys)
+        merged = partials.map_batches(enc, batch_format="pyarrow",
+                                      zero_copy_batch=True) \
+            .groupby(sort_keys + [_WID]).aggregate(*ray_merge_aggs(aggs)) \
+            .map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
     fin = FinalizeWindows(window, aggs, keys, watermark=watermark,
                           emit_start=emit_start, round_decimals=round_decimals)
     return merged.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)

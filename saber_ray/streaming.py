@@ -55,7 +55,7 @@ import pyarrow.parquet as pq
 import ray
 
 from saber_ray.core.aggregates import (AggSpec, ROWS, arrow_merge_aggs,
-                                       finalize)
+                                       finalize, group_by_null_safe)
 from saber_ray.core.windows import Window
 from saber_ray.stages.window_agg import PanePartialAgg, _WID
 
@@ -93,7 +93,7 @@ class PaneStoreActor:
         self.emitted = 0
 
     def _merge(self, t: pa.Table) -> pa.Table:
-        m = t.group_by(self.keys + [_PANE], use_threads=False).aggregate(self.merge_spec)
+        m = group_by_null_safe(t, self.keys + [_PANE], self.merge_spec)
         return m.rename_columns([self.merge_rename.get(c, c) for c in m.column_names])
 
     def add(self, partials: pa.Table) -> None:
@@ -137,8 +137,7 @@ class PaneStoreActor:
         if keep.any():
             t = self.state.drop_columns([_PANE]).take(row_sel[keep])
             t = t.append_column(_WID, pa.array(window_id[keep], type=pa.int64()))
-            merged = t.group_by(self.keys + [_WID], use_threads=False) \
-                      .aggregate(self.merge_spec)
+            merged = group_by_null_safe(t, self.keys + [_WID], self.merge_spec)
             merged = merged.rename_columns(
                 [self.merge_rename.get(c, c) for c in merged.column_names])
             cols = {k: merged[k] for k in self.keys}

@@ -187,3 +187,38 @@ def test_emit_start(ray_session, sf_dir):
     out = to_pandas(windowed_aggregate(
         ds, window=Window.tumbling(DAY), aggs=[cnt(alias="n")], emit_start=True))
     assert (out["window_start_us"] == out["window_id"] * DAY).all()
+
+
+def test_null_group_keys_all_strategies(ray_session, tmp_path):
+    """SQL GROUP BY keeps ONE null group; every merge strategy must agree
+    (pyarrow's multi-key group_by splits null keys — core/aggregates.py
+    group_by_null_safe — and Ray's sort can't compare None — the
+    _encode_null_keys companion encoding)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    rng = np.random.default_rng(5)
+    n = 20_000
+    key = np.array([None if i % 7 == 0 else f"k{i % 5}" for i in range(n)],
+                   dtype=object)
+    p = str(tmp_path / "nullkey.parquet")
+    pq.write_table(pa.table({
+        "ts": pa.array(rng.integers(0, 5 * DAY, n), type=pa.timestamp("us")),
+        "k": pa.array(key, type=pa.string()),
+        "v": rng.random(n)}), p)
+    con = duckdb.connect()
+    want = con.execute(f"""
+      WITH t AS (SELECT *, epoch_us(ts) // {DAY} AS s FROM read_parquet('{p}')),
+      w AS (SELECT t.*, t.s - o.i AS window_id FROM t
+            CROSS JOIN (VALUES (0),(1)) o(i) WHERE t.s - o.i >= 0)
+      SELECT k, window_id, COUNT(*) AS n, ROUND(SUM(v),6) AS s
+      FROM w GROUP BY 1,2""").fetchdf()
+    con.close()
+    want = canon(want)
+    for m in ("sortmerge", "tree", "salted", "shuffle"):
+        got = canon(to_pandas(windowed_aggregate(
+            rd.read_parquet(p), window=Window.sliding(2 * DAY, DAY),
+            aggs=[cnt(alias="n"), sum_("v", "s")], keys=["k"], merge=m,
+            round_decimals=6)))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
