@@ -69,11 +69,16 @@ def run_suite() -> dict:
     # fixed file count: the num_cpus=8 and =32 runs must read IDENTICAL input
     generate_transcripts(data_dir, n_turns=n_turns, n_files=64)
 
+    # block granularity: ~2 blocks per core, but never blocks above ~750k
+    # rows — at low core counts cpu-proportional sizing would create 4M-row
+    # mega-blocks whose task granularity (and memory) differs from the high
+    # level, distorting the scaling comparison.
+    nblocks = max(2 * NUM_CPUS, n_turns // 750_000)
+
     def src(*cols):
-        # column-pruned read; ~2 blocks per core (fewer, larger blocks cut
-        # per-block overhead across the whole pipeline vs Ray's default split)
+        # column-pruned read: only the columns a query touches leave storage
         return read_transcripts(data_dir, columns=list(cols),
-                                override_num_blocks=2 * NUM_CPUS)
+                                override_num_blocks=nblocks)
 
     # untimed warmup: spin up the Ray worker pool, warm the page cache for
     # EVERY column the suite touches (disk IO is a shared fixed cost that
