@@ -164,6 +164,45 @@ def _q_windowed_join(sf):
                                "event_id_r", "value_l", "value_r"])
 
 
+def _q_pricing_summary(sf):
+    """TPC-H Q1-shaped pricing summary through the engine's own aggregate:
+    a tumbling window spanning all of time degenerates to plain GROUP BY,
+    exercising multi-key grouping + all five aggregation types at once."""
+    ds = read_table(sf, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_shipdate"])
+    ds = projection(ds, [col("l_shipdate").alias("ts"),
+                         col("l_quantity").cast("float64").alias("qty"),
+                         col("l_extendedprice").alias("price")],
+                    keep=["l_returnflag", "l_linestatus"])
+    out = windowed_aggregate(
+        ds, window=Window.tumbling(10**18), ts_col="ts",
+        keys=["l_returnflag", "l_linestatus"],
+        aggs=[sum_("qty", "sum_qty"), avg("qty", "avg_qty"),
+              sum_("price", "sum_price"), min_("price", "min_price"),
+              max_("price", "max_price"), cnt(alias="count_order")],
+        round_decimals=4)
+    return out.drop_columns(["window_id"])
+
+
+def _q_string_ops(sf):
+    """String expression kernels (beyond the reference's 3-type system):
+    lower / length / substring-match / regex-match, vectorized Arrow."""
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    filtered = selection(docs, col("text").contains("the")
+                         & col("text").match(r"\b[a-z]{6,}\b"))
+    return projection(filtered, [
+        col("text").lower().alias("lowered"),
+        col("text").str_len().cast("int64").alias("n_chars"),
+    ], keep=["doc_id"])
+
+
+def _q_simhash_pairs(sf):
+    from saber_ray.stages.dedup import simhash_near_pairs
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    return simhash_near_pairs(docs, max_hamming=8)
+
+
 def _q_topk(sf):
     ds = read_table(sf, "events", columns=["event_id", "value"])
     return ds.sort(["value", "event_id"], descending=[True, False]).limit(10)
@@ -447,6 +486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "noop": _q_noop,
         "w1_chained": _q_w1_chained,
         "embedding_near_dup": _q_embedding_near_dup,
+        "pricing_summary": _q_pricing_summary,
+        "string_ops": _q_string_ops,
         "topk": _q_topk,
         "distinct_count": _q_distinct,
         "dedup_exact": _q_dedup_exact,
@@ -454,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
         # rows-only checks (non-SQL-expressible; deterministic, pytest-verified)
+        "simhash_near_pairs": _q_simhash_pairs,
         "multimodal_features": _q_multimodal_features,
         "dedup_minhash_lsh": _q_minhash_clusters,
         "simhash_fingerprint": _q_simhash,
@@ -597,6 +639,18 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.35"""),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(SUM(CAST(l_quantity AS DOUBLE)), 4) AS sum_qty, "
+            "ROUND(AVG(CAST(l_quantity AS DOUBLE)), 4) AS avg_qty, "
+            "ROUND(SUM(l_extendedprice), 4) AS sum_price, "
+            "ROUND(MIN(l_extendedprice), 4) AS min_price, "
+            "ROUND(MAX(l_extendedprice), 4) AS max_price, "
+            "COUNT(*) AS count_order FROM lineitem GROUP BY 1, 2"),
+        "string_ops": (
+            "SELECT doc_id, LOWER(text) AS lowered, LENGTH(text) AS n_chars "
+            "FROM documents WHERE text LIKE '%the%' "
+            r"AND regexp_matches(text, '\b[a-z]{6,}\b')"),
         "topk": ("SELECT event_id, value FROM events "
                  "ORDER BY value DESC, event_id LIMIT 10"),
         "distinct_count": ("SELECT event_type, COUNT(*) AS n FROM events "
