@@ -70,12 +70,17 @@ class PanePartialAgg:
     """
 
     def __init__(self, window: Window, aggs: Sequence[AggSpec],
-                 keys: Sequence[str], ts_col: str, salt: int = 0):
+                 keys: Sequence[str], ts_col: str, salt: int = 0,
+                 expand: bool = True):
         self.window = window
         self.aggs = list(aggs)
         self.keys = list(keys)
         self.ts_col = ts_col
         self.salt = salt
+        # expand=False emits PANE-granularity partials (column __pane) for
+        # merge paths that partition by key only and expand post-shuffle —
+        # ~size/slide fewer shuffle rows for sliding windows.
+        self.expand = expand
         self.partial_spec, self.partial_rename = arrow_partial_aggs(aggs)
         self.merge_spec, self.merge_rename = arrow_merge_aggs(aggs)
 
@@ -103,6 +108,8 @@ class PanePartialAgg:
             # pane == window: just rename (panes_per_slide == panes_per_window == 1)
             idx = p1.column_names.index(_PANE)
             out = p1.set_column(idx, _WID, p1[_PANE])
+        elif not self.expand:
+            out = p1                       # pane partials; expansion post-shuffle
         else:
             panes = p1[_PANE].to_numpy(zero_copy_only=False)
             row_sel, window_id = w.expand_panes(panes)
@@ -118,6 +125,39 @@ class PanePartialAgg:
             out = out.append_column(
                 _SALT, pa.array(np.full(out.num_rows, sv, dtype=np.int64)))
         return out
+
+
+class PaneToWindowMerge:
+    """Post-shuffle pane→window path: merge pane partials per (keys, pane),
+    expand panes to their covering windows, merge per (keys, window).
+
+    Correct ONLY when the exchange co-located each key entirely (partition
+    by keys alone — NOT by (keys, pane), which could split a window's panes
+    across reducers). Equivalent to pre-expansion by associativity; moves
+    ~size/slide fewer rows through the shuffle."""
+
+    def __init__(self, aggs: Sequence[AggSpec], keys: Sequence[str],
+                 window: Window, extra_keys: Sequence[str] = ()):
+        self.keys = list(keys) + list(extra_keys)
+        self.window = window
+        self.merge_spec, self.merge_rename = arrow_merge_aggs(aggs)
+
+    def _rename(self, t: pa.Table) -> pa.Table:
+        return t.rename_columns([self.merge_rename.get(n, n)
+                                 for n in t.column_names])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            idx = batch.column_names.index(_PANE)
+            return batch.set_column(idx, _WID, batch[_PANE])
+        m = self._rename(group_by_null_safe(batch, self.keys + [_PANE],
+                                            self.merge_spec))
+        panes = m[_PANE].to_numpy(zero_copy_only=False)
+        row_sel, window_id = self.window.expand_panes(panes)
+        t = m.drop_columns([_PANE]).take(row_sel)
+        t = t.append_column(_WID, pa.array(window_id, type=pa.int64()))
+        return self._rename(group_by_null_safe(t, self.keys + [_WID],
+                                               self.merge_spec))
 
 
 class PartialMerge:
@@ -259,8 +299,13 @@ def windowed_aggregate(
     """
     aggs = list(aggs)
     keys = list(keys)
+    # keyed sortmerge ships PANE partials (~size/slide fewer rows) and
+    # expands post-shuffle — legal because the exchange partitions by key
+    # only, so all of a key's panes co-locate (PaneToWindowMerge docstring).
+    post_expand = merge == "sortmerge" and bool(keys) and not window.is_tumbling
     partial = PanePartialAgg(window, aggs, keys, ts_col,
-                             salt=salt if merge == "salted" else 0)
+                             salt=salt if merge == "salted" else 0,
+                             expand=not post_expand)
     kwargs = {"batch_format": "pyarrow", "zero_copy_batch": True}
     if batch_size is not None:
         kwargs["batch_size"] = batch_size
@@ -294,8 +339,16 @@ def windowed_aggregate(
     elif merge == "sortmerge":
         import ray
         enc, dec, sort_keys = _encode_null_keys(keys)
-        remerge = PartialMerge(aggs, keys,
-                               extra_keys=[f"__nn_{k}" for k in keys])
+        if post_expand:
+            # partition by KEY only (equal keys can't split across reducers);
+            # panes merge, expand to windows, and window-merge in one task.
+            remerge = PaneToWindowMerge(aggs, keys, window,
+                                        extra_keys=[f"__nn_{k}" for k in keys])
+            sort_cols = sort_keys
+        else:
+            remerge = PartialMerge(aggs, keys,
+                                   extra_keys=[f"__nn_{k}" for k in keys])
+            sort_cols = sort_keys + [_WID]
         # Coalesce the (already combiner-reduced) partials to ~one block per
         # core before the range shuffle: the sort's cost is dominated by
         # per-block fixed overhead (sampling + partition tasks), so 200 tiny
@@ -305,7 +358,7 @@ def windowed_aggregate(
             8, int(ray.cluster_resources().get("CPU", 8)))
         merged = partials.map_batches(enc, batch_format="pyarrow",
                                       zero_copy_batch=True) \
-            .repartition(nparts).sort(sort_keys + [_WID]).map_batches(
+            .repartition(nparts).sort(sort_cols).map_batches(
                 remerge, batch_format="pyarrow", zero_copy_batch=True) \
             .map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
     else:
