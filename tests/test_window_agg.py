@@ -222,3 +222,24 @@ def test_null_group_keys_all_strategies(ray_session, tmp_path):
             aggs=[cnt(alias="n"), sum_("v", "s")], keys=["k"], merge=m,
             round_decimals=6)))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sliding_row_window_per_key(ray_session, sf_dir):
+    """Count-based SLIDING window (size 6 rows, slide 2) per conversation
+    over the turn ordinal — the reference's ROW_BASED sliding mode
+    (WindowDefinition.java:5-8) keyed per stream."""
+    ts = transcripts_from_events(sf_dir)
+    out = windowed_aggregate(
+        ts, window=Window.sliding(6, 2, mode="row"),
+        aggs=[cnt(alias="n_turns")], keys=["conv_id"], ts_col="turn_idx")
+    assert_matches_oracle(
+        out,
+        f"WITH transcripts AS ({TRANSCRIPTS_SQL}), "
+        "w AS (SELECT conv_id, turn_idx, CAST(turn_idx // 2 AS BIGINT) - o.i "
+        "      AS window_id FROM transcripts "
+        "      CROSS JOIN (VALUES (0),(1),(2)) o(i) "
+        "      WHERE CAST(turn_idx // 2 AS BIGINT) - o.i >= 0 "
+        "        AND turn_idx >= (CAST(turn_idx // 2 AS BIGINT) - o.i) * 2 "
+        "        AND turn_idx < (CAST(turn_idx // 2 AS BIGINT) - o.i) * 2 + 6) "
+        "SELECT conv_id, window_id, COUNT(*) AS n_turns FROM w GROUP BY 1, 2",
+        sf_dir)
