@@ -282,6 +282,16 @@ def _q_ann_lsh(sf):
     return ann_topk_lsh(emb, q, k=10, dim=q.shape[1], nbits=4, probe_hamming=2)
 
 
+def _q_transcripts_identity(sf):
+    """The input_hint invariant as a gate query: per-turn text equality under
+    stable (conv_id, turn_idx) ordering — the full transcript stream
+    (including the wide text payload) is value-identical to its SQL twin."""
+    ts = transcripts_from_events(sf)
+    return ts.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "role", "text", "tool"]),
+        batch_format="pyarrow")
+
+
 def _q_noop(sf):
     from saber_ray import noop
     ds = read_table(sf, "region")
@@ -483,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sg2": _q_sg2,
         "sg3": _q_sg3,
         "ysb": _q_ysb,
+        "transcripts_identity": _q_transcripts_identity,
         "noop": _q_noop,
         "w1_chained": _q_w1_chained,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -622,6 +633,8 @@ def oracle_sql() -> dict[str, str]:
             f"FROM transcripts JOIN {suite.TOOL_DIM_SQL} "
             "ON transcripts.tool = dim.tool "
             "WHERE role = 'assistant' GROUP BY 1, 2"),
+        "transcripts_identity": _tx(
+            "SELECT conv_id, turn_idx, role, text, tool FROM transcripts"),
         "noop": "SELECT * FROM region",
         "w1_chained": (
             "WITH q1 AS (SELECT ts, user_id, "

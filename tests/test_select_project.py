@@ -55,3 +55,20 @@ def test_projection_deep_expression(ray_session, sf_dir):
     assert_matches_oracle(
         out, f"SELECT event_id, {sql_e} AS deep FROM events", sf_dir,
         rtol=1e-9)
+
+
+def test_transcript_text_equality_invariant(ray_session, sf_dir):
+    """The input_hint's per-row invariant: per-turn TEXT equality under
+    stable (conv_id, turn_idx) ordering — the engine's transcript stream is
+    value-identical (including the full text payload) to its SQL twin."""
+    from saber_ray.sources.transcripts import (TRANSCRIPTS_SQL,
+                                               transcripts_from_events)
+    from tests.oracle_util import assert_matches_oracle
+    ts = transcripts_from_events(sf_dir).map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "role", "text", "tool"]),
+        batch_format="pyarrow")
+    assert_matches_oracle(
+        ts,
+        f"WITH transcripts AS ({TRANSCRIPTS_SQL}) "
+        "SELECT conv_id, turn_idx, role, text, tool FROM transcripts",
+        sf_dir)
