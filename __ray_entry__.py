@@ -15,6 +15,7 @@ has an exact value-level oracle.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from collections.abc import Callable
 from typing import Any
@@ -336,7 +337,7 @@ def _q_streaming_cm1(sf):
     import pyarrow as pa
     tbl = pa.Table.from_pandas(t, preserve_index=False)
 
-    work = os.path.join("/tmp/saber_ray_gate", f"stream_cm1-{abs(hash(sf))}")
+    work = os.path.join("/tmp/saber_ray_gate", f"stream_cm1-{hashlib.md5(sf.encode()).hexdigest()[:8]}")
     shutil.rmtree(work, ignore_errors=True)
     src_dir = os.path.join(work, "in")
     os.makedirs(src_dir)
@@ -364,7 +365,7 @@ def _q_streaming_join(sf):
     import pyarrow.parquet as pq
     from saber_ray.streaming_join import StreamingWindowedJoin
 
-    work = os.path.join("/tmp/saber_ray_gate", f"stream_join-{abs(hash(sf))}")
+    work = os.path.join("/tmp/saber_ray_gate", f"stream_join-{hashlib.md5(sf.encode()).hexdigest()[:8]}")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(os.path.join(work, "in"))
     con = duckdb.connect()
@@ -407,7 +408,7 @@ def _q_streaming_sessions(sf):
     t = t.sort_values(["ts", "conv_id", "turn_idx"],
                       kind="mergesort")[["conv_id", "ts"]]
     tbl = pa.Table.from_pandas(t, preserve_index=False)
-    work = os.path.join("/tmp/saber_ray_gate", f"stream_sess-{abs(hash(sf))}")
+    work = os.path.join("/tmp/saber_ray_gate", f"stream_sess-{hashlib.md5(sf.encode()).hexdigest()[:8]}")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(os.path.join(work, "in"))
     files, n = [], tbl.num_rows
