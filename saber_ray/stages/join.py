@@ -17,15 +17,19 @@ Ray-native designs (NOT a nested-loop port):
 - **hash_join** — both sides large: Ray Data's hash-partitioned
   ``Dataset.join`` (hash shuffle on the key on both sides).
 - **windowed_join** — the streaming equi+time-band join: tag sides, align
-  schemas, union, ONE hash shuffle ``groupby(key)``, then a vectorized
-  per-key merge join in event time: sort each side by ts and use
-  ``np.searchsorted`` to find, for every left row, the contiguous right-ts
-  band ``[tL - before, tL + after]`` — O((nL+nR) log nR) per key instead of
-  the reference's per-tuple nested scan. Window eviction is implicit in the
-  band bound (watermark-driven at scale: the band IS the retained state).
-  An optional residual theta ``predicate`` filters the candidate pairs
-  (equi+band prune first, arbitrary theta after — same output as the
-  reference's pure theta scan restricted to the band).
+  schemas, union, ONE range shuffle ``sort(key)`` (equal keys co-locate —
+  same partition invariant as window_agg's sortmerge), then a PER-BLOCK
+  fully vectorized multi-key merge join in event time: keys are factorized
+  to codes, the right side is lexsorted by (code, ts), and every left row's
+  candidate band ``[tL - before, tL + after]`` within its key segment is
+  found with TWO ``np.searchsorted`` calls over a composite
+  ``code * span + ts`` int64 axis — no Python loop over keys or rows,
+  O((nL+nR) log nR) per block. Rows with NULL join keys are dropped (SQL
+  equi-join semantics). Window eviction is implicit in the band bound
+  (watermark-driven at scale: the band IS the retained state). An optional
+  residual theta ``predicate`` filters the candidate pairs (equi+band prune
+  first, arbitrary theta after — same output as the reference's pure theta
+  scan restricted to the band).
 
 Skew note: a hot join key concentrates its pairs in one group. The band join
 is near-linear per key, which absorbs most skew; for pathological keys,
@@ -191,25 +195,68 @@ def windowed_join(
                            batch_format="pyarrow", zero_copy_batch=True)
     both = tl.union(tr)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0].sort_values("__ts", kind="mergesort")
-        rg = g[g["__side"] == 1].sort_values("__ts", kind="mergesort")
+    def per_block(g: pd.DataFrame) -> pd.DataFrame:
         out_cols = (on + ["ts_l", "ts_r"] + [lmap[c] for c in lcols]
                     + [rmap[c] for c in rcols])
+        empty = pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+        if len(g) == 0:
+            return empty
+        # factorize the (possibly composite) key to dense codes; SQL
+        # equi-join semantics: NULL keys never match -> drop them
+        if len(on) == 1:
+            codes, _ = pd.factorize(g[on[0]], use_na_sentinel=True)
+        else:
+            codes, _ = pd.factorize(
+                pd.MultiIndex.from_frame(g[on]), use_na_sentinel=True)
+        keep = codes >= 0
+        if not keep.all():
+            g = g[keep].reset_index(drop=True)
+            codes = codes[keep]
+        side = g["__side"].to_numpy()
+        ts = g["__ts"].to_numpy()
+        lmask = side == 0
+        lg, rg = g[lmask], g[~lmask]
         if len(lg) == 0 or len(rg) == 0:
-            return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
-        tL = lg["__ts"].to_numpy()
-        tR = rg["__ts"].to_numpy()
-        lo = np.searchsorted(tR, tL - before, side="left")
-        hi = np.searchsorted(tR, tL + after, side="right")
+            return empty
+        cL, tLa = codes[lmask], ts[lmask]
+        cR, tRa = codes[~lmask], ts[~lmask]
+        # composite (code, ts) axis: ts normalized to [1, span-band-1] so the
+        # band probes never cross a code boundary; int64-safe because codes
+        # and the per-block ts span are both block-local.
+        t0 = int(ts.min())
+        span = int(ts.max()) - t0 + before + after + 3
+        n_codes = int(codes.max()) + 1
+        if (n_codes + 1) * span >= 2 ** 62:
+            # composite axis would overflow int64 (pathological: huge key
+            # count x huge time span in ONE block) — probe per key instead.
+            parts = []
+            rgb = {k: grp for k, grp in rg.groupby(on[0] if len(on) == 1
+                                                   else list(on), sort=False)}
+            for k, lgrp in lg.groupby(on[0] if len(on) == 1 else list(on),
+                                      sort=False):
+                rgrp = rgb.get(k)
+                if rgrp is None:
+                    continue
+                sub = pd.concat([lgrp, rgrp.sort_values("__ts")])
+                parts.append(per_block(sub.reset_index(drop=True)))
+            return pd.concat(parts, ignore_index=True) if parts else empty
+        r_order = np.lexsort((tRa, cR))
+        cRs, tRs = cR[r_order], tRa[r_order]
+        r_axis = cRs.astype(np.int64) * span + (tRs - t0) + 1
+        q_lo = cL.astype(np.int64) * span + np.maximum(
+            (tLa - before - t0) + 1, 0)
+        q_hi = cL.astype(np.int64) * span + np.minimum(
+            (tLa + after - t0) + 1, span - 1)
+        lo = np.searchsorted(r_axis, q_lo, side="left")
+        hi = np.searchsorted(r_axis, q_hi, side="right")
         counts = hi - lo
-        li = np.repeat(np.arange(len(tL)), counts)
+        li = np.repeat(np.arange(len(tLa)), counts)
         offs = np.arange(counts.sum()) - np.repeat(
             np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
-        ri = lo[li] + offs
+        ri = r_order[lo[li] + offs]
         res = {k: lg[k].to_numpy()[li] for k in on}
-        res["ts_l"] = tL[li]
-        res["ts_r"] = tR[ri]
+        res["ts_l"] = tLa[li]
+        res["ts_r"] = tRa[ri]
         for c in lcols:
             res[lmap[c]] = lg["L__" + c].to_numpy()[li]
         for c in rcols:
@@ -219,4 +266,6 @@ def windowed_join(
             df = df[np.asarray(predicate(df), dtype=bool)]
         return df
 
-    return both.groupby(on).map_groups(per_key, batch_format="pandas")
+    # range shuffle by key: equal keys co-locate in one block (Ray sort
+    # boundary semantics — see stages/window_agg.py sortmerge notes)
+    return both.sort(on).map_batches(per_block, batch_format="pandas")
