@@ -44,10 +44,19 @@ def entry() -> Any:
 # helpers
 # ---------------------------------------------------------------------------
 
-ALL_AGGS = [cnt(alias="n"), sum_("value", "sum_value"), avg("value", "avg_value"),
-            min_("value", "min_value"), max_("value", "max_value")]
-ALL_SQL = ("COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value, "
-           "ROUND(AVG(value), 6) AS avg_value, ROUND(MIN(value), 6) AS min_value, "
+# `value` is exact 2-decimal currency data, so SUM/AVG use the engine's
+# fixed-point scale=2 path (exact int64 cents — bit-identical for any
+# partitioning; see saber_ray.core.aggregates scale note). The SQL twin sums
+# DECIMAL(18,2) for the same exactness; a float SUM oracle is a coin flip at
+# rounding-boundary ties (e.g. 4491.21/96 = 46.7834375 exactly).
+ALL_AGGS = [cnt(alias="n"), sum_("value", "sum_value", scale=2),
+            avg("value", "avg_value", scale=2),
+            min_("value", "min_value", scale=2),
+            max_("value", "max_value", scale=2)]
+_DECV = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+ALL_SQL = (f"COUNT(*) AS n, ROUND({_DECV}, 6) AS sum_value, "
+           f"ROUND({_DECV} / COUNT(value), 6) AS avg_value, "
+           "ROUND(MIN(value), 6) AS min_value, "
            "ROUND(MAX(value), 6) AS max_value")
 
 
@@ -137,17 +146,27 @@ def _q_broadcast_join(sf):
 
 def _q_hash_join_agg(sf):
     import pyarrow as pa
+    import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
     from saber_ray.core.aggregates import _round_half_even
     li = read_table(sf, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    # exact cents before the shuffle (2-decimal money; see ALL_AGGS note)
+    li = li.map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "cents": pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                                  pa.scalar(100.0))), pa.int64()),
+        }), batch_format="pyarrow")
     orders = read_table(sf, "orders", columns=["o_orderkey", "o_orderpriority"])
     joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
                        num_partitions=8)
     agg = joined.groupby("o_orderpriority").aggregate(
-        Sum("l_extendedprice", alias_name="rev_raw"), Count(alias_name="n"))
+        Sum("cents", alias_name="rev_cents"), Count(alias_name="n"))
     return agg.map_batches(
         lambda t: pa.table({"o_orderpriority": t["o_orderpriority"],
-                            "revenue": _round_half_even(t["rev_raw"], 4),
+                            "revenue": _round_half_even(
+                                pc.divide(pc.cast(t["rev_cents"], pa.float64()),
+                                          pa.scalar(100.0)), 4),
                             "n": t["n"]}),
         batch_format="pyarrow")
 
@@ -165,6 +184,23 @@ def _q_windowed_join(sf):
                                "event_id_r", "value_l", "value_r"])
 
 
+def _q_theta_join_keyless(sf):
+    """Pure theta join — the reference's ThetaJoin with a bare comparison
+    predicate and NO equi key (cql/operators/cpu/ThetaJoin.java:96-272,
+    TestThetaJoin.java:193-196), bounded by the time band (the window).
+    Exercises windowed_join's band-partitioned replication path."""
+    ev = read_table(sf, "events",
+                    columns=["ts", "event_type", "value", "event_id"])
+    purchases = selection(ev, col("event_type") == "purchase")
+    clicks = selection(ev, col("event_type") == "click")
+    out = windowed_join(
+        purchases, clicks, on=None, before=HOUR, after=HOUR,
+        left_cols=["event_id", "value"], right_cols=["event_id", "value"],
+        predicate=lambda t: t["value_l"].to_numpy() > t["value_r"].to_numpy())
+    return out.select_columns(["ts_l", "ts_r", "event_id_l", "event_id_r",
+                               "value_l", "value_r"])
+
+
 def _q_pricing_summary(sf):
     """TPC-H Q1-shaped pricing summary through the engine's own aggregate:
     a tumbling window spanning all of time degenerates to plain GROUP BY,
@@ -179,9 +215,10 @@ def _q_pricing_summary(sf):
     out = windowed_aggregate(
         ds, window=Window.tumbling(10**18), ts_col="ts",
         keys=["l_returnflag", "l_linestatus"],
-        aggs=[sum_("qty", "sum_qty"), avg("qty", "avg_qty"),
-              sum_("price", "sum_price"), min_("price", "min_price"),
-              max_("price", "max_price"), cnt(alias="count_order")],
+        aggs=[sum_("qty", "sum_qty", scale=2), avg("qty", "avg_qty", scale=2),
+              sum_("price", "sum_price", scale=2),
+              min_("price", "min_price", scale=2),
+              max_("price", "max_price", scale=2), cnt(alias="count_order")],
         round_decimals=4)
     return out.drop_columns(["window_id"])
 
@@ -485,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": _q_broadcast_join,
         "hash_join_agg": _q_hash_join_agg,
         "windowed_theta_join": _q_windowed_join,
+        "theta_join_keyless": _q_theta_join_keyless,
         "cm1": _q_cm1,
         "streaming_cm1": _q_streaming_cm1,
         "streaming_windowed_join": _q_streaming_join,
@@ -540,7 +578,7 @@ def oracle_sql() -> dict[str, str]:
                                            "window_id"),
         "sliding_grouped_agg": _sliding_sql(
             4, 12 * HOUR,
-            "user_id, window_id, ROUND(AVG(value), 6) AS avg_value, "
+            f"user_id, window_id, ROUND({_DECV} / COUNT(value), 6) AS avg_value, "
             "COUNT(*) AS n", "user_id, window_id"),
         "row_window_agg": _tx(
             "SELECT conv_id, CAST(turn_idx // 4 AS BIGINT) AS window_id, "
@@ -563,7 +601,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_nationkey, c_mktsegment, n_name "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey"),
         "hash_join_agg": (
-            "SELECT o_orderpriority, ROUND(SUM(l_extendedprice), 4) AS revenue, "
+            "SELECT o_orderpriority, "
+            "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) "
+            "AS revenue, "
             "COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY 1"),
         "windowed_theta_join": (
@@ -574,6 +614,14 @@ def oracle_sql() -> dict[str, str]:
             "AND p.event_type = 'purchase' AND c.event_type = 'click' "
             f"AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {6 * HOUR} "
             f"AND epoch_us(p.ts) + {6 * HOUR}"),
+        "theta_join_keyless": (
+            "SELECT epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
+            "p.event_id AS event_id_l, c.event_id AS event_id_r, "
+            "p.value AS value_l, c.value AS value_r "
+            "FROM events p JOIN events c ON p.event_type = 'purchase' "
+            "AND c.event_type = 'click' "
+            f"AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {HOUR} "
+            f"AND epoch_us(p.ts) + {HOUR} AND p.value > c.value"),
         "streaming_windowed_join": (
             "SELECT p.user_id, epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
             "p.event_id AS event_id_l, c.event_id AS event_id_r, "
@@ -655,9 +703,12 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.35"""),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
-            "ROUND(SUM(CAST(l_quantity AS DOUBLE)), 4) AS sum_qty, "
-            "ROUND(AVG(CAST(l_quantity AS DOUBLE)), 4) AS avg_qty, "
-            "ROUND(SUM(l_extendedprice), 4) AS sum_price, "
+            "ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) "
+            "AS sum_qty, "
+            "ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
+            "/ COUNT(l_quantity), 4) AS avg_qty, "
+            "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) "
+            "AS sum_price, "
             "ROUND(MIN(l_extendedprice), 4) AS min_price, "
             "ROUND(MAX(l_extendedprice), 4) AS max_price, "
             "COUNT(*) AS count_order FROM lineitem GROUP BY 1, 2"),
@@ -681,12 +732,18 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             "SELECT doc_id, md5(text) AS fingerprint FROM documents"),
         "ann_topk": ("""
-            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            -- DOUBLE[] cast: duckdb's list_cosine_similarity is float32 on
+            -- FLOAT[] columns; the engine computes in float64 (numpy)
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id = 0)
             SELECT 0 AS query_id, vec_id,
-                   ROUND(list_cosine_similarity(embedding, qe), 6) AS score, rank
-            FROM (SELECT vec_id, embedding, qe,
+                   ROUND(sim, 6) AS score, rank
+            FROM (SELECT vec_id,
+                         list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe)
+                             AS sim,
                          ROW_NUMBER() OVER (
-                           ORDER BY list_cosine_similarity(embedding, qe) DESC,
+                           ORDER BY list_cosine_similarity(
+                                        CAST(embedding AS DOUBLE[]), qe) DESC,
                                     vec_id) AS rank
                   FROM embeddings, q) t
             WHERE rank <= 10"""),

@@ -37,6 +37,7 @@ class AggSpec:
     op: str                    # cnt | sum | avg | min | max
     column: Optional[str]      # None only for cnt → COUNT(*)
     alias: str
+    scale: Optional[int] = None   # fixed-point decimal scale (see note below)
 
     def __post_init__(self):
         if self.op not in (CNT, SUM, AVG, MIN, MAX):
@@ -45,20 +46,63 @@ class AggSpec:
             raise ValueError(f"{self.op} requires a column")
 
 
+# Fixed-point (scaled-decimal) aggregation — ``scale=s`` declares the column
+# holds decimals with ≤ s fractional digits (currency etc.). Partials then
+# accumulate round(v·10^s) as EXACT int64, and finalize descales — so the sum
+# is bit-identical for ANY partitioning / merge order / cluster size, like
+# SQL SUM(DECIMAL). Without it, float SUM/AVG is order-dependent at the last
+# ulp, and when the true average lands exactly on a rounding-boundary tie
+# (e.g. 2-decimal data: 4491.21/96 = 46.7834375 at 6 decimals) no float
+# summation scheme can reproducibly match a SQL oracle — the oracle's own
+# sequential float sum is a coin flip around the tie. Saber's reference has
+# no decimals (3-type system, TupleSchema.java:5-8); this is a scale-path
+# extension, and the merge algebra (PartialResultSlot.java:186-212) is
+# unchanged — int sums use the same associative adds.
+
 def cnt(column: Optional[str] = None, alias: Optional[str] = None) -> AggSpec:
     return AggSpec(CNT, column, alias or (f"cnt_{column}" if column else "cnt"))
 
-def sum_(column: str, alias: Optional[str] = None) -> AggSpec:
-    return AggSpec(SUM, column, alias or f"sum_{column}")
+def sum_(column: str, alias: Optional[str] = None, *,
+         scale: Optional[int] = None) -> AggSpec:
+    return AggSpec(SUM, column, alias or f"sum_{column}", scale)
 
-def avg(column: str, alias: Optional[str] = None) -> AggSpec:
-    return AggSpec(AVG, column, alias or f"avg_{column}")
+def avg(column: str, alias: Optional[str] = None, *,
+        scale: Optional[int] = None) -> AggSpec:
+    return AggSpec(AVG, column, alias or f"avg_{column}", scale)
 
-def min_(column: str, alias: Optional[str] = None) -> AggSpec:
-    return AggSpec(MIN, column, alias or f"min_{column}")
+def min_(column: str, alias: Optional[str] = None, *,
+         scale: Optional[int] = None) -> AggSpec:
+    return AggSpec(MIN, column, alias or f"min_{column}", scale)
 
-def max_(column: str, alias: Optional[str] = None) -> AggSpec:
-    return AggSpec(MAX, column, alias or f"max_{column}")
+def max_(column: str, alias: Optional[str] = None, *,
+         scale: Optional[int] = None) -> AggSpec:
+    return AggSpec(MAX, column, alias or f"max_{column}", scale)
+
+
+def scaled_columns(aggs: Sequence["AggSpec"]) -> dict[str, int]:
+    """column → decimal scale for scaled aggregates (one scale per column)."""
+    out: dict[str, int] = {}
+    for a in aggs:
+        if a.column is None or a.scale is None:
+            continue
+        if out.setdefault(a.column, a.scale) != a.scale:
+            raise ValueError(f"conflicting scales for column {a.column!r}")
+    return out
+
+
+def apply_scales(tbl: pa.Table, scales: dict[str, int]) -> pa.Table:
+    """Replace scaled source columns with exact int64 ``round(v * 10^s)``."""
+    for colname, s in scales.items():
+        if colname not in tbl.column_names:
+            continue
+        col = tbl[colname]
+        if pa.types.is_integer(col.type) and s == 0:
+            continue
+        scaled = pc.round(pc.multiply(pc.cast(col, pa.float64()),
+                                      pa.scalar(10.0 ** s)))
+        idx = tbl.column_names.index(colname)
+        tbl = tbl.set_column(idx, colname, pc.cast(scaled, pa.int64()))
+    return tbl
 
 
 # ---------------------------------------------------------------------------
@@ -203,58 +247,78 @@ def finalize(table: pa.Table, aggs: Sequence[AggSpec],
     """
     out: dict[str, pa.Array] = {}
     for a in aggs:
+        descale = (pa.scalar(10.0 ** a.scale)
+                   if a.scale is not None and a.op != CNT else None)
         if a.op == CNT and a.column is None:
             arr = table[ROWS]
         elif a.op == CNT:
             arr = table[_p(a.column, "cnt")]
         elif a.op == SUM:
             arr = table[_p(a.column, "sum")]
+            if descale is not None:
+                arr = pc.divide(pc.cast(arr, pa.float64()), descale)
         elif a.op == AVG:
-            arr = pc.divide(
-                pc.cast(table[_p(a.column, "sum")], pa.float64()),
-                pc.cast(table[_p(a.column, "cnt")], pa.float64()),
-            )
+            s = pc.cast(table[_p(a.column, "sum")], pa.float64())
+            if descale is not None:
+                # op order mirrors the SQL twin CAST(SUM(DECIMAL) AS DOUBLE)
+                # / COUNT(col): descale the exact int sum first, THEN divide.
+                s = pc.divide(s, descale)
+            arr = pc.divide(s, pc.cast(table[_p(a.column, "cnt")], pa.float64()))
         elif a.op == MIN:
             arr = table[_p(a.column, "min")]
+            if descale is not None:
+                arr = pc.divide(pc.cast(arr, pa.float64()), descale)
         else:
             arr = table[_p(a.column, "max")]
+            if descale is not None:
+                arr = pc.divide(pc.cast(arr, pa.float64()), descale)
         if round_decimals is not None and pa.types.is_floating(arr.type):
             arr = _round_half_even(arr, round_decimals)
         out[a.alias] = arr
     return out
 
 
+def round_oracle_np(x, ndigits: int):
+    """DuckDB-bit-exact ROUND on a float64 numpy array.
+
+    DuckDB's ROUND(double, d) is ``std::round(x * 10^d) / 10^d`` — nearest,
+    EXCEPT half-away-from-zero when the *product* lands exactly on a
+    representable .5 (std::round semantics), with non-finite products passing
+    the input through. NOT CPython's round(): CPython rounds the true decimal
+    value of x half-even, so for x = 46.7834375 (whose product 46783437.5 is
+    exactly representable but whose own decimal expansion sits just below the
+    tie) CPython gives ...437 while DuckDB gives ...438. Emulating the product
+    path exactly is what makes value-hash parity with the SQL oracle possible;
+    fuzz-verified bit-equal to DuckDB 1.3 on 720k values across d∈{0,2,4,6}
+    (ties, huge magnitudes, subnormals, ±inf/nan).
+    """
+    import numpy as np
+    s = 10.0 ** ndigits
+    with np.errstate(invalid="ignore", over="ignore"):
+        p = x * s
+        r = np.rint(p)                      # nearest, ties-to-even
+        frac = p - np.floor(p)
+        tie = frac == 0.5                   # exact representable .5 → away
+        if tie.any():
+            r[tie] = np.floor(p[tie]) + np.where(p[tie] > 0, 1.0, 0.0)
+        out = r / s
+        bad = ~np.isfinite(p)
+        out[bad] = x[bad]
+    return out
+
+
 def _round_half_even(arr, ndigits: int) -> pa.Array:
-    """Correctly-rounded decimal rounding (ties-to-even), bit-identical to
-    DuckDB's ROUND and CPython's round().
+    """Vectorized DuckDB-exact decimal rounding of an Arrow float array.
 
-    ``pc.round``/``np.round`` use scale-multiply rounding, which is off by an
-    ulp for values like 68.31400000000001 — enough to break value-hash parity
-    with a SQL oracle when summation order differs.
-
-    Vectorized: ``rint(x*s)/s`` agrees with CPython's round except when the
-    scaled value sits within a few ulps of a .5 tie (ambiguous which side the
-    exact product falls on) — only those rare elements take the per-element
-    CPython fallback, so grouped outputs of any size round at numpy speed.
+    (Name kept for history; the tie policy is DuckDB's product-based
+    std::round, not half-even — see round_oracle_np.)
     """
     import numpy as np
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     typ = arr.type
     x = arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=True)
-    s = 10.0 ** ndigits
-    with np.errstate(invalid="ignore", over="ignore"):
-        p = x * s
-        r = np.rint(p) / s
-        finite = np.isfinite(p)
-        d = np.abs(p - np.floor(p) - 0.5)
-        ulp = np.abs(p) * 2.0 ** -52
-        amb = finite & (d <= 4.0 * ulp + 1e-12)
-    if amb.any():
-        idx = np.nonzero(amb)[0]
-        r[idx] = [round(float(v), ndigits) for v in x[idx]]
-    keep_nan = ~np.isfinite(x)
-    r[keep_nan] = x[keep_nan]
+    r = round_oracle_np(x, ndigits)
     out = pa.array(r, type=pa.float64())
     if arr.null_count:
         out = pc.if_else(pc.is_valid(arr), out, pa.scalar(None, pa.float64()))

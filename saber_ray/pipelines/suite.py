@@ -140,9 +140,12 @@ def sg3(ts_ds, w: Window = DEFAULT.sg, **kw):
                   .repartition(1) \
                   .map_batches(_gpartial, batch_format="pyarrow",
                                zero_copy_batch=True).to_pandas()
+    from saber_ray.core.aggregates import round_oracle_np
     global_avg = pd.DataFrame({
         "window_id": gdf["window_id"],
-        "global_avg": [round(s / c, 6) for s, c in zip(gdf["__s"], gdf["__c"])],
+        "global_avg": round_oracle_np(
+            (gdf["__s"].to_numpy(dtype="float64")
+             / gdf["__c"].to_numpy(dtype="float64")), 6),
     })
     joined = broadcast_join(per_conv.drop_columns(["__s", "__c"]),
                             global_avg, on="window_id")

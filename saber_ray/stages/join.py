@@ -44,6 +44,7 @@ from typing import Callable, Optional, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -63,8 +64,9 @@ class _BroadcastJoiner:
         self.how = how
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 and self.how == "inner":
-            return batch
+        # no empty-batch shortcut: joining an empty batch is cheap and keeps
+        # every output block schema-uniform (the raw left schema would lack
+        # the right side's columns and break downstream column references)
         return batch.join(self.small, keys=self.on, right_keys=self.right_on,
                           join_type=self.how)
 
@@ -96,8 +98,8 @@ def broadcast_join(ds, small, on: Sequence[str] | str, *,
     ref = ray.put(small.combine_chunks())
     if mode == "task":
         def join_batch(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0 and how == "inner":
-                return batch
+            # join even when empty — keeps blocks schema-uniform (see
+            # _BroadcastJoiner.__call__ note)
             return batch.join(ray.get(ref), keys=on, right_keys=right_on,
                               join_type=how)
         kwargs = {"batch_format": "pyarrow", "zero_copy_batch": True}
@@ -138,24 +140,90 @@ def hash_join(left, right, on: Sequence[str] | str, *,
 # windowed stream-stream join (equi key + event-time band + optional theta)
 # ---------------------------------------------------------------------------
 
+def _band_pairs(cL, tL, cR, tR, before: int, after: int):
+    """Vectorized band-join kernel: for every left row i, all right rows j
+    with equal code and ``tL[i] - before <= tR[j] <= tL[i] + after``.
+
+    Returns (li, ri) index arrays into the left/right inputs. The fast path
+    builds a composite ``code * span + ts`` int64 axis (ts normalized so a
+    band probe never crosses a code boundary) and answers every left row with
+    TWO ``np.searchsorted`` calls — no Python loop over keys or rows,
+    O((nL+nR) log nR). A per-code-run fallback covers the pathological case
+    where the composite axis would overflow int64."""
+    r_order = np.lexsort((tR, cR))
+    cRs, tRs = cR[r_order], tR[r_order]
+    t0 = int(min(tL.min(), tR.min()))
+    span = int(max(tL.max(), tR.max())) - t0 + before + after + 3
+    n_codes = int(max(cL.max(), cR.max())) + 1
+    if (n_codes + 1) * span < 2 ** 62:
+        r_axis = cRs * span + (tRs - t0) + 1
+        q_lo = cL * span + np.maximum((tL - before - t0) + 1, 0)
+        q_hi = cL * span + np.minimum((tL + after - t0) + 1, span - 1)
+        lo = np.searchsorted(r_axis, q_lo, side="left")
+        hi = np.searchsorted(r_axis, q_hi, side="right")
+    else:
+        starts = np.searchsorted(cRs, np.arange(n_codes + 1))
+        lo = np.empty(len(cL), dtype=np.int64)
+        hi = np.empty(len(cL), dtype=np.int64)
+        l_order = np.argsort(cL, kind="stable")
+        cLs = cL[l_order]
+        run_start = np.flatnonzero(np.concatenate(
+            ([True], cLs[1:] != cLs[:-1])))
+        run_end = np.append(run_start[1:], len(cLs))
+        for s, e in zip(run_start, run_end):
+            c = int(cLs[s])
+            a, b = starts[c], starts[c + 1]
+            sub = tRs[a:b]
+            idx = l_order[s:e]
+            lo[idx] = a + np.searchsorted(sub, tL[idx] - before, side="left")
+            hi[idx] = a + np.searchsorted(sub, tL[idx] + after, side="right")
+    counts = hi - lo
+    li = np.repeat(np.arange(len(tL)), counts)
+    offs = np.arange(counts.sum()) - np.repeat(
+        np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+    ri = r_order[lo[li] + offs]
+    return li, ri
+
+
 def windowed_join(
     left, right, *,
-    on: Sequence[str] | str,
+    on: Optional[Sequence[str] | str] = None,
     before: int, after: int,
     left_ts: str = "ts", right_ts: str = "ts",
     left_cols: Optional[Sequence[str]] = None,
     right_cols: Optional[Sequence[str]] = None,
-    predicate: Optional[Callable[[pd.DataFrame], np.ndarray]] = None,
+    predicate: Optional[Callable[[pa.Table], np.ndarray]] = None,
     suffixes: tuple[str, str] = ("_l", "_r"),
 ):
-    """Pairs (l, r) with equal key and ``tL - before <= tR <= tL + after``.
+    """Pairs (l, r) with ``tL - before <= tR <= tL + after`` and equal key
+    (when ``on`` is given).
 
     ``before``/``after`` are microseconds of event time. Non-key column names
     colliding across sides get ``suffixes``; ts columns become ``ts_l``/``ts_r``
     (int64 epoch us). ``predicate`` (optional residual theta) sees the joined
-    pandas frame and returns a boolean mask.
+    Arrow batch and returns a boolean mask.
+
+    ``on=None`` is the reference's PURE theta join — an arbitrary predicate
+    with no equi key (cql/operators/cpu/ThetaJoin.java:15-321 with a bare
+    IntComparisonPredicate, e.g. TestThetaJoin.java:193-196), restricted to
+    the time band (the reference's window). Ray-native: both streams are
+    band-partitioned on ``ts`` into cells of ``before + after`` microseconds;
+    left rows go to their own cell, right rows are replicated to every cell
+    whose left owners could match (≤ 2 cells since the band spans at most one
+    boundary), so each (l, r) pair meets in EXACTLY one cell — no pair dedup
+    needed. The cell id then acts as the join code in the same vectorized
+    merge kernel. This is the documented band-partitioning assumption of
+    SURVEY.md §7.4 (join state bounded by the band).
+
+    Per-block all Arrow: keys are dictionary-encoded to dense codes, pairs
+    come from ``_band_pairs``, and outputs are gathered with ``Table.take`` —
+    source dtypes survive exactly (no pandas null→float64 widening). NULL
+    join keys are dropped at the tagger (SQL equi-join semantics: they can
+    never match; it also keeps Ray's sort from comparing None).
     """
-    on = [on] if isinstance(on, str) else list(on)
+    keyless = on is None or on == []
+    on = [] if keyless else ([on] if isinstance(on, str) else list(on))
+    cell = max(int(before) + int(after), 1)
     lcols = [c for c in (left_cols if left_cols is not None
                          else left.schema().names) if c not in on and c != left_ts]
     rcols = [c for c in (right_cols if right_cols is not None
@@ -172,15 +240,49 @@ def windowed_join(
 
     def make_tagger(side: int, ts_col, own_cols, other_cols, other_types):
         def tag(b: pa.Table) -> pa.Table:
+            if on:
+                # NULL keys never join — drop before the shuffle (Ray's sort
+                # cannot compare None; SQL equi-join semantics)
+                mask = None
+                for k in on:
+                    v = pc.is_valid(b[k])
+                    mask = v if mask is None else pc.and_(mask, v)
+                if not pc.all(mask).as_py():
+                    b = b.filter(mask)
+            ts_arr = b[ts_col].cast(pa.int64())
+            if isinstance(ts_arr, pa.ChunkedArray):
+                ts_arr = ts_arr.combine_chunks()
+            ts_np = ts_arr.to_numpy(zero_copy_only=False)
             cols: dict[str, pa.Array] = {k: b[k] for k in on}
-            cols["__ts"] = b[ts_col].cast(pa.int64())
-            cols["__side"] = pa.array(np.full(b.num_rows, side, dtype=np.int8))
+            cols["__ts"] = ts_arr
             prefix_own = "L__" if side == 0 else "R__"
             prefix_other = "R__" if side == 0 else "L__"
             for c in own_cols:
                 cols[prefix_own + c] = b[c]
             for c in other_cols:
                 cols[prefix_other + c] = pa.nulls(b.num_rows, type=other_types[c])
+            take = None
+            if keyless:
+                if side == 0:
+                    cells = ts_np // cell
+                else:
+                    # right row r matches left rows with tL in
+                    # [tR - after, tR + before] → replicate to those cells
+                    lo_c = (ts_np - after) // cell
+                    hi_c = (ts_np + before) // cell
+                    extra = np.flatnonzero(hi_c > lo_c)
+                    take = np.concatenate([np.arange(len(ts_np)), extra])
+                    cells = np.concatenate([lo_c, hi_c[extra]])
+            if take is not None:
+                cols = {n: (v.combine_chunks() if isinstance(v, pa.ChunkedArray)
+                            else v).take(pa.array(take))
+                        for n, v in cols.items()}
+                nrows = len(take)
+            else:
+                nrows = b.num_rows
+            cols["__side"] = pa.array(np.full(nrows, side, dtype=np.int8))
+            if keyless:
+                cols["__cell"] = pa.array(cells, type=pa.int64())
             arrs, names = [], []
             for n in sorted(cols):
                 v = cols[n]
@@ -195,77 +297,54 @@ def windowed_join(
                            batch_format="pyarrow", zero_copy_batch=True)
     both = tl.union(tr)
 
-    def per_block(g: pd.DataFrame) -> pd.DataFrame:
-        out_cols = (on + ["ts_l", "ts_r"] + [lmap[c] for c in lcols]
-                    + [rmap[c] for c in rcols])
-        empty = pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
-        if len(g) == 0:
-            return empty
-        # factorize the (possibly composite) key to dense codes; SQL
-        # equi-join semantics: NULL keys never match -> drop them
-        if len(on) == 1:
-            codes, _ = pd.factorize(g[on[0]], use_na_sentinel=True)
-        else:
-            codes, _ = pd.factorize(
-                pd.MultiIndex.from_frame(g[on]), use_na_sentinel=True)
-        keep = codes >= 0
-        if not keep.all():
-            g = g[keep].reset_index(drop=True)
-            codes = codes[keep]
-        side = g["__side"].to_numpy()
-        ts = g["__ts"].to_numpy()
-        lmask = side == 0
-        lg, rg = g[lmask], g[~lmask]
-        if len(lg) == 0 or len(rg) == 0:
-            return empty
-        cL, tLa = codes[lmask], ts[lmask]
-        cR, tRa = codes[~lmask], ts[~lmask]
-        # composite (code, ts) axis: ts normalized to [1, span-band-1] so the
-        # band probes never cross a code boundary; int64-safe because codes
-        # and the per-block ts span are both block-local.
-        t0 = int(ts.min())
-        span = int(ts.max()) - t0 + before + after + 3
-        n_codes = int(codes.max()) + 1
-        if (n_codes + 1) * span >= 2 ** 62:
-            # composite axis would overflow int64 (pathological: huge key
-            # count x huge time span in ONE block) — probe per key instead.
-            parts = []
-            rgb = {k: grp for k, grp in rg.groupby(on[0] if len(on) == 1
-                                                   else list(on), sort=False)}
-            for k, lgrp in lg.groupby(on[0] if len(on) == 1 else list(on),
-                                      sort=False):
-                rgrp = rgb.get(k)
-                if rgrp is None:
-                    continue
-                sub = pd.concat([lgrp, rgrp.sort_values("__ts")])
-                parts.append(per_block(sub.reset_index(drop=True)))
-            return pd.concat(parts, ignore_index=True) if parts else empty
-        r_order = np.lexsort((tRa, cR))
-        cRs, tRs = cR[r_order], tRa[r_order]
-        r_axis = cRs.astype(np.int64) * span + (tRs - t0) + 1
-        q_lo = cL.astype(np.int64) * span + np.maximum(
-            (tLa - before - t0) + 1, 0)
-        q_hi = cL.astype(np.int64) * span + np.minimum(
-            (tLa + after - t0) + 1, span - 1)
-        lo = np.searchsorted(r_axis, q_lo, side="left")
-        hi = np.searchsorted(r_axis, q_hi, side="right")
-        counts = hi - lo
-        li = np.repeat(np.arange(len(tLa)), counts)
-        offs = np.arange(counts.sum()) - np.repeat(
-            np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
-        ri = r_order[lo[li] + offs]
-        res = {k: lg[k].to_numpy()[li] for k in on}
-        res["ts_l"] = tLa[li]
-        res["ts_r"] = tRa[ri]
-        for c in lcols:
-            res[lmap[c]] = lg["L__" + c].to_numpy()[li]
-        for c in rcols:
-            res[rmap[c]] = rg["R__" + c].to_numpy()[ri]
-        df = pd.DataFrame(res)
-        if predicate is not None and len(df):
-            df = df[np.asarray(predicate(df), dtype=bool)]
-        return df
+    out_schema = pa.schema(
+        [(k, ltypes[k]) for k in on]
+        + [("ts_l", pa.int64()), ("ts_r", pa.int64())]
+        + [(lmap[c], ltypes[c]) for c in lcols]
+        + [(rmap[c], rtypes[c]) for c in rcols])
 
-    # range shuffle by key: equal keys co-locate in one block (Ray sort
-    # boundary semantics — see stages/window_agg.py sortmerge notes)
-    return both.sort(on).map_batches(per_block, batch_format="pandas")
+    def per_block(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        g = g.combine_chunks()
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        ts = g["__ts"].to_numpy(zero_copy_only=False)
+        if keyless:
+            codes = g["__cell"].to_numpy(zero_copy_only=False)
+            codes = codes - codes.min()        # dense-ish, block-local
+        elif len(on) == 1:
+            codes = g[on[0]].combine_chunks().dictionary_encode() \
+                .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            codes, _ = pd.factorize(pd.MultiIndex.from_frame(
+                g.select(on).to_pandas()))
+            codes = codes.astype(np.int64)
+        l_idx = np.flatnonzero(side == 0)
+        r_idx = np.flatnonzero(side != 0)
+        if not len(l_idx) or not len(r_idx):
+            return out_schema.empty_table()
+        li, ri = _band_pairs(codes[l_idx], ts[l_idx], codes[r_idx], ts[r_idx],
+                             before, after)
+        if not len(li):
+            return out_schema.empty_table()
+        gl = g.take(pa.array(l_idx[li]))
+        gr = g.take(pa.array(r_idx[ri]))
+        cols: dict[str, object] = {k: gl[k] for k in on}
+        cols["ts_l"] = gl["__ts"]
+        cols["ts_r"] = gr["__ts"]
+        for c in lcols:
+            cols[lmap[c]] = gl["L__" + c]
+        for c in rcols:
+            cols[rmap[c]] = gr["R__" + c]
+        out = pa.Table.from_arrays(
+            [(v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v)
+             for v in cols.values()], schema=out_schema)
+        if predicate is not None and out.num_rows:
+            out = out.filter(pa.array(np.asarray(predicate(out), dtype=bool)))
+        return out
+
+    # range shuffle by key (or time cell): equal codes co-locate in one block
+    # (Ray sort boundary semantics — see stages/window_agg.py sortmerge notes)
+    sort_cols = ["__cell"] if keyless else on
+    return both.sort(sort_cols).map_batches(per_block, batch_format="pyarrow",
+                                            zero_copy_batch=True)

@@ -7,17 +7,20 @@ are defined here and property-tested:
   For each key, sort events by (ts, *order_by); a new session starts at the
   first event and whenever ``ts - prev_ts > gap``. ``session_id`` is the
   0-based session ordinal within the key. One output row per (key, session)
-  with the requested aggregates plus session bounds.
+  with the requested aggregates plus session bounds. SQL PARTITION BY
+  semantics: NULL keys form ONE group (null-safe key encoding below).
 
-Ray-native: ONE range shuffle ``sort(keys)`` co-locates and orders each key
-(Ray's sort partitions by value boundaries, so equal keys never split across
-reduce outputs — same invariant stages/window_agg.py's sortmerge relies on),
-then a per-block vectorized pandas pass sessionizes EVERY key in the block at
-once (lexsort → diff → cumsum → groupby agg) — no per-group Python call, no
-per-group function dispatch. State never outlives a block; a streaming
-deployment would hold open sessions in the checkpointed pane store
-(state/checkpoint.py) keyed by conv_id and close them when the watermark
-passes ``last_ts + gap``.
+Ray-native: project to the needed columns (the wide ``text`` payload never
+enters the shuffle), ONE range shuffle ``sort(keys)`` co-locates and orders
+each key (Ray's sort partitions by value boundaries, so equal keys never
+split across reduce outputs — same invariant stages/window_agg.py's sortmerge
+relies on; keys ride with a validity companion because Ray's sort cannot
+compare None), then a per-block zero-copy Arrow pass sessionizes EVERY key in
+the block at once: pc.sort_indices → dictionary codes → numpy diff/cumsum →
+contiguous-segment reduceat aggregation. No per-group Python call, no pandas
+conversion. State never outlives a block; the streaming deployment
+(streaming_session.py) holds open sessions in checkpointed actors and closes
+them when the watermark passes ``last_ts + gap``.
 
 Scale note: one group = one conversation — bounded and small for transcripts.
 The shuffle key is conv_id; skew means a single huge conversation, which is
@@ -29,29 +32,65 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
-from saber_ray.core.aggregates import AggSpec, CNT, AVG
+from saber_ray.core.aggregates import AggSpec, CNT, AVG, SUM, MIN, MAX, \
+    compact_array, round_oracle_np
 from saber_ray.core.windows import SessionWindow
 
 
-def _ts_to_us(s: pd.Series) -> np.ndarray:
-    """Event time → int64 epoch microseconds, robust to pandas datetime64
-    resolution (ns in pandas<2 round-trips, us when Arrow timestamp[us]
-    converts directly) and to already-integer ordinal columns."""
-    if s.dtype.kind in "iu":
-        return s.to_numpy(dtype=np.int64)
-    return s.astype("datetime64[us]").astype("int64").to_numpy()
+def _ts_us_np(col: pa.ChunkedArray) -> np.ndarray:
+    """Event time column → int64 epoch microseconds (or pass-through ints)."""
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.int64())
+    elif not pa.types.is_integer(col.type):
+        col = col.cast(pa.int64())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
-def _agg_series(gb, a: AggSpec) -> pd.Series:
-    if a.op == CNT and a.column is None:
-        return gb.size()
+def _segment_agg(a: AggSpec, col, starts: np.ndarray, counts: np.ndarray):
+    """Aggregate one column over contiguous segments (SQL null semantics)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    has_null = col.null_count > 0
+    if has_null:
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        nvalid = np.add.reduceat(valid.astype(np.int64), starts) \
+            if len(starts) else np.zeros(0, dtype=np.int64)
+    else:
+        nvalid = counts
     if a.op == CNT:
-        return gb[a.column].count()
-    if a.op == AVG:
-        return gb[a.column].mean()
-    return getattr(gb[a.column], a.op)()
+        return pa.array(nvalid, type=pa.int64())
+    x = col.to_numpy(zero_copy_only=False)
+    intlike = x.dtype.kind in "iu" and not has_null
+    if not intlike:
+        x = np.asarray(x, dtype=np.float64)
+    if a.op in (SUM, AVG):
+        xs = np.where(valid, x, 0) if has_null else x
+        s = np.add.reduceat(xs, starts) if len(starts) else xs[:0]
+        if a.op == SUM:
+            arr = pa.array(s, type=pa.int64() if intlike else pa.float64())
+        else:
+            with np.errstate(invalid="ignore", divide="ignore"):
+                arr = pa.array(np.asarray(s, dtype=np.float64)
+                               / np.asarray(nvalid, dtype=np.float64),
+                               type=pa.float64())
+    else:
+        fill = (np.iinfo(np.int64).max if intlike else np.inf)
+        if a.op == MAX:
+            fill = -fill if intlike else -np.inf
+        xm = np.where(valid, x, fill) if has_null else x
+        red = np.minimum if a.op == MIN else np.maximum
+        m = red.reduceat(xm, starts) if len(starts) else xm[:0]
+        arr = pa.array(m, type=pa.int64() if intlike else pa.float64())
+        if not intlike:
+            arr = arr.cast(col.type) if pa.types.is_floating(col.type) else arr
+    if nvalid is not counts:
+        arr = pc.if_else(pa.array(nvalid > 0), arr, pa.scalar(None, arr.type))
+    return arr
 
 
 def session_windows(
@@ -69,39 +108,76 @@ def session_windows(
     keys = list(keys)
     order_by = list(order_by)
     aggs = list(aggs)
+    agg_cols = sorted({a.column for a in aggs if a.column is not None})
 
-    def per_block(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return g
-        # block holds complete key groups (sorted by keys); order within each
-        # key by (ts, order_by) and sessionize all keys in one vector pass.
-        g = g.sort_values(keys + [ts_col] + order_by,
-                          kind="mergesort").reset_index(drop=True)
-        t = _ts_to_us(g[ts_col])
-        same_key = np.ones(len(g), dtype=bool)
-        for k in keys:
-            kv = g[k].to_numpy()
-            same_key[1:] &= kv[1:] == kv[:-1]
-        same_key[0] = False
-        brk = np.ones(len(t), dtype=np.int64)      # new session at key change
-        brk[1:] = np.where(same_key[1:] & (np.diff(t) <= sw.gap), 0, 1)
-        sess = np.cumsum(brk) - 1                  # global session ordinal
-        # session_id = ordinal within the key (0-based)
-        first_of_key = ~same_key
-        key_start_sess = np.where(first_of_key, sess, 0)
-        np.maximum.accumulate(key_start_sess, out=key_start_sess)
-        g = g.assign(__sess=sess, __sid=sess - key_start_sess, __t=t)
-        gb = g.groupby("__sess", sort=True)
-        out = pd.DataFrame({k: gb[k].first() for k in keys})
-        out["session_id"] = gb["__sid"].first().to_numpy(dtype=np.int64)
-        out["session_start_us"] = gb["__t"].min()
-        out["session_end_us"] = gb["__t"].max()
+    # prune to what the shuffle needs — wide payloads stay at the source
+    need = list(dict.fromkeys(keys + [ts_col] + order_by + agg_cols))
+    ds = ds.map_batches(lambda t: t.select(need), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    from saber_ray.stages.window_agg import _encode_null_keys
+    enc, dec, sort_keys = _encode_null_keys(keys)
+
+    def per_block(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n:
+            order = pc.sort_indices(
+                g, sort_keys=[(c, "ascending")
+                              for c in sort_keys + [ts_col] + order_by])
+            g = g.take(order).combine_chunks()
+        t = _ts_us_np(g[ts_col]) if n else np.zeros(0, dtype=np.int64)
+        # same-key runs via dictionary codes (string compare stays in C++)
+        same_key = np.ones(n, dtype=bool)
+        for k in sort_keys:
+            col = g[k]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                codes = col.dictionary_encode().indices.to_numpy(
+                    zero_copy_only=False)
+            else:
+                codes = col.to_numpy(zero_copy_only=False)
+            same_key[1:] &= codes[1:] == codes[:-1]
+        if n:
+            same_key[0] = False
+        brk = np.ones(n, dtype=bool)
+        if n:
+            brk[1:] = ~(same_key[1:] & (np.diff(t) <= sw.gap))
+        starts = np.flatnonzero(brk)
+        nseg = len(starts)
+        counts = np.diff(np.append(starts, n))
+        ends = starts + counts - 1 if nseg else starts
+        # session_id = ordinal within the key (0-based): reset at key starts
+        new_key = ~same_key[starts] if nseg else np.zeros(0, dtype=bool)
+        seg_idx = np.arange(nseg)
+        key_first = np.where(new_key, seg_idx, 0)
+        np.maximum.accumulate(key_first, out=key_first)
+        cols: dict[str, pa.Array] = {}
+        for k in keys + [f"__nn_{k}" for k in keys]:
+            cols[k] = compact_array(g[k]).take(pa.array(starts)) if n \
+                else pa.nulls(0, type=g.schema.field(k).type)
+        cols["session_id"] = pa.array(seg_idx - key_first, type=pa.int64())
+        cols["session_start_us"] = pa.array(t[starts], type=pa.int64())
+        cols["session_end_us"] = pa.array(t[ends], type=pa.int64())
         for a in aggs:
-            s = _agg_series(gb, a)
-            if round_decimals is not None and s.dtype.kind == "f":
-                # correctly-rounded, matching the SQL oracle's ROUND
-                s = s.map(lambda v: round(v, round_decimals))
-            out[a.alias] = s
-        return out.reset_index(drop=True)
+            if a.op == CNT and a.column is None:
+                arr = pa.array(counts, type=pa.int64())
+            else:
+                arr = _segment_agg(a, g[a.column], starts, counts)
+            if round_decimals is not None and pa.types.is_floating(arr.type):
+                vals = round_oracle_np(
+                    arr.to_numpy(zero_copy_only=False).astype(np.float64),
+                    round_decimals)
+                out = pa.array(vals, type=pa.float64())
+                if arr.null_count:
+                    out = pc.if_else(arr.is_valid(), out,
+                                     pa.scalar(None, pa.float64()))
+                arr = out
+            cols[a.alias] = arr
+        out = pa.Table.from_arrays(
+            [compact_array(c) if isinstance(c, pa.ChunkedArray) else c
+             for c in cols.values()], names=list(cols.keys()))
+        return dec(out)
 
-    return ds.sort(keys).map_batches(per_block, batch_format="pandas")
+    return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True) \
+             .sort(sort_keys) \
+             .map_batches(per_block, batch_format="pyarrow", zero_copy_batch=True)

@@ -67,8 +67,9 @@ def _topk_merge(k: int, id_col: str, round_decimals: Optional[int]):
                           kind="mergesort").head(k).reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         if round_decimals is not None:
-            # correctly-rounded (ties-to-even), matching the SQL oracle's ROUND
-            g["score"] = g["score"].map(lambda v: round(v, round_decimals))
+            from saber_ray.core.aggregates import round_oracle_np
+            g["score"] = round_oracle_np(
+                g["score"].to_numpy(dtype=np.float64), round_decimals)
         return g
     return merge
 
@@ -174,7 +175,9 @@ class _NearDupScorer:
             return empty
         s = scores[bi[keep], cj[keep]]
         if self.round_decimals is not None:
-            s = np.array([round(v, self.round_decimals) for v in s])
+            from saber_ray.core.aggregates import round_oracle_np
+            s = round_oracle_np(np.asarray(s, dtype=np.float64),
+                                self.round_decimals)
         return pd.DataFrame({"a": a[keep], "b": b[keep], "score": s})
 
 

@@ -52,8 +52,9 @@ import numpy as np
 import pyarrow as pa
 
 from saber_ray.core.aggregates import (
-    AggSpec, ROWS, arrow_merge_aggs, arrow_partial_aggs, finalize,
-    group_by_null_safe, input_columns, null_fill_scalar, ray_merge_aggs,
+    AggSpec, ROWS, apply_scales, arrow_merge_aggs, arrow_partial_aggs,
+    finalize, group_by_null_safe, input_columns, null_fill_scalar,
+    ray_merge_aggs, scaled_columns,
 )
 from saber_ray.core.windows import Window
 
@@ -81,6 +82,7 @@ class PanePartialAgg:
         # merge paths that partition by key only and expand post-shuffle —
         # ~size/slide fewer shuffle rows for sliding windows.
         self.expand = expand
+        self.scales = scaled_columns(aggs)
         self.partial_spec, self.partial_rename = arrow_partial_aggs(aggs)
         self.merge_spec, self.merge_rename = arrow_merge_aggs(aggs)
 
@@ -100,6 +102,8 @@ class PanePartialAgg:
         tbl = pa.Table.from_arrays(
             [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
             names=names)
+        if self.scales:
+            tbl = apply_scales(tbl, self.scales)
 
         p1 = group_by_null_safe(tbl, self.keys + [_PANE], self.partial_spec)
         p1 = p1.rename_columns([self.partial_rename.get(n, n) for n in p1.column_names])

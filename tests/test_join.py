@@ -93,3 +93,31 @@ def test_windowed_join_residual_theta(ray_session, sf_dir):
         f"AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {6*HOUR} "
         f"AND epoch_us(p.ts) + {6*HOUR} AND p.value > c.value",
         sf_dir)
+
+
+def test_keyless_theta_join(ray_session, sf_dir):
+    """Pure theta join (no equi key) — the reference's ThetaJoin with a bare
+    comparison predicate (ThetaJoin.java:96-272, TestThetaJoin.java:193-196),
+    restricted to the time band. Exercises the band-partitioned replication
+    path (each pair meets in exactly one time cell)."""
+    from saber_ray import selection, col
+    from saber_ray.core.windows import HOUR
+    ev = read_table(sf_dir, "events",
+                    columns=["ts", "event_type", "value", "event_id"])
+    purchases = selection(ev, col("event_type") == "purchase")
+    clicks = selection(ev, col("event_type") == "click")
+    out = windowed_join(
+        purchases, clicks, on=None, before=HOUR, after=HOUR,
+        left_cols=["event_id", "value"], right_cols=["event_id", "value"],
+        predicate=lambda t: t["value_l"].to_numpy() > t["value_r"].to_numpy())
+    assert_matches_oracle(
+        out.select_columns(["ts_l", "ts_r", "event_id_l", "event_id_r",
+                            "value_l", "value_r"]),
+        "SELECT epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
+        "p.event_id AS event_id_l, c.event_id AS event_id_r, "
+        "p.value AS value_l, c.value AS value_r "
+        "FROM events p JOIN events c ON p.event_type = 'purchase' "
+        "AND c.event_type = 'click' "
+        f"AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {HOUR} "
+        f"AND epoch_us(p.ts) + {HOUR} AND p.value > c.value",
+        sf_dir)

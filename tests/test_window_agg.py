@@ -243,3 +243,25 @@ def test_sliding_row_window_per_key(ray_session, sf_dir):
         "        AND turn_idx < (CAST(turn_idx // 2 AS BIGINT) - o.i) * 2 + 6) "
         "SELECT conv_id, window_id, COUNT(*) AS n_turns FROM w GROUP BY 1, 2",
         sf_dir)
+
+
+def test_scaled_agg_partition_invariance(ray_session, sf_dir):
+    """Fixed-point (scale=2) aggregation is bit-identical under ANY merge
+    strategy and ANY shuffle partitioning — int64 cents make the sum exact,
+    so distribution cannot perturb the last ulp (the float path is
+    order-dependent there; see core/aggregates.py scale note)."""
+    aggs = [cnt(alias="n"), sum_("value", "sum_value", scale=2),
+            avg("value", "avg_value", scale=2),
+            min_("value", "min_value", scale=2)]
+    ref = None
+    for merge, nparts in [("sortmerge", 2), ("sortmerge", 7), ("sortmerge", 32),
+                          ("tree", 4), ("salted", 5), ("shuffle", 3)]:
+        ds = read_table(sf_dir, "events", columns=["ts", "value"])
+        out = windowed_aggregate(ds, window=Window.tumbling(6 * HOUR),
+                                 aggs=aggs, round_decimals=6, merge=merge,
+                                 shuffle_partitions=nparts)
+        df = canon(to_pandas(out))
+        if ref is None:
+            ref = df
+        else:
+            pd.testing.assert_frame_equal(df, ref, check_exact=True)
