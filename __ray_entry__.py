@@ -242,8 +242,9 @@ def _q_simhash_pairs(sf):
 
 
 def _q_topk(sf):
+    from saber_ray.stages.topk import topk
     ds = read_table(sf, "events", columns=["event_id", "value"])
-    return ds.sort(["value", "event_id"], descending=[True, False]).limit(10)
+    return topk(ds, ["value", "event_id"], 10, descending=[True, False])
 
 
 def _q_distinct(sf):

@@ -25,12 +25,13 @@ from saber_ray.stages.noop import noop
 from saber_ray.stages.window_agg import windowed_aggregate
 from saber_ray.stages.session import session_windows
 from saber_ray.stages.join import windowed_join, hash_join, broadcast_join
+from saber_ray.stages.topk import topk
 
 __all__ = [
     "col", "lit", "Expr", "Window", "AggSpec",
     "cnt", "sum_", "avg", "min_", "max_",
     "selection", "projection", "noop", "windowed_aggregate", "session_windows",
-    "windowed_join", "hash_join", "broadcast_join",
+    "windowed_join", "hash_join", "broadcast_join", "topk",
 ]
 
 __version__ = "0.1.0"

@@ -60,8 +60,8 @@ def test_lang_id_runs(ray_session, sf_dir):
 def test_minhash_clusters_finds_exact_dups(ray_session, sf_dir):
     # exact duplicates must land in the same cluster; clustering deterministic
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    cl = minhash_lsh_clusters(docs, threshold=0.9)
-    cl2 = minhash_lsh_clusters(docs, threshold=0.9)
+    cl = to_pandas(minhash_lsh_clusters(docs, threshold=0.9))
+    cl2 = to_pandas(minhash_lsh_clusters(docs, threshold=0.9))
     pd.testing.assert_frame_equal(canon(cl), canon(cl2))
     df = to_pandas(docs)
     merged = df.merge(cl, on="doc_id")
