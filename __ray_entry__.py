@@ -359,6 +359,16 @@ def _q_embedding_near_dup(sf):
     return embedding_near_dup_pairs(emb, threshold=0.35)
 
 
+def _q_embedding_near_dup_lsh(sf):
+    """LSH-bucketed near-dup pair mining — the scale path for
+    embedding_near_dup (no full-corpus broadcast, near-linear compute).
+    Rows-only check: deterministic by construction; recall ≥ 0.9 vs the
+    exact path is asserted in tests/test_similarity.py."""
+    from saber_ray.stages.similarity import embedding_near_dup_pairs_lsh
+    emb = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dup_pairs_lsh(emb, threshold=0.35)
+
+
 def _q_streaming_cm1(sf):
     """CM1 via the incremental streaming engine: time-ordered stream files →
     micro-batch epochs → pane-store actors → watermark-driven emission →
@@ -553,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "ann_topk_lsh": _q_ann_lsh,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     }
 
 

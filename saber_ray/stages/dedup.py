@@ -375,6 +375,13 @@ def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
         if t.num_rows < 2:
             return empty
         t = t.combine_chunks()
+        # order within the block by (bucket, id) — the shuffle sorts by the
+        # bucket key ONLY (a sort key including the unique id would let a
+        # bucket split across block boundaries: Ray co-locates equal full
+        # sort TUPLES, not equal prefixes)
+        t = t.take(pa.array(np.lexsort((
+            _col_np(t, id_col), _col_np(t, "band_hash"),
+            _col_np(t, "band_id")))))
         bid = _col_np(t, "band_id")
         bh = _col_np(t, "band_hash")
         ids = _col_np(t, id_col)
@@ -416,7 +423,7 @@ def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
                          "est_jaccard": np.concatenate(out_e),
                          "truncated": np.concatenate(out_t)})
 
-    raw = banded.sort(["band_id", "band_hash", id_col]).map_batches(
+    raw = banded.sort(["band_id", "band_hash"]).map_batches(
         block_pairs, batch_format="pyarrow", zero_copy_batch=True)
     # the same pair surfaces from multiple bands → distinct
     return _dedup_pairs(raw)
@@ -525,6 +532,11 @@ def simhash_near_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming=3):
         if t.num_rows < 2:
             return empty
         t = t.combine_chunks()
+        # in-block (bucket, id) order; shuffle sorts by bucket key only (see
+        # minhash block_pairs note)
+        t = t.take(pa.array(np.lexsort((
+            _col_np(t, id_col), _col_np(t, "chunk_val"),
+            _col_np(t, "chunk_id")))))
         cid = _col_np(t, "chunk_id")
         cval = _col_np(t, "chunk_val")
         ids = _col_np(t, id_col)
@@ -559,7 +571,7 @@ def simhash_near_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming=3):
 
     raw = fps.map_batches(explode, batch_format="pyarrow",
                           zero_copy_batch=True) \
-             .sort(["chunk_id", "chunk_val", id_col]) \
+             .sort(["chunk_id", "chunk_val"]) \
              .map_batches(block_pairs, batch_format="pyarrow",
                           zero_copy_batch=True)
     # same pair can surface from multiple chunks → distinct

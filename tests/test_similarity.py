@@ -49,3 +49,64 @@ def test_lsh_recall_against_bruteforce(ray_session, sf_dir):
         a = set(approx[approx["query_id"] == qi]["vec_id"])
         recalls.append(len(e & a) / max(1, len(e)))
     assert np.mean(recalls) >= 0.5, f"LSH recall too low: {recalls}"
+
+
+def test_embedding_near_dup_lsh_recall(ray_session, sf_dir):
+    """LSH pair mining: pairs ⊆ exact pairs (scores are exact cosines) and
+    recall ≥ 0.9 at the gate threshold."""
+    from saber_ray.stages.similarity import (embedding_near_dup_pairs,
+                                             embedding_near_dup_pairs_lsh)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact = to_pandas(embedding_near_dup_pairs(emb, threshold=0.35,
+                                               method="exact"))
+    lsh = to_pandas(embedding_near_dup_pairs_lsh(emb, threshold=0.35))
+    exact_set = set(zip(exact["a"], exact["b"]))
+    lsh_set = set(zip(lsh["a"], lsh["b"]))
+    assert lsh_set <= exact_set, "LSH produced a pair the exact path lacks"
+    assert len(exact_set) > 0
+    recall = len(lsh_set) / len(exact_set)
+    assert recall >= 0.9, f"recall {recall:.3f} < 0.9"
+    # scores agree with the exact path on shared pairs
+    merged = lsh.merge(exact, on=["a", "b"], suffixes=("_l", "_e"))
+    assert (merged["score_l"] == merged["score_e"]).all()
+
+
+def test_embedding_near_dup_auto_dispatch(ray_session, sf_dir):
+    from saber_ray.stages.similarity import embedding_near_dup_pairs
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    small = to_pandas(embedding_near_dup_pairs(emb, threshold=0.35,
+                                               method="auto"))
+    lsh = to_pandas(embedding_near_dup_pairs(emb, threshold=0.35,
+                                             method="auto",
+                                             max_exact_rows=1))
+    assert len(small) > 0 and len(lsh) > 0
+
+
+def test_embedding_near_dup_lsh_planted(ray_session):
+    """Planted near-dups at threshold 0.9 — the realistic near-dup regime
+    (high threshold → long codes, few tables; recall from cheap params)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from saber_ray.stages.similarity import (embedding_near_dup_pairs,
+                                             embedding_near_dup_pairs_lsh)
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16))
+    vecs = []
+    for b in base:
+        for _ in range(3):                    # 3 noisy copies ≈ cosine 0.99
+            v = b + 0.05 * rng.standard_normal(16)
+            vecs.append(v / np.linalg.norm(v))
+    flat = np.concatenate(vecs).astype(np.float64)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, pa.float64()), 16)})
+    ds = rd.from_arrow(tbl).repartition(4)
+    exact = to_pandas(embedding_near_dup_pairs(ds, threshold=0.9,
+                                               method="exact"))
+    lsh = to_pandas(embedding_near_dup_pairs_lsh(ds, threshold=0.9))
+    exact_set = set(zip(exact["a"], exact["b"]))
+    lsh_set = set(zip(lsh["a"], lsh["b"]))
+    assert len(exact_set) >= 40
+    assert lsh_set <= exact_set
+    assert len(lsh_set) / len(exact_set) >= 0.9
