@@ -129,6 +129,26 @@ def _q_row_window(sf):
                               ts_col="turn_idx")
 
 
+def _q_row_window_global(sf, window=None):
+    """Stream-position (global) count windows — pane ids from PHYSICAL stream
+    position, the reference's ROW_BASED windows (WindowBatch.java:499-643).
+    Ordinals come from driver-side row-group-metadata prefix sums
+    (sources/parquet.read_with_global_ordinal); the oracle mirrors them with
+    ROW_NUMBER() ordered by event_id (file order — verified monotone)."""
+    from saber_ray.sources.parquet import read_with_global_ordinal
+    ds = read_with_global_ordinal(os.path.join(sf, "events.parquet"),
+                                  columns=["value"])
+    return windowed_aggregate(
+        ds, window=window or Window.sliding(1000, 250, mode="row"),
+        ts_col="__ord",
+        aggs=[cnt(alias="n"), sum_("value", "sum_value", scale=2)],
+        round_decimals=6)
+
+
+def _q_row_window_global_tumbling(sf):
+    return _q_row_window_global(sf, Window.tumbling(500, mode="row"))
+
+
 def _q_session(sf):
     ts = transcripts_from_events(sf)
     return session_windows(ts, gap=30 * MINUTE, aggs=[cnt(alias="n_turns")],
@@ -529,6 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_global_agg": _q_sliding_global,
         "sliding_grouped_agg": _q_sliding_grouped,
         "row_window_agg": _q_row_window,
+        "row_window_global": _q_row_window_global,
+        "row_window_global_tumbling": _q_row_window_global_tumbling,
         "session_windows": _q_session,
         "broadcast_join": _q_broadcast_join,
         "hash_join_agg": _q_hash_join_agg,
@@ -592,6 +614,21 @@ def oracle_sql() -> dict[str, str]:
             4, 12 * HOUR,
             f"user_id, window_id, ROUND({_DECV} / COUNT(value), 6) AS avg_value, "
             "COUNT(*) AS n", "user_id, window_id"),
+        "row_window_global": (
+            "WITH t AS (SELECT value, "
+            "ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS ord FROM events), "
+            "w AS (SELECT t.*, (ord // 250) - o.i AS window_id FROM t "
+            "CROSS JOIN (VALUES (0),(1),(2),(3)) o(i) "
+            "WHERE (ord // 250) - o.i >= 0) "
+            "SELECT window_id, COUNT(*) AS n, "
+            "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) "
+            "AS sum_value FROM w GROUP BY 1"),
+        "row_window_global_tumbling": (
+            "WITH t AS (SELECT value, "
+            "ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS ord FROM events) "
+            "SELECT ord // 500 AS window_id, COUNT(*) AS n, "
+            "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) "
+            "AS sum_value FROM t GROUP BY 1"),
         "row_window_agg": _tx(
             "SELECT conv_id, CAST(turn_idx // 4 AS BIGINT) AS window_id, "
             "COUNT(*) AS n_turns FROM transcripts GROUP BY 1, 2"),

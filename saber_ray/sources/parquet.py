@@ -60,6 +60,49 @@ def read_table(sf_dir: str, name: str, *, columns: Optional[Sequence[str]] = Non
                            columns=list(columns) if columns else None, **kwargs)
 
 
+def read_with_global_ordinal(path: str, *,
+                             columns: Optional[Sequence[str]] = None,
+                             ord_col: str = "__ord"):
+    """Parquet read that attaches the GLOBAL stream position of every row.
+
+    The reference computes count-window pane ids from physical stream
+    position (reference: WindowBatch.java:499-643 — ``streamPtr/tupleSize``),
+    which only exists on its single totally-ordered stream. Distributed
+    equivalent (SURVEY.md §7.4): a driver-side prefix-sum over row-group
+    METADATA (footer reads only — no data scan) gives every row group its
+    starting ordinal; each fragment is then read in its own task and gets a
+    vectorized ``arange(start, start+n)`` ordinal column. Parallelism =
+    number of row groups across files; ordinals are globally consistent and
+    deterministic regardless of task scheduling, so ``Window(mode='row')``
+    over ``ts_col=ord_col`` reproduces stream-position count windows exactly.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    frags = []
+    start = 0
+    for f in _files(path):
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            n = md.row_group(rg).num_rows
+            frags.append({"file": f, "rg": rg, "start": start})
+            start += n
+    cols = list(columns) if columns else None
+
+    def read_frag(b: pa.Table) -> pa.Table:
+        out = []
+        for row in b.to_pylist():
+            t = pq.ParquetFile(row["file"]).read_row_group(row["rg"],
+                                                           columns=cols)
+            ords = np.arange(row["start"], row["start"] + t.num_rows,
+                             dtype=np.int64)
+            out.append(t.append_column(ord_col, pa.array(ords)))
+        return pa.concat_tables(out)
+
+    return rd.from_items(frags, override_num_blocks=max(1, len(frags))) \
+        .map_batches(read_frag, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _files(path: str) -> list[str]:
     if os.path.isdir(path):
         return sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))

@@ -187,7 +187,7 @@ class StreamingWindowedJoin:
               watermark) -> tuple[list[Optional[pa.Table]], int, int]:
         """Read one side's epoch files → per-partition key-routed tables."""
         if not files:
-            return [None] * self.n, 0, 0
+            return [None] * self.n, None, 0
         t = pa.concat_tables([pq.read_table(f, columns=self.on + [ts_col] + cols)
                               for f in files])
         ts = t[ts_col]
@@ -195,7 +195,9 @@ class StreamingWindowedJoin:
             ts = ts.cast(pa.int64())
         tn = (ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts) \
             .to_numpy(zero_copy_only=False)
-        mx = int(tn.max()) if len(tn) else 0
+        # None (not 0) when the chunk carries no rows: 0 is a valid event ts
+        # and must not be confused with "no data" (watermark min-rule)
+        mx = int(tn.max()) if len(tn) else None
         late = 0
         if watermark is not None:
             ok = tn >= watermark
@@ -221,6 +223,7 @@ class StreamingWindowedJoin:
         import json
         files_l, files_r = list(left_files), list(right_files)
         ck = {"offset_l": 0, "offset_r": 0, "epoch": 0, "watermark": None,
+              "hwm_l": None, "hwm_r": None,
               "metrics": {"emitted_rows": 0, "late_dropped": 0}}
         if os.path.exists(self._ckpt_path):
             with open(self._ckpt_path) as f:
@@ -244,13 +247,33 @@ class StreamingWindowedJoin:
                 chunk_r = files_r[ck["offset_r"]:ck["offset_r"] + epoch_size]
                 pl, mxl, latel = self._prep(chunk_l, self.left_ts, self.lcols, wm)
                 pr, mxr, later = self._prep(chunk_r, self.right_ts, self.rcols, wm)
-                # watermark = min over both streams of max seen ts (north
-                # star: "per-partition watermark = min over inputs"), minus
-                # the lateness allowance.
-                seen = [m for m in (mxl, mxr) if m]
+                # watermark = min over inputs of each stream's HIGH-WATER
+                # mark (checkpointed; None = no data seen yet, distinct from
+                # ts 0), minus the lateness allowance. A stream leaves the
+                # min only once its input is EXHAUSTED — an epoch where one
+                # side's file list grows slower must not let the watermark
+                # race ahead and drop the lagging stream's rows as late.
+                if mxl is not None:
+                    ck["hwm_l"] = max(mxl, ck["hwm_l"] or mxl)
+                if mxr is not None:
+                    ck["hwm_r"] = max(mxr, ck["hwm_r"] or mxr)
+                exh_l = ck["offset_l"] + len(chunk_l) >= len(files_l)
+                exh_r = ck["offset_r"] + len(chunk_r) >= len(files_r)
+                cands, blocked = [], False
+                for hwm, exhausted in ((ck["hwm_l"], exh_l),
+                                       (ck["hwm_r"], exh_r)):
+                    if exhausted:
+                        continue             # can't hold the watermark back
+                    if hwm is None:
+                        blocked = True       # live stream, nothing seen yet
+                    else:
+                        cands.append(hwm)
                 new_wm = wm
-                if seen:
-                    new_wm = max(min(seen) - self.lateness, wm or 0)
+                if not blocked:
+                    frontier = min(cands) if cands else max(
+                        m for m in (ck["hwm_l"], ck["hwm_r"], 0)
+                        if m is not None)
+                    new_wm = max(frontier - self.lateness, wm or 0)
                 outs = ray.get([a.process.remote(pl[i], pr[i], new_wm)
                                 for i, a in enumerate(actors)])
                 emitted = _write_epoch(self.out_dir, ck["epoch"], outs)

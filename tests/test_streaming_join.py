@@ -111,3 +111,43 @@ def test_streaming_join_kill_resume(ray_session, join_streams, tmp_path):
     got = _stream_df(j2)
     want = _batch(ray_session, lf, rf)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_lagging_stream_watermark(ray_session, tmp_path):
+    """An epoch where one live stream delivers NO rows must not let the
+    watermark race ahead and drop that stream's later-arriving (but
+    still-valid) rows as late (ADVICE r1: truthiness `if m` excluded empty
+    chunks AND ts-0 epochs from the min-over-inputs rule)."""
+    import ray.data as rd
+
+    # left epoch 0 carries high timestamps; right's first file is EMPTY and
+    # its real rows (low ts, inside the band of nothing — but valid) arrive
+    # in epoch 1. With the buggy watermark they'd be dropped as late.
+    left = pa.table({"user_id": np.array([1, 2], dtype=np.int64),
+                     "ts": np.array([100 * HOUR, 101 * HOUR], dtype=np.int64),
+                     "event_id": np.array([10, 11], dtype=np.int64)})
+    right_empty = left.slice(0, 0)
+    right_late = pa.table({"user_id": np.array([1, 2], dtype=np.int64),
+                           "ts": np.array([99 * HOUR, 102 * HOUR],
+                                          dtype=np.int64),
+                           "event_id": np.array([20, 21], dtype=np.int64)})
+    lf = [str(tmp_path / "L0.parquet")]
+    pq.write_table(left, lf[0])
+    rf = [str(tmp_path / "R0.parquet"), str(tmp_path / "R1.parquet")]
+    pq.write_table(right_empty, rf[0])
+    pq.write_table(right_late, rf[1])
+
+    job = StreamingWindowedJoin(
+        str(tmp_path / "out"), on="user_id", before=BAND, after=BAND,
+        left_cols=["user_id", "ts", "event_id"],
+        right_cols=["user_id", "ts", "event_id"], num_partitions=2)
+    job.run(lf, rf, epoch_size=1)
+    got = canon(to_pandas(job.results()))
+
+    want = canon(to_pandas(windowed_join(
+        rd.read_parquet(lf), rd.read_parquet(rf), on="user_id",
+        before=BAND, after=BAND,
+        left_cols=["user_id", "ts", "event_id"],
+        right_cols=["user_id", "ts", "event_id"])))
+    assert len(want) == 2                       # both pairs inside the band
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)

@@ -265,3 +265,27 @@ def test_scaled_agg_partition_invariance(ray_session, sf_dir):
             ref = df
         else:
             pd.testing.assert_frame_equal(df, ref, check_exact=True)
+
+
+def test_global_ordinal_multi_fragment(ray_session, tmp_path):
+    """Ordinals from row-group prefix sums stay globally consistent across
+    files AND row groups, regardless of task scheduling."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from saber_ray.sources.parquet import read_with_global_ordinal
+    vals = np.arange(1000, dtype=np.int64)
+    for i in range(4):                      # 4 files x 2 row groups of 125
+        part = vals[i * 250:(i + 1) * 250]
+        pq.write_table(pa.table({"v": part}),
+                       os.path.join(tmp_path, f"f{i}.parquet"),
+                       row_group_size=125)
+    ds = read_with_global_ordinal(str(tmp_path))
+    df = to_pandas(ds).sort_values("__ord").reset_index(drop=True)
+    assert (df["__ord"].to_numpy() == np.arange(1000)).all()
+    assert (df["v"].to_numpy() == vals).all()     # ordinal == file position
+    # and a row window over the ordinal matches a simple partition
+    out = windowed_aggregate(ds, window=Window.tumbling(100, mode="row"),
+                             ts_col="__ord", aggs=[cnt(alias="n")])
+    odf = to_pandas(out)
+    assert len(odf) == 10 and (odf["n"] == 100).all()
