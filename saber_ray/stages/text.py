@@ -53,6 +53,15 @@ def token_stats(ds, text_col: str = "text", *, batch_size: Optional[int] = None)
     return ds.map_batches(f, **kw)
 
 
+def _explode_words(t: pd.Series, word_re) -> tuple[pd.Series, np.ndarray]:
+    """(flat token Series, owner row index per token) via one C-level
+    findall + explode — the shared vectorization for the token heuristics."""
+    words = t.str.findall(word_re)
+    flat = words.explode()
+    flat = flat[flat.notna()]
+    return flat, flat.index.to_numpy(dtype=np.int64)
+
+
 class QualityScorer:
     """Actor-pool stage: heuristic document quality in [0,1].
 
@@ -67,21 +76,26 @@ class QualityScorer:
         self.stop = STOPWORDS["en"]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        t = df[self.text_col].fillna("")
+        t = df[self.text_col].fillna("").reset_index(drop=True)
         n = t.str.len().clip(lower=1)
         alpha = t.str.count(r"[A-Za-z]") / n
         punct = t.str.count(r"[^\w\s]") / n
-        words = t.str.findall(self.word)
-        n_words = words.str.len().clip(lower=1)
-        stop_ratio = words.map(
-            lambda ws: sum(1 for w in ws if w.lower() in self.stop)) / n_words
-        mean_wl = (words.map(lambda ws: sum(map(len, ws))) / n_words).fillna(0.0)
+        # one explode, then C-level isin/bincount — no per-row Python
+        # (the previous words.map(lambda ...) ran Python per document)
+        flat, owners = _explode_words(t, self.word)
+        n_words = np.maximum(np.bincount(owners, minlength=len(t)), 1)
+        is_stop = flat.str.lower().isin(self.stop).to_numpy(dtype=bool)
+        stops = np.bincount(owners[is_stop], minlength=len(t))
+        wl_sum = np.bincount(owners, weights=flat.str.len().to_numpy(dtype=float),
+                             minlength=len(t))
+        stop_ratio = pd.Series(stops / n_words)
+        mean_wl = wl_sum / n_words
         wl_ok = ((mean_wl >= 2.0) & (mean_wl <= 12.0)).astype(float)
-        score = (0.35 * alpha + 0.25 * (1.0 - punct).clip(0, 1)
-                 + 0.2 * stop_ratio.clip(0, 1) * 4.0 / (1 + 3.0 * stop_ratio)
+        score = (0.35 * alpha.to_numpy() + 0.25 * np.clip(1.0 - punct.to_numpy(), 0, 1)
+                 + 0.2 * (stop_ratio.clip(0, 1) * 4.0 / (1 + 3.0 * stop_ratio)).to_numpy()
                  + 0.2 * wl_ok)
         df = df.copy()
-        df["quality"] = score.clip(0.0, 1.0).round(6)
+        df["quality"] = np.round(np.clip(score, 0.0, 1.0), 6)
         return df
 
 
@@ -104,12 +118,15 @@ class LangId:
         self.lex = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[self.text_col].fillna("").str.lower().str.findall(self.word)
+        t = df[self.text_col].fillna("").str.lower().reset_index(drop=True)
+        flat, owners = _explode_words(t, self.word)
         langs = sorted(self.lex)
         scores = np.zeros((len(df), len(langs)), dtype=np.int64)
+        # one explode + one C-level isin/bincount per language — the old
+        # toks.map(lambda ...) ran a Python loop per (row, language)
         for j, lang in enumerate(langs):
-            lex = self.lex[lang]
-            scores[:, j] = toks.map(lambda ws: sum(1 for w in ws if w in lex)).to_numpy()
+            hits = flat.isin(self.lex[lang]).to_numpy(dtype=bool)
+            scores[:, j] = np.bincount(owners[hits], minlength=len(df))
         best = scores.argmax(axis=1)
         hit = scores.max(axis=1) > 0
         out = np.where(hit, np.array(langs, dtype=object)[best], "und")

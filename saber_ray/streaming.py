@@ -346,9 +346,16 @@ class StreamingWindowedAggregate:
                 wm = ck["watermark"]
                 max_ts, late, rows_in = self._ingest_epoch(
                     chunk, wm, actors, ck["epoch"])
-                new_wm = max(int(max_ts) - self.lateness, wm or 0)
-                outs = ray.get([a.flush.remote(wm, new_wm) for a in actors])
-                emitted = _write_emit(self.out_dir, ck["epoch"], outs)
+                # a rowless epoch must not advance (or fabricate) the
+                # watermark — and new_wm=None is the END-OF-STREAM flush
+                # sentinel, so never pass it for an ordinary empty epoch
+                new_wm = wm if rows_in == 0 \
+                    else max(int(max_ts) - self.lateness, wm or 0)
+                if new_wm is None:
+                    outs, emitted = [], 0
+                else:
+                    outs = ray.get([a.flush.remote(wm, new_wm) for a in actors])
+                    emitted = _write_emit(self.out_dir, ck["epoch"], outs)
                 wall = time.monotonic() - t0
                 next_epoch = ck["epoch"] + 1
                 ray.get([a.snapshot.remote(self._snap_path(i, next_epoch))

@@ -242,7 +242,9 @@ class StreamingSessionWindows:
                     ts = ts.cast(pa.int64())
                 tn = (ts.combine_chunks() if isinstance(ts, pa.ChunkedArray)
                       else ts).to_numpy(zero_copy_only=False)
-                mx = int(tn.max()) if len(tn) else 0
+                # None (not 0) for a rowless chunk: ts 0 is valid data and
+                # must advance the watermark (truthiness would lose it)
+                mx = int(tn.max()) if len(tn) else None
                 late = 0
                 if wm is not None:
                     ok = tn >= wm
@@ -253,7 +255,7 @@ class StreamingSessionWindows:
                 t = t.drop_columns([self.ts_col]).append_column(
                     "__t", pa.array(tn, type=pa.int64()))
                 part = _key_hash(t, self.keys, self.n)
-                new_wm = max(mx - self.lateness, wm or 0) if mx else wm
+                new_wm = wm if mx is None else max(mx - self.lateness, wm or 0)
                 outs = ray.get([
                     a.process.remote(
                         t.filter(pa.array(part == i)) if (part == i).any()
