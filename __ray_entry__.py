@@ -221,6 +221,23 @@ def _q_theta_join_keyless(sf):
                                "value_l", "value_r"])
 
 
+def _q_asof_join(sf):
+    """As-of join: each purchase matched to the user's LATEST click at or
+    before it (DuckDB ASOF JOIN is the oracle). Custom operator beyond the
+    reference's windowed theta scan — one sort co-location shuffle + a
+    single vectorized searchsorted per block (stages/join.py asof_join)."""
+    from saber_ray.stages.join import asof_join
+    ev = read_table(sf, "events",
+                    columns=["ts", "user_id", "event_type", "value", "event_id"])
+    purchases = selection(ev, col("event_type") == "purchase")
+    clicks = selection(ev, col("event_type") == "click")
+    out = asof_join(purchases, clicks, on="user_id",
+                    left_cols=["event_id", "value"],
+                    right_cols=["event_id", "value"])
+    return out.select_columns(["user_id", "ts_l", "ts_r", "event_id_l",
+                               "event_id_r", "value_l", "value_r"])
+
+
 def _q_pricing_summary(sf):
     """TPC-H Q1-shaped pricing summary through the engine's own aggregate:
     a tumbling window spanning all of time degenerates to plain GROUP BY,
@@ -241,6 +258,22 @@ def _q_pricing_summary(sf):
               max_("price", "max_price", scale=2), cnt(alias="count_order")],
         round_decimals=4)
     return out.drop_columns(["window_id"])
+
+
+def _q_hash_sample(sf):
+    """Deterministic Bernoulli sample — stable under any re-sharding, with a
+    value-level SQL twin (the same int64-safe Knuth hash on both sides)."""
+    from saber_ray.stages.sample import hash_sample
+    ev = read_table(sf, "events", columns=["event_id", "event_type", "value"])
+    return hash_sample(ev, "event_id", 0.1)
+
+
+def _q_bottom_k_sample(sf):
+    """Exactly-k deterministic uniform sample (reservoir equivalent),
+    computed as per-block k-best partials + one fan-in merge."""
+    from saber_ray.stages.sample import bottom_k_sample
+    ev = read_table(sf, "events", columns=["event_id", "user_id", "value"])
+    return bottom_k_sample(ev, "event_id", 100)
 
 
 def _q_string_ops(sf):
@@ -493,15 +526,16 @@ def _q_streaming_sessions(sf):
 
 
 def _q_multimodal_features(sf):
-    """Multimodal plumbing: synthesized binary payload table → actor-pool
-    decode (deterministic fake codec — real libs absent in this container,
-    stages/multimodal.py docstring) → feature summary. Rows-only check:
-    deterministic across runs/actors by construction."""
+    """Multimodal pipeline with REAL codecs: synthesized PPM images / WAV
+    audio / raw-video payloads → actor-pool decode (numpy/stdlib kernels,
+    stages/multimodal.py) → feature summary. Rows-only check: features are
+    content-derived and deterministic across runs/actors. Compressed formats
+    (PNG/JPEG/MP4) stay honestly stubbed — no codec libs in this container."""
     import pyarrow as pa
     import ray.data as rd
     from saber_ray.stages.multimodal import decode_features, synthesize_media
     media = rd.from_arrow(synthesize_media(n=96, seed=7))
-    feats = decode_features(media, feature_dim=8, deterministic_fake=True)
+    feats = decode_features(media, feature_dim=8)
 
     def summarize(df):
         import numpy as np
@@ -556,6 +590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_agg": _q_hash_join_agg,
         "windowed_theta_join": _q_windowed_join,
         "theta_join_keyless": _q_theta_join_keyless,
+        "asof_join": _q_asof_join,
         "cm1": _q_cm1,
         "streaming_cm1": _q_streaming_cm1,
         "streaming_windowed_join": _q_streaming_join,
@@ -572,6 +607,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "string_ops": _q_string_ops,
         "topk": _q_topk,
+        "hash_sample": _q_hash_sample,
+        "bottom_k_sample": _q_bottom_k_sample,
         "distinct_count": _q_distinct,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -663,6 +700,13 @@ def oracle_sql() -> dict[str, str]:
             "AND p.event_type = 'purchase' AND c.event_type = 'click' "
             f"AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {6 * HOUR} "
             f"AND epoch_us(p.ts) + {6 * HOUR}"),
+        "asof_join": (
+            "SELECT p.user_id, epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
+            "p.event_id AS event_id_l, c.event_id AS event_id_r, "
+            "p.value AS value_l, c.value AS value_r "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+            "ON p.user_id = c.user_id AND epoch_us(p.ts) >= epoch_us(c.ts)"),
         "theta_join_keyless": (
             "SELECT epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
             "p.event_id AS event_id_l, c.event_id AS event_id_r, "
@@ -767,6 +811,14 @@ def oracle_sql() -> dict[str, str]:
             r"AND regexp_matches(text, '\b[a-z]{6,}\b')"),
         "topk": ("SELECT event_id, value FROM events "
                  "ORDER BY value DESC, event_id LIMIT 10"),
+        "hash_sample": (
+            "SELECT event_id, event_type, value FROM events WHERE "
+            f"(((event_id % {2**31}) * 2654435761 + 0) % {2**32}) "
+            f"< {int(0.1 * 2**32)}"),
+        "bottom_k_sample": (
+            "SELECT event_id, user_id, value FROM events "
+            f"ORDER BY ((event_id % {2**31}) * 2654435761 + 0) % {2**32}, "
+            "event_id LIMIT 100"),
         "distinct_count": ("SELECT event_type, COUNT(*) AS n FROM events "
                            "GROUP BY 1"),
         "dedup_exact": (

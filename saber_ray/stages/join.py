@@ -140,6 +140,128 @@ def hash_join(left, right, on: Sequence[str] | str, *,
 # windowed stream-stream join (equi key + event-time band + optional theta)
 # ---------------------------------------------------------------------------
 
+def asof_join(
+    left, right, *,
+    on: Sequence[str] | str,
+    left_ts: str = "ts", right_ts: str = "ts",
+    tolerance: Optional[int] = None,
+    left_cols: Optional[Sequence[str]] = None,
+    right_cols: Optional[Sequence[str]] = None,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+):
+    """As-of join: for every left row, the LATEST right row of the same key
+    with ``tR <= tL`` (within ``tolerance`` microseconds when given). Inner
+    semantics: left rows with no match are dropped (mirrors DuckDB
+    ``ASOF JOIN``, the conformance oracle).
+
+    Not in the reference (its only join is the windowed theta scan,
+    ThetaJoin.java:15-321) — a north-rule/custom-operator extension built on
+    the same machinery as ``windowed_join``: tag sides, union, ONE range
+    shuffle ``sort(on)`` (equal keys co-locate per Ray's sort boundary
+    semantics), then a per-block vectorized kernel — right side lexsorted by
+    (key_code, ts), every left row answered by one ``np.searchsorted`` over
+    the composite axis. NULL keys drop at the tagger.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    lcols = [c for c in (left_cols if left_cols is not None
+                         else left.schema().names) if c not in on and c != left_ts]
+    rcols = [c for c in (right_cols if right_cols is not None
+                         else right.schema().names) if c not in on and c != right_ts]
+    sl, sr = suffixes
+    lmap = {c: (c + sl if c in rcols else c) for c in lcols}
+    rmap = {c: (c + sr if c in lcols else c) for c in rcols}
+    rschema, lschema = right.schema(), left.schema()
+    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = dict(zip(lschema.names, lschema.types))
+
+    def tagger(side, ts_col, own_cols, other_cols, other_types):
+        def tag(b: pa.Table) -> pa.Table:
+            mask = None
+            for k in on:
+                v = pc.is_valid(b[k])
+                mask = v if mask is None else pc.and_(mask, v)
+            if mask is not None and not pc.all(mask).as_py():
+                b = b.filter(mask)
+            cols: dict[str, object] = {k: b[k] for k in on}
+            cols["__ts"] = b[ts_col].cast(pa.int64())
+            cols["__side"] = pa.array(np.full(b.num_rows, side, dtype=np.int8))
+            po, px = ("L__", "R__") if side == 0 else ("R__", "L__")
+            for c in own_cols:
+                cols[po + c] = b[c]
+            for c in other_cols:
+                cols[px + c] = pa.nulls(b.num_rows, type=other_types[c])
+            return pa.Table.from_arrays(
+                [(v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v)
+                 for v in (cols[n] for n in sorted(cols))],
+                names=sorted(cols))
+        return tag
+
+    both = left.map_batches(tagger(0, left_ts, lcols, rcols, rtypes),
+                            batch_format="pyarrow", zero_copy_batch=True) \
+        .union(right.map_batches(tagger(1, right_ts, rcols, lcols, ltypes),
+                                 batch_format="pyarrow", zero_copy_batch=True))
+
+    out_schema = pa.schema(
+        [(k, ltypes[k]) for k in on]
+        + [("ts_l", pa.int64()), ("ts_r", pa.int64())]
+        + [(lmap[c], ltypes[c]) for c in lcols]
+        + [(rmap[c], rtypes[c]) for c in rcols])
+
+    def per_block(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        g = g.combine_chunks()
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        ts = g["__ts"].to_numpy(zero_copy_only=False)
+        if len(on) == 1:
+            codes = g[on[0]].combine_chunks().dictionary_encode() \
+                .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            codes, _ = pd.factorize(pd.MultiIndex.from_frame(
+                g.select(on).to_pandas()))
+            codes = codes.astype(np.int64)
+        l_idx = np.flatnonzero(side == 0)
+        r_idx = np.flatnonzero(side != 0)
+        if not len(l_idx) or not len(r_idx):
+            return out_schema.empty_table()
+        cL, tL = codes[l_idx], ts[l_idx]
+        cR, tR = codes[r_idx], ts[r_idx]
+        r_order = np.lexsort((tR, cR))
+        cRs, tRs = cR[r_order], tR[r_order]
+        t0 = int(min(tL.min(), tRs.min()))
+        span = int(max(tL.max(), tRs.max())) - t0 + 2
+        # loud, not silent, on the pathological huge-keys x huge-span block
+        assert (int(codes.max()) + 1) * span < 2 ** 62, \
+            "asof composite axis would overflow int64"
+        r_axis = cRs * span + (tRs - t0)
+        q = cL * span + (tL - t0)
+        pos = np.searchsorted(r_axis, q, side="right") - 1
+        # match is valid only within the left row's own key segment
+        ok = pos >= 0
+        ok &= np.where(ok, cRs[np.maximum(pos, 0)] == cL, False)
+        if tolerance is not None:
+            ok &= np.where(ok, tL - tRs[np.maximum(pos, 0)] <= tolerance, False)
+        li = np.flatnonzero(ok)
+        ri = r_order[pos[li]]
+        if not len(li):
+            return out_schema.empty_table()
+        gl = g.take(pa.array(l_idx[li]))
+        gr = g.take(pa.array(r_idx[ri]))
+        cols: dict[str, object] = {k: gl[k] for k in on}
+        cols["ts_l"] = gl["__ts"]
+        cols["ts_r"] = gr["__ts"]
+        for c in lcols:
+            cols[lmap[c]] = gl["L__" + c]
+        for c in rcols:
+            cols[rmap[c]] = gr["R__" + c]
+        return pa.Table.from_arrays(
+            [(v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v)
+             for v in cols.values()], schema=out_schema)
+
+    return both.sort(on).map_batches(per_block, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+
 def _band_pairs(cL, tL, cR, tR, before: int, after: int):
     """Vectorized band-join kernel: for every left row i, all right rows j
     with equal code and ``tL[i] - before <= tR[j] <= tL[i] + after``.

@@ -1,22 +1,30 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, with REAL
+codec kernels for the formats decodable without external libraries.
 
 Images/audio/video ride as Arrow ``binary`` columns with metadata columns
-(media_type, width/height or sample_rate, etc.). The Ray-side plumbing —
-schema, small batches for large payloads, actor-pool stage shape, output
-layout — is real and tested; the codec kernels themselves are STUBBED (no
-image/audio libraries in this container): ``decode`` raises
-NotImplementedError unless ``deterministic_fake=True``, which produces a
-seeded, content-derived fake (stable across runs/actors) so downstream
-pipeline logic is exercisable end-to-end.
+(media_type, width/height or sample_rate, etc.). Three codecs are fully
+implemented here — they need only numpy / the Python stdlib:
 
-Scale notes: payload stages must bound batch bytes, not batch rows — pass
-``batch_size`` small (e.g. 64) or rely on block splitting; features, not
-payloads, flow to any shuffle.
+- ``image/ppm``  — binary PPM (P6): header parse + raw RGB → (h, w, 3) uint8
+- ``audio/wav``  — stdlib ``wave``: PCM16 frames → int16 samples
+- ``video/raw``  — a documented toy container (``RAWV`` magic, w, h, n
+  frames, then n raw RGB frames) standing in for a real demuxer
+
+Compressed formats (PNG/JPEG/MP4/...) genuinely require codec libraries this
+container lacks; for those ``MediaDecoder`` raises ``NotImplementedError``
+unless ``deterministic_fake=True`` (a seeded content-derived fake so
+downstream plumbing stays exercisable). The Ray-side shape is the real
+point at scale: actor-pool map_batches (codec state loaded once per actor),
+SMALL batches sized by payload bytes not rows, and only features — never
+payloads — flowing into any shuffle.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from typing import Optional
 
 import numpy as np
@@ -25,7 +33,7 @@ import pyarrow as pa
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
-    ("media_type", pa.string()),      # "image/png", "audio/wav", "video/mp4"
+    ("media_type", pa.string()),      # "image/ppm", "audio/wav", "video/raw", ...
     ("payload", pa.binary()),
     ("meta_width", pa.int32()),       # images/video
     ("meta_height", pa.int32()),
@@ -34,31 +42,148 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
+# ---------------------------------------------------------------------------
+# codecs (numpy / stdlib only)
+# ---------------------------------------------------------------------------
+
+def ppm_encode(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def ppm_decode(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts = payload.split(b"\n", 3)
+    w, h = map(int, parts[1].split())
+    maxval = int(parts[2])
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    return np.frombuffer(parts[3], dtype=np.uint8,
+                         count=h * w * 3).reshape(h, w, 3)
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples → WAV bytes (stdlib wave)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (int16 mono samples, sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise ValueError("only PCM16 WAV supported")
+        raw = f.readframes(f.getnframes())
+        sr = f.getframerate()
+        x = np.frombuffer(raw, dtype="<i2")
+        if f.getnchannels() > 1:
+            x = x.reshape(-1, f.getnchannels()).mean(axis=1).astype(np.int16)
+    return x, sr
+
+
+_RAWV_MAGIC = b"RAWV"
+
+
+def rawvideo_encode(frames: np.ndarray) -> bytes:
+    """(n, h, w, 3) uint8 → toy raw-video container."""
+    n, h, w, _ = frames.shape
+    return _RAWV_MAGIC + struct.pack("<III", w, h, n) + \
+        frames.astype(np.uint8).tobytes()
+
+
+def rawvideo_decode(payload: bytes) -> np.ndarray:
+    """Toy raw-video container → (n, h, w, 3) uint8."""
+    if payload[:4] != _RAWV_MAGIC:
+        raise ValueError("not a RAWV payload")
+    w, h, n = struct.unpack("<III", payload[4:16])
+    return np.frombuffer(payload, dtype=np.uint8, offset=16,
+                         count=n * h * w * 3).reshape(n, h, w, 3)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized nearest-neighbor resize of (h, w, 3) uint8."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).astype(np.int64)
+    cols = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return img[rows][:, cols]
+
+
+def _image_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """Per-channel mean/std + 8-bin grayscale histogram, padded to dim."""
+    gray = img.astype(np.float64).mean(axis=2)
+    hist, _ = np.histogram(gray, bins=8, range=(0, 256))
+    feats = np.concatenate([
+        img.reshape(-1, 3).mean(axis=0) / 255.0,
+        img.reshape(-1, 3).std(axis=0) / 255.0,
+        hist / max(1, gray.size),
+    ])
+    out = np.zeros(dim)
+    out[:min(dim, len(feats))] = feats[:dim]
+    return out
+
+
+def _audio_features(x: np.ndarray, sr: int, dim: int) -> np.ndarray:
+    """RMS, zero-crossing rate, spectral centroid + 8-band log spectrum."""
+    xf = x.astype(np.float64) / 32768.0
+    rms = float(np.sqrt(np.mean(xf ** 2))) if len(xf) else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(xf))))) if len(xf) > 1 else 0.0
+    spec = np.abs(np.fft.rfft(xf)) if len(xf) else np.zeros(1)
+    freqs = np.fft.rfftfreq(max(len(xf), 1), 1.0 / sr)
+    centroid = float((freqs * spec).sum() / spec.sum()) / (sr / 2) \
+        if spec.sum() > 0 else 0.0
+    bands = np.array_split(spec, 8)
+    band_e = np.array([np.log1p(b.sum()) for b in bands])
+    feats = np.concatenate([[rms, zcr, centroid], band_e])
+    out = np.zeros(dim)
+    out[:min(dim, len(feats))] = feats[:dim]
+    return out
+
+
 def _content_rng(payload: bytes) -> np.random.Generator:
     seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
     return np.random.default_rng(seed)
 
 
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
+
 class MediaDecoder:
     """Actor-pool stage: payload → fixed-size feature vector.
 
-    Real deployments load the codec/model ONCE here (__init__); this container
-    has no media libraries, so the decode kernel is stubbed (documented in the
-    module docstring).
-    """
+    Codec dispatch lives in ``__init__`` (per-actor, once); real decode for
+    image/ppm, audio/wav and video/raw; other media types raise unless
+    ``deterministic_fake`` (module docstring)."""
 
     def __init__(self, feature_dim: int = 16, deterministic_fake: bool = False):
         self.feature_dim = feature_dim
         self.fake = deterministic_fake
-        # real impl: self.codec = load_codec(); self.model = load_model()
 
     def _decode_one(self, media_type: str, payload: bytes) -> np.ndarray:
+        d = self.feature_dim
+        payload = payload or b""
+        if media_type == "image/ppm":
+            return _image_features(ppm_decode(payload), d)
+        if media_type == "audio/wav":
+            return _audio_features(*wav_decode(payload), d)
+        if media_type == "video/raw":
+            frames = rawvideo_decode(payload)
+            # mean over frames of per-frame image features
+            return np.mean([_image_features(f, d) for f in frames], axis=0)
         if not self.fake:
             raise NotImplementedError(
-                "media codecs are unavailable in this environment; "
-                "construct MediaDecoder(deterministic_fake=True) for plumbing tests")
-        rng = _content_rng(payload or b"")
-        return rng.standard_normal(self.feature_dim)
+                f"no codec for {media_type!r} in this environment "
+                "(compressed formats need external libraries); use "
+                "deterministic_fake=True for plumbing tests")
+        return _content_rng(payload).standard_normal(d)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         feats = [self._decode_one(t, p)
@@ -83,38 +208,107 @@ def decode_features(media_ds, *, feature_dim: int = 16,
                                    deterministic_fake=deterministic_fake))
 
 
-def frame_sample(media_ds, *, every_n: int = 10, batch_size: int = 16):
-    """Video frame sampling plumbing: one output row per sampled frame index.
+class ImageResizer:
+    """Actor-pool stage: decode PPM → nearest-neighbor resize → re-encode."""
 
-    Frame extraction itself is part of the stubbed decode; the row-explosion
-    layout (media_id, frame_idx) is the real, tested part."""
+    def __init__(self, out_h: int, out_w: int):
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t, p in zip(df["media_type"], df["payload"]):
+            if t == "image/ppm":
+                out.append(ppm_encode(resize_nearest(
+                    ppm_decode(p), self.out_h, self.out_w)))
+            else:
+                out.append(p)
+        res = df.copy()
+        res["payload"] = out
+        res["meta_width"] = np.where(df["media_type"] == "image/ppm",
+                                     self.out_w, df["meta_width"]).astype("int32")
+        res["meta_height"] = np.where(df["media_type"] == "image/ppm",
+                                      self.out_h, df["meta_height"]).astype("int32")
+        return res
+
+
+def resize_images(media_ds, out_h: int, out_w: int, *, batch_size: int = 32,
+                  concurrency=(1, 4)):
+    return media_ds.map_batches(
+        ImageResizer, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=0.5,
+        fn_constructor_kwargs=dict(out_h=out_h, out_w=out_w))
+
+
+def frame_sample(media_ds, *, every_n: int = 10, batch_size: int = 16,
+                 decode: bool = False):
+    """Video frame sampling: one output row per sampled frame index; with
+    ``decode=True``, video/raw payloads are demuxed and each sampled frame is
+    re-emitted as a standalone image/ppm payload."""
     def f(df: pd.DataFrame) -> pd.DataFrame:
         n = df["meta_n_frames"].fillna(0).astype("int64").to_numpy()
         counts = np.maximum(0, (n + every_n - 1) // every_n)
         owners = np.repeat(np.arange(len(df)), counts)
         offs = np.arange(counts.sum()) - np.repeat(
             np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
-        return pd.DataFrame({
-            "media_id": df["media_id"].to_numpy()[owners],
-            "frame_idx": (offs * every_n).astype("int64"),
-        })
+        frame_idx = (offs * every_n).astype("int64")
+        out = {"media_id": df["media_id"].to_numpy()[owners],
+               "frame_idx": frame_idx}
+        if decode:
+            payloads = df["payload"].to_numpy()
+            types = df["media_type"].to_numpy()
+            frames = []
+            cache: dict[int, np.ndarray] = {}
+            for o, fi in zip(owners, frame_idx):
+                if types[o] == "video/raw":
+                    if o not in cache:
+                        cache[o] = rawvideo_decode(payloads[o])
+                    frames.append(ppm_encode(cache[o][fi]))
+                else:
+                    frames.append(None)
+            out["frame_ppm"] = frames
+        return pd.DataFrame(out)
     return media_ds.map_batches(f, batch_format="pandas", batch_size=batch_size)
 
 
 def synthesize_media(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table for plumbing tests (no external data)."""
+    """Deterministic media table with REAL payloads (PPM / WAV / RAWV)."""
     rng = np.random.default_rng(seed)
-    types = np.array(["image/png", "audio/wav", "video/mp4"])[
+    types = np.array(["image/ppm", "audio/wav", "video/raw"])[
         rng.integers(0, 3, size=n)]
-    payloads = [rng.integers(0, 256, size=int(rng.integers(128, 4096)),
-                             dtype=np.uint8).tobytes() for _ in range(n)]
+    rows = {k: [] for k in ("payload", "w", "h", "sr", "nf")}
+    for t in types:
+        if t == "image/ppm":
+            h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([(yy * 255 // max(1, h - 1)),
+                            (xx * 255 // max(1, w - 1)),
+                            rng.integers(0, 256, (h, w))], axis=2).astype(np.uint8)
+            rows["payload"].append(ppm_encode(img))
+            rows["w"].append(w); rows["h"].append(h)
+            rows["sr"].append(0); rows["nf"].append(0)
+        elif t == "audio/wav":
+            sr = 16000
+            dur = int(rng.integers(200, 2000))
+            tgrid = np.arange(dur) / sr
+            freq = float(rng.uniform(100, 3000))
+            x = (np.sin(2 * np.pi * freq * tgrid) * 12000
+                 + rng.standard_normal(dur) * 500).astype(np.int16)
+            rows["payload"].append(wav_encode(x, sr))
+            rows["w"].append(0); rows["h"].append(0)
+            rows["sr"].append(sr); rows["nf"].append(0)
+        else:
+            nf, h, w = int(rng.integers(2, 12)), 16, 16
+            frames = rng.integers(0, 256, (nf, h, w, 3), dtype=np.uint8) // 2 \
+                + np.linspace(0, 127, nf, dtype=np.uint8)[:, None, None, None]
+            rows["payload"].append(rawvideo_encode(frames.astype(np.uint8)))
+            rows["w"].append(w); rows["h"].append(h)
+            rows["sr"].append(0); rows["nf"].append(nf)
     return pa.table({
         "media_id": pa.array(np.arange(n), type=pa.int64()),
         "media_type": pa.array(types, type=pa.string()),
-        "payload": pa.array(payloads, type=pa.binary()),
-        "meta_width": pa.array(rng.integers(16, 512, n).astype(np.int32)),
-        "meta_height": pa.array(rng.integers(16, 512, n).astype(np.int32)),
-        "meta_sample_rate": pa.array(
-            np.full(n, 16000, dtype=np.int32)),
-        "meta_n_frames": pa.array(rng.integers(1, 100, n).astype(np.int32)),
+        "payload": pa.array(rows["payload"], type=pa.binary()),
+        "meta_width": pa.array(np.array(rows["w"], dtype=np.int32)),
+        "meta_height": pa.array(np.array(rows["h"], dtype=np.int32)),
+        "meta_sample_rate": pa.array(np.array(rows["sr"], dtype=np.int32)),
+        "meta_n_frames": pa.array(np.array(rows["nf"], dtype=np.int32)),
     })

@@ -1,0 +1,80 @@
+"""Deterministic sampling operators.
+
+The reference has no sampling (SURVEY.md §2.7); these are the scale
+extensions a training-data pipeline needs, built to be (a) deterministic
+across runs/partitionings and (b) SQL-expressible so the conformance oracle
+can check values, not just row counts.
+
+Both use a Knuth multiplicative hash over an integer key, computed with the
+SAME int64-safe arithmetic the SQL twin uses:
+
+    h(id) = ((id % 2^31) * 2654435761 + salt) % 2^32
+
+(`(2^31-1) * 2654435761 ≈ 5.7e18` stays inside int64 — no overflow
+divergence between numpy and SQL engines.)
+
+- ``hash_sample``: keep rows with ``h(id) < fraction * 2^32`` — a stateless,
+  embarrassingly-parallel Bernoulli sample that is stable under re-sharding
+  (the same rows survive at any block layout, unlike ``ds.random_sample``).
+- ``bottom_k_sample``: the k rows with the smallest ``h(id)`` — a
+  deterministic reservoir-sample equivalent (uniform over keys, exactly k),
+  computed with the top-k partial/fan-in shape (stages/topk.py): per-block
+  k-best, one tiny merge, NO total sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_KNUTH = 2654435761
+_M31 = 2 ** 31
+_M32 = 2 ** 32
+
+
+def _hash_col(t: pa.Table, key: str, salt: int) -> np.ndarray:
+    k = t[key].cast(pa.int64())
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks()
+    kn = k.to_numpy(zero_copy_only=False)
+    return ((kn % _M31) * _KNUTH + salt) % _M32
+
+
+def sample_sql_predicate(key: str, fraction: float, salt: int = 0) -> str:
+    """The SQL twin of hash_sample's predicate (for oracle queries)."""
+    thr = int(fraction * _M32)
+    return (f"((({key} % {_M31}) * {_KNUTH} + {salt}) % {_M32}) < {thr}")
+
+
+def hash_sample(ds, key: str, fraction: float, *, salt: int = 0):
+    """Deterministic Bernoulli sample: keep ≈``fraction`` of rows by key hash."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    thr = int(fraction * _M32)
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return t.filter(pa.array(_hash_col(t, key, salt) < thr))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bottom_k_sample(ds, key: str, k: int, *, salt: int = 0,
+                    keep_priority: bool = False):
+    """Exactly-k deterministic uniform sample: the k smallest key hashes.
+
+    Equivalent to a seeded reservoir sample but reproducible under any
+    partitioning; distributed as per-block k-best partials + one fan-in
+    merge (no all-to-all sort)."""
+    from saber_ray.stages.topk import topk
+
+    def add_prio(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__prio", pa.array(_hash_col(t, key, salt), type=pa.int64()))
+
+    out = topk(ds.map_batches(add_prio, batch_format="pyarrow",
+                              zero_copy_batch=True),
+               ["__prio", key], k, descending=False)
+    return out if keep_priority else out.drop_columns(["__prio"])

@@ -121,3 +121,31 @@ def test_keyless_theta_join(ray_session, sf_dir):
         f"AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {HOUR} "
         f"AND epoch_us(p.ts) + {HOUR} AND p.value > c.value",
         sf_dir)
+
+
+def test_asof_join(ray_session, sf_dir):
+    """As-of join vs DuckDB's native ASOF JOIN, plus tolerance semantics."""
+    from saber_ray import selection, col
+    from saber_ray.stages.join import asof_join
+    from saber_ray.core.windows import DAY
+    ev = read_table(sf_dir, "events",
+                    columns=["ts", "user_id", "event_type", "value", "event_id"])
+    purchases = selection(ev, col("event_type") == "purchase")
+    clicks = selection(ev, col("event_type") == "click")
+    out = asof_join(purchases, clicks, on="user_id",
+                    left_cols=["event_id"], right_cols=["event_id"])
+    assert_matches_oracle(
+        out.select_columns(["user_id", "ts_l", "ts_r",
+                            "event_id_l", "event_id_r"]),
+        "SELECT p.user_id, epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
+        "p.event_id AS event_id_l, c.event_id AS event_id_r "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id AND epoch_us(p.ts) >= epoch_us(c.ts)",
+        sf_dir)
+    # tolerance bound: matched click must lie within the window
+    tol = asof_join(purchases, clicks, on="user_id", tolerance=2 * DAY,
+                    left_cols=["event_id"], right_cols=["event_id"])
+    df = to_pandas(tol)
+    assert ((df["ts_l"] - df["ts_r"]) <= 2 * DAY).all()
+    assert ((df["ts_l"] - df["ts_r"]) >= 0).all()

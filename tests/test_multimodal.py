@@ -1,4 +1,5 @@
-"""Multimodal plumbing tests: schema, actor stage, stubbed decode, layout."""
+"""Multimodal tests: real PPM/WAV/RAWV codecs, resize, frame extraction,
+actor-stage layout, and the honest stub for compressed formats."""
 
 import numpy as np
 import pandas as pd
@@ -6,35 +7,80 @@ import pytest
 import ray.data as rd
 
 from saber_ray.stages.multimodal import (MediaDecoder, decode_features,
-                                         frame_sample, synthesize_media)
+                                         frame_sample, ppm_decode, ppm_encode,
+                                         rawvideo_decode, rawvideo_encode,
+                                         resize_images, resize_nearest,
+                                         synthesize_media, wav_decode,
+                                         wav_encode)
 from tests.oracle_util import canon, to_pandas
 
 
-def test_decode_stub_raises_without_fake():
+def test_codec_roundtrips():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(ppm_decode(ppm_encode(img)), img)
+    x = (rng.standard_normal(5000) * 10000).astype(np.int16)
+    got, sr = wav_decode(wav_encode(x, 16000))
+    assert sr == 16000
+    np.testing.assert_array_equal(got, x)
+    frames = rng.integers(0, 256, (5, 8, 8, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(rawvideo_decode(rawvideo_encode(frames)),
+                                  frames)
+
+
+def test_resize_nearest_shape_and_identity():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(resize_nearest(img, 16, 16), img)
+    assert resize_nearest(img, 7, 33).shape == (7, 33, 3)
+
+
+def test_decode_stub_raises_for_compressed_formats():
     dec = MediaDecoder()
     with pytest.raises(NotImplementedError):
         dec._decode_one("image/png", b"xx")
 
 
-def test_decode_features_deterministic(ray_session):
+def test_real_decode_features_deterministic(ray_session):
     media = rd.from_arrow(synthesize_media(48))
-    a = to_pandas(decode_features(media, deterministic_fake=True))
-    b = to_pandas(decode_features(media, deterministic_fake=True))
+    a = to_pandas(decode_features(media))          # REAL codecs, no fake
+    b = to_pandas(decode_features(media))
     a = a.sort_values("media_id").reset_index(drop=True)
     b = b.sort_values("media_id").reset_index(drop=True)
     assert len(a) == 48
     assert (a["payload_bytes"] > 0).all()
     for x, y in zip(a["feature"], b["feature"]):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # features are content-derived, not constant
+    feats = np.stack([np.asarray(v) for v in a["feature"]])
+    assert np.std(feats[:, 0]) > 0
 
 
-def test_frame_sample_layout(ray_session):
+def test_resize_images_stage(ray_session):
+    media = rd.from_arrow(synthesize_media(24))
+    out = to_pandas(resize_images(media, 12, 10))
+    imgs = out[out["media_type"] == "image/ppm"]
+    assert len(imgs) > 0
+    for p in imgs["payload"]:
+        assert ppm_decode(p).shape == (12, 10, 3)
+    assert (imgs["meta_width"] == 10).all() and (imgs["meta_height"] == 12).all()
+
+
+def test_frame_sample_layout_and_decode(ray_session):
     media = rd.from_arrow(synthesize_media(16))
     out = to_pandas(frame_sample(media, every_n=10))
     src = synthesize_media(16).to_pandas()
-    expect = int(((src["meta_n_frames"] + 9) // 10).sum())
-    assert len(out) == expect
+    vids = src[src["media_type"] == "video/raw"]
+    expect = int(((vids["meta_n_frames"] + 9) // 10).sum())
+    got_vid = out.merge(vids[["media_id"]], on="media_id")
+    assert len(got_vid) == expect
     assert (out["frame_idx"] % 10 == 0).all()
-    per = out.groupby("media_id")["frame_idx"].max().reset_index()
-    m = per.merge(src[["media_id", "meta_n_frames"]], on="media_id")
-    assert (m["frame_idx"] < m["meta_n_frames"]).all()
+    # decoded sampled frames are real PPMs matching the container frames
+    dec = to_pandas(frame_sample(media, every_n=5, decode=True))
+    dec = dec.merge(src[["media_id", "media_type", "payload"]], on="media_id")
+    vid_rows = dec[dec["media_type"] == "video/raw"]
+    assert len(vid_rows) > 0
+    for _, r in vid_rows.head(5).iterrows():
+        frames = rawvideo_decode(r["payload"])
+        np.testing.assert_array_equal(ppm_decode(r["frame_ppm"]),
+                                      frames[r["frame_idx"]])

@@ -1,0 +1,31 @@
+"""Deterministic sampling: re-sharding stability + SQL twin parity."""
+
+import numpy as np
+
+from saber_ray.sources.parquet import read_table
+from saber_ray.stages.sample import bottom_k_sample, hash_sample, \
+    sample_sql_predicate
+from tests.oracle_util import assert_matches_oracle, canon, to_pandas
+
+
+def test_hash_sample_stable_under_resharding(ray_session, sf_dir):
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+    a = canon(to_pandas(hash_sample(ds, "event_id", 0.2)))
+    b = canon(to_pandas(hash_sample(ds.repartition(7), "event_id", 0.2)))
+    assert a.equals(b)
+    assert 0.1 < len(a) / to_pandas(ds).shape[0] < 0.3
+
+
+def test_hash_sample_oracle(ray_session, sf_dir):
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+    out = hash_sample(ds, "event_id", 0.25, salt=7)
+    pred = sample_sql_predicate("event_id", 0.25, salt=7)
+    assert_matches_oracle(out, f"SELECT event_id, value FROM events WHERE {pred}",
+                          sf_dir)
+
+
+def test_bottom_k_sample_exact_k_and_stable(ray_session, sf_dir):
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    a = canon(to_pandas(bottom_k_sample(ds, "event_id", 50)))
+    b = canon(to_pandas(bottom_k_sample(ds.repartition(5), "event_id", 50)))
+    assert len(a) == 50 and a.equals(b)
