@@ -129,6 +129,17 @@ def _q_row_window(sf):
                               ts_col="turn_idx")
 
 
+def _q_hopping_window(sf):
+    """Hopping window WITH GAPS (slide > size): 2h windows every 6h — events
+    in the 4h gaps belong to no window. The pane algebra covers this
+    (windows_of_pane emits empty ranges for gap panes)."""
+    ds = read_table(sf, "events", columns=["ts", "value"])
+    return windowed_aggregate(
+        ds, window=Window.sliding(2 * HOUR, 6 * HOUR),
+        aggs=[cnt(alias="n"), sum_("value", "sum_value", scale=2)],
+        round_decimals=6)
+
+
 def _q_row_window_global(sf, window=None):
     """Stream-position (global) count windows — pane ids from PHYSICAL stream
     position, the reference's ROW_BASED windows (WindowBatch.java:499-643).
@@ -581,6 +592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_grouped_agg": _q_tumbling_grouped,
         "tumbling_global_agg": _q_tumbling_global,
         "sliding_global_agg": _q_sliding_global,
+        "hopping_window_gaps": _q_hopping_window,
         "sliding_grouped_agg": _q_sliding_grouped,
         "row_window_agg": _q_row_window,
         "row_window_global": _q_row_window_global,
@@ -647,6 +659,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1"),
         "sliding_global_agg": _sliding_sql(4, DAY, f"window_id, {ALL_SQL}",
                                            "window_id"),
+        "hopping_window_gaps": (
+            f"SELECT epoch_us(ts) // {6 * HOUR} AS window_id, COUNT(*) AS n, "
+            "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) "
+            "AS sum_value FROM events "
+            f"WHERE epoch_us(ts) % {6 * HOUR} < {2 * HOUR} GROUP BY 1"),
         "sliding_grouped_agg": _sliding_sql(
             4, 12 * HOUR,
             f"user_id, window_id, ROUND({_DECV} / COUNT(value), 6) AS avg_value, "

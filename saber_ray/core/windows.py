@@ -49,8 +49,9 @@ class Window:
             raise ValueError(f"mode must be '{RANGE}' or '{ROW}', got {self.mode}")
         if self.size <= 0 or self.slide <= 0:
             raise ValueError("size and slide must be positive")
-        if self.slide > self.size:
-            raise ValueError("slide > size (hopping-with-gaps) is not supported")
+        # slide > size (hopping with gaps) is legal: a pane then belongs to
+        # at most one window and some panes to none (windows_of_pane emits
+        # empty ranges for gap panes)
 
     # -- constructors -----------------------------------------------------
     @staticmethod
@@ -85,7 +86,8 @@ class Window:
 
     def windows_of_pane(self, pane_ids: np.ndarray):
         """For each pane id, the [w_min, w_max] inclusive range of window ids
-        covering it. Window w spans panes [w*panes_per_slide,
+        covering it (possibly empty: w_min > w_max for gap panes when
+        slide > size). Window w spans panes [w*panes_per_slide,
         w*panes_per_slide + panes_per_window).  Windows are anchored at t=0
         (window w covers [w*slide, w*slide + size))."""
         pps = self.panes_per_slide
@@ -102,7 +104,7 @@ class Window:
         repeated row belongs to. Expansion factor is ~size/slide.
         """
         w_min, w_max = self.windows_of_pane(pane_ids)
-        counts = (w_max - w_min + 1).astype(np.int64)
+        counts = np.maximum(0, w_max - w_min + 1).astype(np.int64)
         row_sel = np.repeat(np.arange(len(pane_ids), dtype=np.int64), counts)
         # window_id = w_min[row] + offset within that row's run
         offs = np.arange(counts.sum(), dtype=np.int64)
