@@ -508,6 +508,48 @@ def _q_streaming_join(sf):
                        "event_id_r", "value_l", "value_r"])
 
 
+def _q_streaming_theta_keyless(sf):
+    """Streaming PURE theta join (no equi key): band-cell partitioning
+    through the same stateful JoinStateActors — the streaming twin of
+    theta_join_keyless (ThetaJoin.java with a bare comparison predicate)."""
+    import shutil
+    import duckdb
+    import pyarrow.parquet as pq
+    from saber_ray.streaming_join import StreamingWindowedJoin
+
+    work = os.path.join("/tmp/saber_ray_gate",
+                        f"stream_theta-{hashlib.md5(sf.encode()).hexdigest()[:8]}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(os.path.join(work, "in"))
+    con = duckdb.connect()
+    ev = os.path.join(sf, "events.parquet")
+    sides = {}
+    for tag, et in (("L", "purchase"), ("R", "click")):
+        t = con.execute(
+            "SELECT epoch_us(ts) AS ts, event_id, value "
+            f"FROM read_parquet('{ev}') WHERE event_type = '{et}' "
+            "ORDER BY ts, event_id").arrow()
+        files = []
+        n = t.num_rows
+        for i in range(6):
+            part = t.slice(i * n // 6, (i + 1) * n // 6 - i * n // 6)
+            p = os.path.join(work, "in", f"{tag}-{i:02d}.parquet")
+            pq.write_table(part, p)
+            files.append(p)
+        sides[tag] = files
+    job = StreamingWindowedJoin(
+        os.path.join(work, "out"), on=None, before=HOUR, after=HOUR,
+        left_cols=["ts", "event_id", "value"],
+        right_cols=["ts", "event_id", "value"],
+        num_partitions=3,
+        predicate=lambda df: (df["value_l"].to_numpy()
+                              > df["value_r"].to_numpy()))
+    job.run(sides["L"], sides["R"], epoch_size=2)
+    out = job.results()
+    return out.select(["ts_l", "ts_r", "event_id_l", "event_id_r",
+                       "value_l", "value_r"])
+
+
 def _q_streaming_sessions(sf):
     """Gap-timeout sessions via the streaming engine (watermark-closed),
     equal to the batch/SQL sessionization."""
@@ -606,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm1": _q_cm1,
         "streaming_cm1": _q_streaming_cm1,
         "streaming_windowed_join": _q_streaming_join,
+        "streaming_theta_keyless": _q_streaming_theta_keyless,
         "streaming_sessions": _q_streaming_sessions,
         "cm2": _q_cm2,
         "sg1": _q_sg1,
@@ -725,6 +768,14 @@ def oracle_sql() -> dict[str, str]:
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
             "ON p.user_id = c.user_id AND epoch_us(p.ts) >= epoch_us(c.ts)"),
         "theta_join_keyless": (
+            "SELECT epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
+            "p.event_id AS event_id_l, c.event_id AS event_id_r, "
+            "p.value AS value_l, c.value AS value_r "
+            "FROM events p JOIN events c ON p.event_type = 'purchase' "
+            "AND c.event_type = 'click' "
+            f"AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {HOUR} "
+            f"AND epoch_us(p.ts) + {HOUR} AND p.value > c.value"),
+        "streaming_theta_keyless": (
             "SELECT epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
             "p.event_id AS event_id_l, c.event_id AS event_id_r, "
             "p.value AS value_l, c.value AS value_r "

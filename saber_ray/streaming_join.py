@@ -162,7 +162,7 @@ class StreamingWindowedJoin:
     emitted in the epoch its later row arrives.
     """
 
-    def __init__(self, out_dir: str, *, on: Sequence[str] | str,
+    def __init__(self, out_dir: str, *, on: Optional[Sequence[str] | str] = None,
                  before: int, after: int,
                  left_ts: str = "ts", right_ts: str = "ts",
                  left_cols: Sequence[str], right_cols: Sequence[str],
@@ -171,7 +171,16 @@ class StreamingWindowedJoin:
                  predicate: Optional[Callable] = None):
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
-        self.on = [on] if isinstance(on, str) else list(on)
+        # on=None → PURE theta (keyless): both streams band-partition on a
+        # derived time cell of before+after microseconds; left rows own their
+        # cell, right rows replicate to the ≤2 cells whose left owners could
+        # match, so each pair meets in exactly one cell — the same scheme as
+        # the batch windowed_join(on=None), with "__cell" acting as the equi
+        # key through the unchanged symmetric-hash machinery.
+        self.keyless = on is None or on == []
+        self.cell = max(int(before) + int(after), 1)
+        self.on = ["__cell"] if self.keyless else (
+            [on] if isinstance(on, str) else list(on))
         self.before, self.after = before, after
         self.left_ts, self.right_ts = left_ts, right_ts
         self.n = num_partitions
@@ -184,12 +193,16 @@ class StreamingWindowedJoin:
         self.predicate = predicate
 
     def _prep(self, files: list[str], ts_col: str, cols: list[str],
-              watermark) -> tuple[list[Optional[pa.Table]], int, int]:
-        """Read one side's epoch files → per-partition key-routed tables."""
+              watermark, side: int
+              ) -> tuple[list[Optional[pa.Table]], Optional[int], int, int]:
+        """Read one side's epoch files → per-partition key-routed tables.
+        Returns (per-partition tables, max_ts|None, late_rows, rows_in)."""
         if not files:
-            return [None] * self.n, None, 0
-        t = pa.concat_tables([pq.read_table(f, columns=self.on + [ts_col] + cols)
+            return [None] * self.n, None, 0, 0
+        read_cols = ([] if self.keyless else self.on) + [ts_col] + cols
+        t = pa.concat_tables([pq.read_table(f, columns=read_cols)
                               for f in files])
+        rows_in = t.num_rows
         ts = t[ts_col]
         if not pa.types.is_integer(ts.type):
             ts = ts.cast(pa.int64())
@@ -207,12 +220,23 @@ class StreamingWindowedJoin:
                 tn = tn[ok]
         t = t.drop_columns([ts_col]).append_column(
             "__ts", pa.array(tn, type=pa.int64()))
+        if self.keyless:
+            if side == 0:
+                cells = tn // self.cell
+            else:
+                lo_c = (tn - self.after) // self.cell
+                hi_c = (tn + self.before) // self.cell
+                extra = np.flatnonzero(hi_c > lo_c)
+                take = np.concatenate([np.arange(len(tn)), extra])
+                t = t.take(pa.array(take))
+                cells = np.concatenate([lo_c, hi_c[extra]])
+            t = t.append_column("__cell", pa.array(cells, type=pa.int64()))
         part = _key_hash(t, self.on, self.n)
         out = []
         for pid in range(self.n):
             sel = part == pid
             out.append(t.filter(pa.array(sel)) if sel.any() else None)
-        return out, mx, late
+        return out, mx, late, rows_in
 
     @property
     def _ckpt_path(self):
@@ -242,11 +266,15 @@ class StreamingWindowedJoin:
             while ck["offset_l"] < len(files_l) or ck["offset_r"] < len(files_r):
                 if max_epochs is not None and epochs >= max_epochs:
                     break
+                import time
+                t0 = time.monotonic()
                 wm = ck["watermark"]
                 chunk_l = files_l[ck["offset_l"]:ck["offset_l"] + epoch_size]
                 chunk_r = files_r[ck["offset_r"]:ck["offset_r"] + epoch_size]
-                pl, mxl, latel = self._prep(chunk_l, self.left_ts, self.lcols, wm)
-                pr, mxr, later = self._prep(chunk_r, self.right_ts, self.rcols, wm)
+                pl, mxl, latel, rl = self._prep(chunk_l, self.left_ts,
+                                                self.lcols, wm, 0)
+                pr, mxr, later, rr = self._prep(chunk_r, self.right_ts,
+                                                self.rcols, wm, 1)
                 # watermark = min over inputs of each stream's HIGH-WATER
                 # mark (checkpointed; None = no data seen yet, distinct from
                 # ts 0), minus the lateness allowance. A stream leaves the
@@ -276,7 +304,17 @@ class StreamingWindowedJoin:
                     new_wm = max(frontier - self.lateness, wm or 0)
                 outs = ray.get([a.process.remote(pl[i], pr[i], new_wm)
                                 for i, a in enumerate(actors)])
+                if self.keyless:
+                    outs = [t.drop_columns(["__cell"])
+                            if "__cell" in t.column_names else t for t in outs]
                 emitted = _write_epoch(self.out_dir, ck["epoch"], outs)
+                wall = time.monotonic() - t0
+                ck["metrics"].setdefault("epoch_stats", []).append({
+                    "epoch": ck["epoch"], "wall_sec": round(wall, 4),
+                    "rows_in": rl + rr, "rows_out": emitted,
+                    "rows_in_per_sec": (int((rl + rr) / wall) if wall > 0
+                                        else None),
+                    "emit_latency_wall_ms": round(wall * 1000.0, 1)})
                 nxt = ck["epoch"] + 1
                 ray.get([a.snapshot.remote(snap(i, nxt))
                          for i, a in enumerate(actors)])

@@ -151,3 +151,25 @@ def test_lagging_stream_watermark(ray_session, tmp_path):
         right_cols=["user_id", "ts", "event_id"])))
     assert len(want) == 2                       # both pairs inside the band
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_streaming_keyless_theta_matches_batch(ray_session, tmp_path, join_streams):
+    """Streaming pure-theta (on=None, band-cell partitioning) equals the
+    batch windowed_join(on=None) on the same input."""
+    import ray.data as rd
+    lf, rf = join_streams
+    pred = lambda df: df["value_l"].to_numpy() > df["value_r"].to_numpy()
+    want = canon(to_pandas(windowed_join(
+        rd.read_parquet(lf), rd.read_parquet(rf), on=None,
+        before=HOUR, after=HOUR,
+        left_cols=["event_id", "value"], right_cols=["event_id", "value"],
+        predicate=pred)))
+    job = StreamingWindowedJoin(
+        str(tmp_path / "out"), on=None, before=HOUR, after=HOUR,
+        left_cols=["ts", "event_id", "value"],
+        right_cols=["ts", "event_id", "value"],
+        num_partitions=3, predicate=pred)
+    job.run(lf, rf, epoch_size=3)
+    got = canon(to_pandas(job.results())[want.columns.tolist()])
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
