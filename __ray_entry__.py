@@ -232,6 +232,27 @@ def _q_theta_join_keyless(sf):
                                "value_l", "value_r"])
 
 
+def _q_semi_join(sf):
+    """Left semi join (engine-owned sort-merge join; semi/anti are join
+    types the reference lacks — SURVEY §2.7): customers with ≥1 order."""
+    from saber_ray.stages.join import merge_join
+    cust = read_table(sf, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = read_table(sf, "orders", columns=["o_custkey"])
+    return merge_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                      how="semi")
+
+
+def _q_anti_join(sf):
+    """Left anti join: customers with no URGENT orders (the unfiltered anti
+    set is empty in this data — every customer has some order)."""
+    from saber_ray.stages.join import merge_join
+    cust = read_table(sf, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = read_table(sf, "orders", columns=["o_custkey", "o_orderpriority"])
+    urgent = selection(orders, col("o_orderpriority") == "1-URGENT")
+    return merge_join(cust, urgent, on="c_custkey", right_on="o_custkey",
+                      how="anti")
+
+
 def _q_asof_join(sf):
     """As-of join: each purchase matched to the user's LATEST click at or
     before it (DuckDB ASOF JOIN is the oracle). Custom operator beyond the
@@ -645,6 +666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_theta_join": _q_windowed_join,
         "theta_join_keyless": _q_theta_join_keyless,
         "asof_join": _q_asof_join,
+        "semi_join": _q_semi_join,
+        "anti_join": _q_anti_join,
         "cm1": _q_cm1,
         "streaming_cm1": _q_streaming_cm1,
         "streaming_windowed_join": _q_streaming_join,
@@ -760,6 +783,13 @@ def oracle_sql() -> dict[str, str]:
             "AND p.event_type = 'purchase' AND c.event_type = 'click' "
             f"AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {6 * HOUR} "
             f"AND epoch_us(p.ts) + {6 * HOUR}"),
+        "semi_join": (
+            "SELECT c_custkey, c_mktsegment FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"),
+        "anti_join": (
+            "SELECT c_custkey, c_mktsegment FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT')"),
         "asof_join": (
             "SELECT p.user_id, epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
             "p.event_id AS event_id_l, c.event_id AS event_id_r, "

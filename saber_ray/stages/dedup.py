@@ -451,16 +451,18 @@ def minhash_lsh_clusters(ds, *, text_col="text", id_col="doc_id", num_perm=64,
 def minhash_dedup(ds, **kw):
     """Near-dup dedup: keep each cluster's representative (min doc_id).
 
-    The keep-set is applied as a hash semi-join against the cluster table
-    (reps are a Dataset, not a broadcast Python set — the 100 TB path)."""
+    The keep-set is applied as a distributed SEMI join against the cluster
+    table (reps are a Dataset, not a broadcast Python set — the 100 TB
+    path; merge_join is the engine-owned exchange that tolerates empty
+    partitions, stages/join.py)."""
     id_col = kw.get("id_col", "doc_id")
     clusters = minhash_lsh_clusters(ds, **kw)
     reps = clusters.map_batches(
         lambda t: t.filter(pc.equal(t[id_col], t["cluster_id"]))
                    .select([id_col]),
         batch_format="pyarrow", zero_copy_batch=True)
-    from saber_ray.stages.join import hash_join
-    return hash_join(ds, reps, on=id_col)
+    from saber_ray.stages.join import merge_join
+    return merge_join(ds, reps, on=id_col, how="semi")
 
 
 # ---------------------------------------------------------------------------

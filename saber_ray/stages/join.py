@@ -140,6 +140,179 @@ def hash_join(left, right, on: Sequence[str] | str, *,
 # windowed stream-stream join (equi key + event-time band + optional theta)
 # ---------------------------------------------------------------------------
 
+def merge_join(
+    left, right, *,
+    on: Sequence[str] | str,
+    right_on: Optional[Sequence[str] | str] = None,
+    how: str = "inner",
+    right_cols: Optional[Sequence[str]] = None,
+    right_suffix: str = "_r",
+):
+    """Engine-owned distributed equi join: ONE sort co-location exchange +
+    per-block vectorized pairing. ``how ∈ {inner, semi, anti, left_outer}``
+    — semi/anti are join types the reference lacks entirely (SURVEY.md §2.7)
+    and Ray's Dataset.join cannot express directly.
+
+    Why not Ray's hash join: this Ray version's hash-shuffle join crashes
+    when a partition receives zero left rows (see dedup.connected_components
+    note); the sort exchange has no such failure mode, and equal keys
+    co-locate per Ray's sort boundary semantics. NULL keys never match (SQL
+    semantics): they are dropped from the right side and from the left for
+    inner/semi (kept, unmatched, for anti/left_outer).
+
+    Per block the pairing reuses the band kernel with a zero-width band
+    (``_band_pairs`` with all timestamps 0): two searchsorted calls answer
+    every left row with its right-match range — counts>0 is the semi mask,
+    counts==0 the anti mask, and the expanded (li, ri) the inner pairs.
+    """
+    if how not in ("inner", "semi", "anti", "left_outer"):
+        raise ValueError(f"unsupported how={how!r}")
+    on = [on] if isinstance(on, str) else list(on)
+    r_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+    rnames = [c for c in (right_cols if right_cols is not None
+                          else right.schema().names) if c not in r_on]
+    lschema = left.schema()
+    rschema = right.schema()
+    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = dict(zip(lschema.names, lschema.types))
+    lnames = list(lschema.names)
+    rmap = {c: (c + right_suffix if c in lnames else c) for c in rnames}
+    pairing = how in ("inner", "left_outer")
+
+    from saber_ray.core.aggregates import null_fill_scalar
+
+    def _key_cols(b, keys):
+        """(filled key columns dict, all-valid int8 array) — null keys ride
+        filled + flagged so Ray's sort never compares None; flagged rows are
+        assigned the no-match code in per_block."""
+        valid = None
+        filled = {}
+        for i, k in enumerate(keys):
+            col = b[k]
+            v = pc.is_valid(col)
+            valid = v if valid is None else pc.and_(valid, v)
+            if col.null_count:
+                col = pc.fill_null(col, null_fill_scalar(col.type))
+            filled[f"__k_{i}"] = col
+        va = (pc.cast(valid, pa.int8()) if valid is not None
+              else pa.array(np.ones(b.num_rows, dtype=np.int8)))
+        return filled, va
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        if how in ("inner", "semi"):
+            mask = None
+            for k in on:
+                v = pc.is_valid(b[k])
+                mask = v if mask is None else pc.and_(mask, v)
+            if mask is not None and not pc.all(mask).as_py():
+                b = b.filter(mask)
+        cols, kv = _key_cols(b, on)
+        cols["__kv"] = kv
+        cols["__side"] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        for c in lnames:
+            cols["L__" + c] = b[c]
+        for c in rnames:
+            cols["R__" + c] = pa.nulls(b.num_rows, type=rtypes[c])
+        return pa.Table.from_arrays(
+            [(v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v)
+             for v in (cols[n] for n in sorted(cols))], names=sorted(cols))
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        mask = None
+        for k in r_on:
+            v = pc.is_valid(b[k])
+            mask = v if mask is None else pc.and_(mask, v)
+        if mask is not None and not pc.all(mask).as_py():
+            b = b.filter(mask)
+        cols, kv = _key_cols(b, r_on)
+        cols["__kv"] = kv
+        cols["__side"] = pa.array(np.ones(b.num_rows, dtype=np.int8))
+        for c in lnames:
+            cols["L__" + c] = pa.nulls(b.num_rows, type=ltypes[c])
+        for c in rnames:
+            cols["R__" + c] = b[c]
+        return pa.Table.from_arrays(
+            [(v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v)
+             for v in (cols[n] for n in sorted(cols))], names=sorted(cols))
+
+    both = left.map_batches(tag_left, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .union(right.map_batches(tag_right, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+
+    key_cols = [f"__k_{i}" for i in range(len(on))]
+    if pairing:
+        out_schema = pa.schema(
+            [(c, ltypes[c]) for c in lnames]
+            + [(rmap[c], rtypes[c]) for c in rnames])
+    else:
+        out_schema = pa.schema([(c, ltypes[c]) for c in lnames])
+
+    def per_block(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        g = g.combine_chunks()
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        if len(key_cols) == 1:
+            codes = g[key_cols[0]].combine_chunks().dictionary_encode() \
+                .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            codes, _ = pd.factorize(pd.MultiIndex.from_frame(
+                g.select(key_cols).to_pandas()))
+            codes = codes.astype(np.int64)
+        # rows whose original key was NULL can never match (SQL semantics)
+        kv = g["__kv"].to_numpy(zero_copy_only=False)
+        codes = np.where(kv == 0, -1, codes)
+        l_idx = np.flatnonzero(side == 0)
+        r_idx = np.flatnonzero(side != 0)
+        cL, cR = codes[l_idx], codes[r_idx]
+        if len(r_idx):
+            valid_r = cR >= 0
+            r_idx, cR = r_idx[valid_r], cR[valid_r]
+        if not len(l_idx):
+            return out_schema.empty_table()
+        zerosL = np.zeros(len(l_idx), dtype=np.int64)
+        if len(r_idx):
+            li, ri = _band_pairs(np.maximum(cL, 0), zerosL, cR,
+                                 np.zeros(len(r_idx), dtype=np.int64), 0, 0)
+            matched = np.zeros(len(l_idx), dtype=bool)
+            matched[li] = True
+            matched &= cL >= 0           # null-key left rows never match
+            if pairing:
+                keep = (cL[li] >= 0)
+                li, ri = li[keep], ri[keep]
+        else:
+            li = ri = np.zeros(0, dtype=np.int64)
+            matched = np.zeros(len(l_idx), dtype=bool)
+
+        def build(gl: pa.Table, gr: Optional[pa.Table]) -> pa.Table:
+            cols = [gl["L__" + c] for c in lnames]
+            if pairing:
+                src = gr if gr is not None else gl
+                cols += [src["R__" + c] for c in rnames]
+            return pa.Table.from_arrays(
+                [(v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v)
+                 for v in cols], schema=out_schema)
+
+        if how == "semi":
+            return build(g.take(pa.array(l_idx[matched])), None)
+        if how == "anti":
+            return build(g.take(pa.array(l_idx[~matched])), None)
+        parts = []
+        if len(li):
+            parts.append(build(g.take(pa.array(l_idx[li])),
+                               g.take(pa.array(r_idx[ri]))))
+        if how == "left_outer" and (~matched).any():
+            parts.append(build(g.take(pa.array(l_idx[~matched])), None))
+        if not parts:
+            return out_schema.empty_table()
+        return pa.concat_tables(parts)
+
+    return both.sort(["__kv"] + key_cols).map_batches(
+        per_block, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def asof_join(
     left, right, *,
     on: Sequence[str] | str,

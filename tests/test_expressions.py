@@ -61,7 +61,9 @@ def test_window_expand_panes():
 
 
 def test_window_validation():
+    # slide > size is LEGAL (hopping with gaps — hopping_window_gaps gate)
+    assert Window.sliding(2, 4).pane == 2
     with pytest.raises(ValueError):
-        Window.sliding(2, 4)
+        Window.sliding(0, 1)
     with pytest.raises(ValueError):
         Window("bogus", 1, 1)

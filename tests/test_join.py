@@ -149,3 +149,52 @@ def test_asof_join(ray_session, sf_dir):
     df = to_pandas(tol)
     assert ((df["ts_l"] - df["ts_r"]) <= 2 * DAY).all()
     assert ((df["ts_l"] - df["ts_r"]) >= 0).all()
+
+
+def test_merge_join_all_modes(ray_session, sf_dir):
+    """Engine-owned sort-merge equi join: inner/semi/anti/left_outer vs SQL,
+    including NULL-key handling (null keys never match; kept for anti/outer)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from saber_ray.stages.join import merge_join
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    assert_matches_oracle(
+        merge_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                   how="semi"),
+        "SELECT c_custkey, c_mktsegment FROM customer "
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders)", sf_dir)
+    from saber_ray import selection, col
+    urgent = selection(orders, col("o_orderpriority") == "1-URGENT")
+    assert_matches_oracle(
+        merge_join(cust, urgent, on="c_custkey", right_on="o_custkey",
+                   how="anti"),
+        "SELECT c_custkey, c_mktsegment FROM customer "
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+        "WHERE o_orderpriority = '1-URGENT')", sf_dir)
+    assert_matches_oracle(
+        merge_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                   how="inner"),
+        "SELECT c_custkey, c_mktsegment, o_orderpriority FROM customer "
+        "JOIN orders ON c_custkey = o_custkey", sf_dir)
+    assert_matches_oracle(
+        merge_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                   how="left_outer"),
+        "SELECT c_custkey, c_mktsegment, o_orderpriority FROM customer "
+        "LEFT JOIN orders ON c_custkey = o_custkey", sf_dir)
+    # NULL keys: two left rows with null key — dropped for inner/semi,
+    # kept unmatched for anti/left_outer
+    lt = pa.table({"k": pa.array([1, None, 2, None], pa.int64()),
+                   "v": pa.array([10, 11, 12, 13], pa.int64())})
+    rt = pa.table({"k": pa.array([1, 1, 3], pa.int64()),
+                   "w": pa.array([100, 101, 102], pa.int64())})
+    l, r = rd.from_arrow(lt).repartition(2), rd.from_arrow(rt).repartition(2)
+    from tests.oracle_util import to_pandas as tp
+    inner = tp(merge_join(l, r, on="k", how="inner")).sort_values("w")
+    assert inner["v"].tolist() == [10, 10] and inner["w"].tolist() == [100, 101]
+    semi = tp(merge_join(l, r, on="k", how="semi"))
+    assert semi["v"].tolist() == [10]
+    anti = tp(merge_join(l, r, on="k", how="anti")).sort_values("v")
+    assert anti["v"].tolist() == [11, 12, 13]
+    outer = tp(merge_join(l, r, on="k", how="left_outer")).sort_values(["v", "w"])
+    assert len(outer) == 5 and outer["w"].isna().sum() == 3
