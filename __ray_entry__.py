@@ -129,6 +129,20 @@ def _q_row_window(sf):
                               ts_col="turn_idx")
 
 
+def _q_watermark_closed(sf):
+    """Watermark-driven flush on the batch path: only windows whose end has
+    passed the (held-back) watermark are emitted, with window_start_us
+    bounds — the closed_mask/emit_start semantics the streaming engine
+    shares (FinalizeWindows)."""
+    from saber_ray.sources.parquet import watermark_us
+    wm = watermark_us(os.path.join(sf, "events.parquet")) - 3 * DAY
+    ds = read_table(sf, "events", columns=["ts", "value"])
+    return windowed_aggregate(
+        ds, window=Window.tumbling(DAY),
+        aggs=[cnt(alias="n"), sum_("value", "sum_value", scale=2)],
+        watermark=wm, emit_start=True, round_decimals=6)
+
+
 def _q_hopping_window(sf):
     """Hopping window WITH GAPS (slide > size): 2h windows every 6h — events
     in the 4h gaps belong to no window. The pane algebra covers this
@@ -656,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_global_agg": _q_tumbling_global,
         "sliding_global_agg": _q_sliding_global,
         "hopping_window_gaps": _q_hopping_window,
+        "watermark_closed_windows": _q_watermark_closed,
         "sliding_grouped_agg": _q_sliding_grouped,
         "row_window_agg": _q_row_window,
         "row_window_global": _q_row_window_global,
@@ -725,6 +740,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1"),
         "sliding_global_agg": _sliding_sql(4, DAY, f"window_id, {ALL_SQL}",
                                            "window_id"),
+        "watermark_closed_windows": (
+            f"WITH t AS (SELECT epoch_us(ts) // {DAY} AS window_id, value "
+            "FROM events), "
+            "wm AS (SELECT MAX(epoch_us(ts)) - 259200000000 AS w FROM events) "
+            f"SELECT window_id, window_id * {DAY} AS window_start_us, "
+            "COUNT(*) AS n, "
+            "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) "
+            "AS sum_value FROM t, wm "
+            f"WHERE (window_id + 1) * {DAY} <= wm.w GROUP BY 1"),
         "hopping_window_gaps": (
             f"SELECT epoch_us(ts) // {6 * HOUR} AS window_id, COUNT(*) AS n, "
             "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) "
