@@ -724,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from saber_ray.stages.sample import sample_sql_predicate
     return {
         "selection": (
             "SELECT event_id, event_type, value FROM events "
@@ -935,8 +936,7 @@ def oracle_sql() -> dict[str, str]:
                  "ORDER BY value DESC, event_id LIMIT 10"),
         "hash_sample": (
             "SELECT event_id, event_type, value FROM events WHERE "
-            f"(((event_id % {2**31}) * 2654435761 + 0) % {2**32}) "
-            f"< {int(0.1 * 2**32)}"),
+            + sample_sql_predicate("event_id", 0.1)),
         "bottom_k_sample": (
             "SELECT event_id, user_id, value FROM events "
             f"ORDER BY ((event_id % {2**31}) * 2654435761 + 0) % {2**32}, "

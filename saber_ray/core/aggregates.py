@@ -80,13 +80,23 @@ def max_(column: str, alias: Optional[str] = None, *,
 
 
 def scaled_columns(aggs: Sequence["AggSpec"]) -> dict[str, int]:
-    """column → decimal scale for scaled aggregates (one scale per column)."""
+    """column → decimal scale for scaled aggregates (one scale per column).
+
+    A column must be scaled consistently across every aggregate that reads
+    it: apply_scales rewrites the SHARED source column to scaled ints, so an
+    unscaled agg on the same column would silently see 10^s-inflated values.
+    """
     out: dict[str, int] = {}
     for a in aggs:
         if a.column is None or a.scale is None:
             continue
         if out.setdefault(a.column, a.scale) != a.scale:
             raise ValueError(f"conflicting scales for column {a.column!r}")
+    for a in aggs:
+        if a.column in out and a.scale is None and a.op != CNT:
+            raise ValueError(
+                f"column {a.column!r} mixes scaled and unscaled aggregates; "
+                f"give every non-count aggregate on it scale={out[a.column]}")
     return out
 
 

@@ -165,20 +165,32 @@ def connected_components(pairs, ids_ds, *, id_col: str = "doc_id",
         key = key[order]
         lab_col = t["label"].combine_chunks()
         is_lab = lab_col.is_valid().to_numpy(zero_copy_only=False)[order]
-        lab = lab_col.to_numpy(zero_copy_only=False)[order]
-        dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        # fill nulls in the ARROW domain: to_numpy on a nullable int column
+        # yields float64 (lossy above 2^53)
+        lab = pc.fill_null(lab_col, 0).to_numpy(zero_copy_only=False)[order]
+        dst = pc.fill_null(t["dst"].combine_chunks(), 0) \
+            .to_numpy(zero_copy_only=False)[order]
         starts, ends = _runs(key)
         run_id = np.cumsum(np.concatenate(([False], key[1:] != key[:-1])))
-        run_lab = np.full(len(starts), np.nan)
+        # int64 end-to-end: staging labels through float64 would silently
+        # corrupt ids above 2^53 (plausible for content-hash ids at scale)
+        run_lab = np.zeros(len(starts), dtype=np.int64)
+        run_has = np.zeros(len(starts), dtype=bool)
         lab_rows = np.flatnonzero(is_lab)
-        run_lab[run_id[lab_rows]] = lab[lab_rows]
+        run_lab[run_id[lab_rows]] = np.asarray(lab[lab_rows], dtype=np.int64)
+        run_has[run_id[lab_rows]] = True
         edge_rows = np.flatnonzero(~is_lab)
+        if not run_has[run_id[edge_rows]].all():
+            raise AssertionError(
+                "edge key without a label row — labels must cover every "
+                "edge endpoint (invariant of the init stage)")
         msg_lab = run_lab[run_id[edge_rows]]
         node_out = np.concatenate([dst[edge_rows].astype(np.int64),
                                    key[lab_rows]])
-        lab_out = np.concatenate([msg_lab, lab[lab_rows]])
+        lab_out = np.concatenate([msg_lab,
+                                  np.asarray(lab[lab_rows], dtype=np.int64)])
         return pa.table({"node": pa.array(node_out, type=pa.int64()),
-                         "label": pa.array(lab_out.astype(np.int64))})
+                         "label": pa.array(lab_out, type=pa.int64())})
 
     if labels.count():
         total = labels.sum("label")
@@ -231,18 +243,20 @@ def connected_components(pairs, ids_ds, *, id_col: str = "doc_id",
         node = node[order]
         lab_col = t["label"].combine_chunks()
         is_lab = lab_col.is_valid().to_numpy(zero_copy_only=False)[order]
-        lab = lab_col.to_numpy(zero_copy_only=False)[order]
+        lab = pc.fill_null(lab_col, 0).to_numpy(zero_copy_only=False)[order]
         starts, ends = _runs(node)
         run_id = np.cumsum(np.concatenate(([False], node[1:] != node[:-1])))
-        run_lab = np.full(len(starts), np.nan)
+        run_lab = np.zeros(len(starts), dtype=np.int64)
+        run_has = np.zeros(len(starts), dtype=bool)
         lab_rows = np.flatnonzero(is_lab)
-        run_lab[run_id[lab_rows]] = lab[lab_rows]
+        run_lab[run_id[lab_rows]] = np.asarray(lab[lab_rows], dtype=np.int64)
+        run_has[run_id[lab_rows]] = True
         id_rows = np.flatnonzero(~is_lab)
         out_node = node[id_rows]
-        out_lab = run_lab[run_id[id_rows]]
-        out_lab = np.where(np.isnan(out_lab), out_node, out_lab)
+        out_lab = np.where(run_has[run_id[id_rows]],
+                           run_lab[run_id[id_rows]], out_node)
         return pa.table({id_col: pa.array(out_node, type=pa.int64()),
-                         "cluster_id": pa.array(out_lab.astype(np.int64))})
+                         "cluster_id": pa.array(out_lab, type=pa.int64())})
 
     return nodes.union(tagged_labels).sort("node").map_batches(
         attach, batch_format="pyarrow", zero_copy_batch=True)

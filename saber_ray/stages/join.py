@@ -272,19 +272,17 @@ def merge_join(
             r_idx, cR = r_idx[valid_r], cR[valid_r]
         if not len(l_idx):
             return out_schema.empty_table()
-        zerosL = np.zeros(len(l_idx), dtype=np.int64)
-        if len(r_idx):
-            li, ri = _band_pairs(np.maximum(cL, 0), zerosL, cR,
-                                 np.zeros(len(r_idx), dtype=np.int64), 0, 0)
-            matched = np.zeros(len(l_idx), dtype=bool)
+        matched = np.zeros(len(l_idx), dtype=bool)
+        probe = np.flatnonzero(cL >= 0)   # null-key left rows never match —
+        if len(r_idx) and len(probe):     # exclude them from the probe so a
+            # fill-sentinel collision can't cost O(nulls x sentinel-matches)
+            pli, ri = _band_pairs(cL[probe],
+                                  np.zeros(len(probe), dtype=np.int64), cR,
+                                  np.zeros(len(r_idx), dtype=np.int64), 0, 0)
+            li = probe[pli]
             matched[li] = True
-            matched &= cL >= 0           # null-key left rows never match
-            if pairing:
-                keep = (cL[li] >= 0)
-                li, ri = li[keep], ri[keep]
         else:
             li = ri = np.zeros(0, dtype=np.int64)
-            matched = np.zeros(len(l_idx), dtype=bool)
 
         def build(gl: pa.Table, gr: Optional[pa.Table]) -> pa.Table:
             cols = [gl["L__" + c] for c in lnames]
@@ -317,6 +315,7 @@ def asof_join(
     left, right, *,
     on: Sequence[str] | str,
     left_ts: str = "ts", right_ts: str = "ts",
+    tie_break: Optional[str] = None,
     tolerance: Optional[int] = None,
     left_cols: Optional[Sequence[str]] = None,
     right_cols: Optional[Sequence[str]] = None,
@@ -334,6 +333,12 @@ def asof_join(
     semantics), then a per-block vectorized kernel — right side lexsorted by
     (key_code, ts), every left row answered by one ``np.searchsorted`` over
     the composite axis. NULL keys drop at the tagger.
+
+    Ties: when several right rows share the matched (key, ts), pass
+    ``tie_break`` (a right-side column name, e.g. an event id) to pick the
+    row with the LARGEST tie value deterministically; without it the pick is
+    block-order dependent (as is the SQL oracle's own arbitrary choice —
+    the gate data has no (key, ts) duplicates, verified).
     """
     on = [on] if isinstance(on, str) else list(on)
     lcols = [c for c in (left_cols if left_cols is not None
@@ -399,7 +404,12 @@ def asof_join(
             return out_schema.empty_table()
         cL, tL = codes[l_idx], ts[l_idx]
         cR, tR = codes[r_idx], ts[r_idx]
-        r_order = np.lexsort((tR, cR))
+        if tie_break is not None:
+            tb = g["R__" + tie_break].combine_chunks() \
+                .to_numpy(zero_copy_only=False)[r_idx]
+            r_order = np.lexsort((tb, tR, cR))
+        else:
+            r_order = np.lexsort((tR, cR))
         cRs, tRs = cR[r_order], tR[r_order]
         t0 = int(min(tL.min(), tRs.min()))
         span = int(max(tL.max(), tRs.max())) - t0 + 2

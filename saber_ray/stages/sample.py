@@ -38,13 +38,18 @@ def _hash_col(t: pa.Table, key: str, salt: int) -> np.ndarray:
     if isinstance(k, pa.ChunkedArray):
         k = k.combine_chunks()
     kn = k.to_numpy(zero_copy_only=False)
-    return ((kn % _M31) * _KNUTH + salt) % _M32
+    # numpy % is floored (always non-negative for positive modulus); SQL %
+    # is sign-preserving, so the twin wraps it in the canonical
+    # ((x % m) + m) % m — identical values for negative keys too
+    return (((kn % _M31) * _KNUTH + salt) % _M32).astype(np.int64)
 
 
 def sample_sql_predicate(key: str, fraction: float, salt: int = 0) -> str:
     """The SQL twin of hash_sample's predicate (for oracle queries)."""
     thr = int(fraction * _M32)
-    return (f"((({key} % {_M31}) * {_KNUTH} + {salt}) % {_M32}) < {thr}")
+    h = (f"(((((({key} % {_M31}) + {_M31}) % {_M31}) * {_KNUTH} + {salt}) "
+         f"% {_M32}) + {_M32}) % {_M32}")
+    return f"({h}) < {thr}"
 
 
 def hash_sample(ds, key: str, fraction: float, *, salt: int = 0):

@@ -41,9 +41,13 @@ from saber_ray.core.windows import SessionWindow
 
 
 def _ts_us_np(col: pa.ChunkedArray) -> np.ndarray:
-    """Event time column → int64 epoch microseconds (or pass-through ints)."""
+    """Event time column → int64 epoch MICROSECONDS (pass-through for ints).
+
+    Timestamps normalize through timestamp[us] first — a timestamp[ns]
+    column cast straight to int64 would yield nanoseconds and make the gap
+    threshold 1000x too tight."""
     if pa.types.is_timestamp(col.type):
-        col = col.cast(pa.int64())
+        col = col.cast(pa.timestamp("us")).cast(pa.int64())
     elif not pa.types.is_integer(col.type):
         col = col.cast(pa.int64())
     if isinstance(col, pa.ChunkedArray):
@@ -52,7 +56,13 @@ def _ts_us_np(col: pa.ChunkedArray) -> np.ndarray:
 
 
 def _segment_agg(a: AggSpec, col, starts: np.ndarray, counts: np.ndarray):
-    """Aggregate one column over contiguous segments (SQL null semantics)."""
+    """Aggregate one column over contiguous segments (SQL null semantics).
+
+    Fixed-point aggs (a.scale set): the column already holds exact scaled
+    ints (apply_scales at the prep stage); sums/mins/maxes descale here, AVG
+    descales the sum BEFORE dividing by count — the same op order as
+    finalize() and the DECIMAL-sum SQL twin."""
+    descale = float(10.0 ** a.scale) if a.scale is not None else None
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     has_null = col.null_count > 0
@@ -64,30 +74,46 @@ def _segment_agg(a: AggSpec, col, starts: np.ndarray, counts: np.ndarray):
         nvalid = counts
     if a.op == CNT:
         return pa.array(nvalid, type=pa.int64())
-    x = col.to_numpy(zero_copy_only=False)
-    intlike = x.dtype.kind in "iu" and not has_null
-    if not intlike:
+    # output dtype is a function of the COLUMN TYPE alone, never of this
+    # block's null presence — blocks of one Dataset must share a schema
+    intlike = pa.types.is_integer(col.type) and descale is None \
+        and a.op != AVG
+    if intlike:
+        # null-safe int64 domain: fill in Arrow, reduce exactly in int64
+        fill = 0 if a.op == SUM else (
+            np.iinfo(np.int64).max if a.op == MIN else np.iinfo(np.int64).min)
+        x = pc.fill_null(pc.cast(col, pa.int64()), fill) \
+            .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    else:
+        x = col.to_numpy(zero_copy_only=False)
         x = np.asarray(x, dtype=np.float64)
+        if has_null:
+            fill = 0.0 if a.op in (SUM, AVG) else (
+                np.inf if a.op == MIN else -np.inf)
+            x = np.where(valid, x, fill)
     if a.op in (SUM, AVG):
-        xs = np.where(valid, x, 0) if has_null else x
-        s = np.add.reduceat(xs, starts) if len(starts) else xs[:0]
+        s = np.add.reduceat(x, starts) if len(starts) else x[:0]
         if a.op == SUM:
-            arr = pa.array(s, type=pa.int64() if intlike else pa.float64())
+            if descale is not None:
+                arr = pa.array(np.asarray(s, dtype=np.float64) / descale,
+                               type=pa.float64())
+            else:
+                arr = pa.array(s, type=pa.int64() if intlike else pa.float64())
         else:
+            sf = np.asarray(s, dtype=np.float64)
+            if descale is not None:
+                sf = sf / descale
             with np.errstate(invalid="ignore", divide="ignore"):
-                arr = pa.array(np.asarray(s, dtype=np.float64)
-                               / np.asarray(nvalid, dtype=np.float64),
+                arr = pa.array(sf / np.asarray(nvalid, dtype=np.float64),
                                type=pa.float64())
     else:
-        fill = (np.iinfo(np.int64).max if intlike else np.inf)
-        if a.op == MAX:
-            fill = -fill if intlike else -np.inf
-        xm = np.where(valid, x, fill) if has_null else x
         red = np.minimum if a.op == MIN else np.maximum
-        m = red.reduceat(xm, starts) if len(starts) else xm[:0]
-        arr = pa.array(m, type=pa.int64() if intlike else pa.float64())
-        if not intlike:
-            arr = arr.cast(col.type) if pa.types.is_floating(col.type) else arr
+        m = red.reduceat(x, starts) if len(starts) else x[:0]
+        if descale is not None:
+            arr = pa.array(np.asarray(m, dtype=np.float64) / descale,
+                           type=pa.float64())
+        else:
+            arr = pa.array(m, type=pa.int64() if intlike else pa.float64())
     if nvalid is not counts:
         arr = pc.if_else(pa.array(nvalid > 0), arr, pa.scalar(None, arr.type))
     return arr
@@ -110,10 +136,18 @@ def session_windows(
     aggs = list(aggs)
     agg_cols = sorted({a.column for a in aggs if a.column is not None})
 
-    # prune to what the shuffle needs — wide payloads stay at the source
+    # prune to what the shuffle needs — wide payloads stay at the source;
+    # fixed-point (scale=) agg columns become exact scaled ints here and are
+    # descaled per agg at emit
+    from saber_ray.core.aggregates import apply_scales, scaled_columns
+    scales = scaled_columns(aggs)
     need = list(dict.fromkeys(keys + [ts_col] + order_by + agg_cols))
-    ds = ds.map_batches(lambda t: t.select(need), batch_format="pyarrow",
-                        zero_copy_batch=True)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.select(need)
+        return apply_scales(t, scales) if scales else t
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     from saber_ray.stages.window_agg import _encode_null_keys
     enc, dec, sort_keys = _encode_null_keys(keys)
 

@@ -241,8 +241,11 @@ def lsh_params_for(threshold: float, target_recall: float = 0.95
     High thresholds → long codes, few tables (cheap); low thresholds make
     LSH inherently expensive — the knobs make that trade explicit."""
     import math
+    # clamp away from p_bit=1 (threshold→1.0 would divide by log(1)=0) and
+    # cap codes at 62 bits — the bucket id is built by int64 bit shifts
     p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-    nbits = max(1, round(math.log(0.2) / math.log(p_bit)))
+    p_bit = min(p_bit, 1.0 - 1e-9)
+    nbits = min(62, max(1, round(math.log(0.2) / math.log(p_bit))))
     p_table = p_bit ** nbits
     ntables = max(1, math.ceil(math.log(1.0 - target_recall)
                                / math.log(1.0 - p_table)))

@@ -331,7 +331,8 @@ class StreamingWindowedAggregate:
         actors = [PaneStoreActor.remote(
             dict(mode=self.window.mode, size=self.window.size,
                  slide=self.window.slide),
-            [dict(op=a.op, column=a.column, alias=a.alias) for a in self.aggs],
+            [dict(op=a.op, column=a.column, alias=a.alias, scale=a.scale)
+             for a in self.aggs],
             self.keys) for i in range(self.n)]
         try:
             ray.get([a.restore.remote(self._snap_path(i, ck["epoch"]))

@@ -282,9 +282,11 @@ class StreamingWindowedJoin:
                 # side's file list grows slower must not let the watermark
                 # race ahead and drop the lagging stream's rows as late.
                 if mxl is not None:
-                    ck["hwm_l"] = max(mxl, ck["hwm_l"] or mxl)
+                    ck["hwm_l"] = mxl if ck["hwm_l"] is None \
+                        else max(mxl, ck["hwm_l"])
                 if mxr is not None:
-                    ck["hwm_r"] = max(mxr, ck["hwm_r"] or mxr)
+                    ck["hwm_r"] = mxr if ck["hwm_r"] is None \
+                        else max(mxr, ck["hwm_r"])
                 exh_l = ck["offset_l"] + len(chunk_l) >= len(files_l)
                 exh_r = ck["offset_r"] + len(chunk_r) >= len(files_r)
                 cands, blocked = [], False
@@ -298,10 +300,14 @@ class StreamingWindowedJoin:
                         cands.append(hwm)
                 new_wm = wm
                 if not blocked:
-                    frontier = min(cands) if cands else max(
-                        m for m in (ck["hwm_l"], ck["hwm_r"], 0)
-                        if m is not None)
-                    new_wm = max(frontier - self.lateness, wm or 0)
+                    seen = [m for m in (ck["hwm_l"], ck["hwm_r"])
+                            if m is not None]
+                    frontier = min(cands) if cands else (
+                        max(seen) if seen else None)
+                    if frontier is not None:
+                        # wm==0 is a valid frontier; only None means unset
+                        base = wm if wm is not None else frontier - self.lateness
+                        new_wm = max(frontier - self.lateness, base)
                 outs = ray.get([a.process.remote(pl[i], pr[i], new_wm)
                                 for i, a in enumerate(actors)])
                 if self.keyless:

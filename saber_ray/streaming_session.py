@@ -134,6 +134,12 @@ class SessionStateActor:
     def process(self, new_rows: Optional[pa.Table],
                 watermark: Optional[int]) -> pa.Table:
         if new_rows is not None and new_rows.num_rows:
+            from saber_ray.core.aggregates import apply_scales, scaled_columns
+            scales = scaled_columns(self.aggs)
+            if scales:
+                # fixed-point aggs: accumulate exact scaled ints; finalize
+                # descales at close (core/aggregates.py scale note)
+                new_rows = apply_scales(new_rows, scales)
             atoms = self._sessionize_new(new_rows.to_pandas())
             both = pd.concat([self.open, atoms], ignore_index=True) \
                 if len(self.open) else atoms
@@ -220,7 +226,7 @@ class StreamingSessionWindows:
                 ck = json.load(f)
         actors = [SessionStateActor.remote(
             self.keys, self.gap,
-            [dict(op=a.op, column=a.column, alias=a.alias) for a in self.aggs])
+            [dict(op=a.op, column=a.column, alias=a.alias, scale=a.scale) for a in self.aggs])
             for _ in range(self.n)]
         try:
             ray.get([a.restore.remote(self._snap(i, ck["epoch"]))

@@ -198,3 +198,23 @@ def test_merge_join_all_modes(ray_session, sf_dir):
     assert anti["v"].tolist() == [11, 12, 13]
     outer = tp(merge_join(l, r, on="k", how="left_outer")).sort_values(["v", "w"])
     assert len(outer) == 5 and outer["w"].isna().sum() == 3
+
+
+def test_asof_join_tie_break_deterministic(ray_session):
+    """Duplicate (key, ts) right rows: tie_break pins the pick regardless of
+    block layout (review r2 finding)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from saber_ray.stages.join import asof_join
+    lt = pa.table({"k": pa.array([1], pa.int64()),
+                   "ts": pa.array([100], pa.int64()),
+                   "lv": pa.array([7], pa.int64())})
+    rt = pa.table({"k": pa.array([1, 1, 1], pa.int64()),
+                   "ts": pa.array([50, 50, 40], pa.int64()),
+                   "rid": pa.array([3, 9, 1], pa.int64())})
+    for parts in (1, 2, 3):
+        out = to_pandas(asof_join(
+            rd.from_arrow(lt), rd.from_arrow(rt).repartition(parts),
+            on="k", tie_break="rid",
+            left_cols=["lv"], right_cols=["rid"]))
+        assert out["rid"].tolist() == [9]     # largest tie value at ts=50

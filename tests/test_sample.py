@@ -29,3 +29,22 @@ def test_bottom_k_sample_exact_k_and_stable(ray_session, sf_dir):
     a = canon(to_pandas(bottom_k_sample(ds, "event_id", 50)))
     b = canon(to_pandas(bottom_k_sample(ds.repartition(5), "event_id", 50)))
     assert len(a) == 50 and a.equals(b)
+
+
+def test_hash_sample_negative_keys_match_sql(ray_session):
+    """Negative keys: numpy floored % vs SQL sign-preserving % (review r2) —
+    the canonical double-mod SQL twin keeps them identical."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+    rng = np.random.default_rng(5)
+    keys = rng.integers(-10**9, 10**9, 5000)
+    t = pa.table({"k": pa.array(keys, pa.int64())})
+    ds = rd.from_arrow(t).repartition(4)
+    got = sorted(to_pandas(hash_sample(ds, "k", 0.3, salt=11))["k"])
+    con = duckdb.connect()
+    con.register("t", t)
+    pred = sample_sql_predicate("k", 0.3, salt=11)
+    want = sorted(r[0] for r in con.execute(
+        f"SELECT k FROM t WHERE {pred}").fetchall())
+    assert got == want and len(got) > 0

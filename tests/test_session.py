@@ -1,5 +1,6 @@
 """Session window tests vs a DuckDB window-function oracle (lag + cumsum)."""
 
+import numpy as np
 import pandas as pd
 
 from saber_ray import avg, cnt, session_windows
@@ -55,3 +56,29 @@ def test_session_avg_text_len(ray_session, sf_dir):
     assert_matches_oracle(
         out, _sql("ROUND(AVG(LENGTH(text)), 6) AS avg_len, COUNT(*) AS n_turns"),
         sf_dir)
+
+
+def test_session_agg_dtype_stable_with_nullable_ints(ray_session):
+    """Block schemas must not depend on per-block null presence (review r2):
+    an int column with nulls in only SOME blocks still aggregates as int64."""
+    import pyarrow as pa
+    import ray.data as rd
+    from saber_ray import cnt, max_, min_, session_windows, sum_
+    n = 40
+    t = pa.table({
+        "conv_id": pa.array(["a"] * 20 + ["b"] * 20),
+        "ts": pa.array(np.arange(n, dtype=np.int64) * 1000),
+        "v": pa.array([None if i == 35 else i for i in range(n)],
+                      type=pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    out = session_windows(ds, gap=10_000,
+                          aggs=[cnt(alias="n"), sum_("v", "sv"),
+                                min_("v", "mn"), max_("v", "mx")],
+                          keys=["conv_id"])
+    tbl = out.to_pandas()
+    assert str(tbl["sv"].dtype) == "int64" or tbl["sv"].notna().all()
+    assert len(tbl) == 2
+    assert tbl.set_index("conv_id").loc["a", "sv"] == sum(range(20))
+    assert tbl.set_index("conv_id").loc["b", "sv"] == sum(
+        i for i in range(20, 40) if i != 35)

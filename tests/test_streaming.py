@@ -148,3 +148,47 @@ def test_allowed_lateness_absorbs_disorder(ray_session, stream_files, tmp_path):
     got = _stream_df(job)
     want = _batch_result(ray_session, stream_files, ["role"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_scaled_aggregation(ray_session, tmp_path, sf_dir):
+    """scale= must survive the trip into PaneStoreActors (review r2 finding:
+    the serialized AggSpec dropped it → 100x-inflated sums)."""
+    import os
+    import pyarrow.parquet as pq
+    from saber_ray import Window, cnt, sum_, avg, windowed_aggregate
+    from saber_ray.core.windows import HOUR
+    from saber_ray.sources.parquet import read_table
+    from saber_ray.streaming import StreamingWindowedAggregate
+    from tests.oracle_util import canon, to_pandas
+    import pyarrow as pa
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["ts", "value"])
+    t = t.set_column(0, "ts", t["ts"].cast(pa.int64()))
+    t = t.take(pa.compute.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    files = []
+    for i in range(6):
+        part = t.slice(i * t.num_rows // 6,
+                       (i + 1) * t.num_rows // 6 - i * t.num_rows // 6)
+        p = str(tmp_path / f"f{i}.parquet")
+        pq.write_table(part, p)
+        files.append(p)
+    aggs = [cnt(alias="n"), sum_("value", "sum_value", scale=2),
+            avg("value", "avg_value", scale=2)]
+    job = StreamingWindowedAggregate(
+        str(tmp_path / "out"), window=Window.tumbling(6 * HOUR),
+        aggs=aggs, num_partitions=3)
+    job.run(files, epoch_size=2)
+    got = canon(to_pandas(job.results()))
+    batch = windowed_aggregate(
+        read_table(sf_dir, "events", columns=["ts", "value"]),
+        window=Window.tumbling(6 * HOUR), aggs=aggs)
+    want = canon(to_pandas(batch))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_mixed_scaled_unscaled_rejected():
+    from saber_ray import avg, sum_
+    from saber_ray.core.aggregates import scaled_columns
+    with pytest.raises(ValueError, match="mixes scaled"):
+        scaled_columns([sum_("v", scale=2), avg("v")])
