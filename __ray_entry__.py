@@ -306,6 +306,22 @@ def _q_pricing_summary(sf):
     return out.drop_columns(["window_id"])
 
 
+def _q_curation_pipeline(sf):
+    """End-to-end training-data curation: exact dedup → length filter →
+    token stats → deterministic 50% sample — the composed shape a 100 TB
+    corpus pipeline runs, with a value-level SQL twin for every step."""
+    from saber_ray.stages.dedup import exact_dedup
+    from saber_ray.stages.sample import hash_sample
+    from saber_ray.stages.text import token_stats
+    docs = read_table(sf, "documents", columns=["doc_id", "text", "lang"])
+    deduped = exact_dedup(docs, on="text", id_col="doc_id")
+    stats = token_stats(deduped)
+    kept = selection(stats, col("n_ws_tokens") >= lit(5))
+    sampled = hash_sample(kept, "doc_id", 0.5, salt=3)
+    return sampled.select_columns(
+        ["doc_id", "lang", "n_chars", "n_ws_tokens", "n_bpe_tokens"])
+
+
 def _q_hash_sample(sf):
     """Deterministic Bernoulli sample — stable under any re-sharding, with a
     value-level SQL twin (the same int64-safe Knuth hash on both sides)."""
@@ -701,6 +717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_ops": _q_string_ops,
         "topk": _q_topk,
         "hash_sample": _q_hash_sample,
+        "curation_pipeline": _q_curation_pipeline,
         "bottom_k_sample": _q_bottom_k_sample,
         "distinct_count": _q_distinct,
         "dedup_exact": _q_dedup_exact,
@@ -937,6 +954,17 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": (
             "SELECT event_id, event_type, value FROM events WHERE "
             + sample_sql_predicate("event_id", 0.1)),
+        "curation_pipeline": (
+            "WITH dedup AS (SELECT d.doc_id, d.lang, d.text FROM documents d "
+            "JOIN (SELECT text, MIN(doc_id) AS doc_id FROM documents "
+            "GROUP BY text) k ON d.doc_id = k.doc_id), "
+            "stats AS (SELECT doc_id, lang, LENGTH(text) AS n_chars, "
+            "len(string_split(text, ' ')) AS n_ws_tokens, "
+            r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) "
+            "AS n_bpe_tokens FROM dedup) "
+            "SELECT doc_id, lang, n_chars, n_ws_tokens, n_bpe_tokens "
+            "FROM stats WHERE n_ws_tokens >= 5 AND "
+            + sample_sql_predicate("doc_id", 0.5, salt=3)),
         "bottom_k_sample": (
             "SELECT event_id, user_id, value FROM events "
             f"ORDER BY ((event_id % {2**31}) * 2654435761 + 0) % {2**32}, "
