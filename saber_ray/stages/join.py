@@ -405,8 +405,13 @@ def asof_join(
         cL, tL = codes[l_idx], ts[l_idx]
         cR, tR = codes[r_idx], ts[r_idx]
         if tie_break is not None:
-            tb = g["R__" + tie_break].combine_chunks() \
-                .to_numpy(zero_copy_only=False)[r_idx]
+            # int-safe extraction: the R__ column is nullable (left rows
+            # hold nulls), and float64 staging would collide ids above 2^53
+            # and rank NULL ties largest; fill with int64 min so null tie
+            # values lose to every real id
+            tb_col = g["R__" + tie_break].combine_chunks().cast(pa.int64())
+            tb = pc.fill_null(tb_col, np.iinfo(np.int64).min) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)[r_idx]
             r_order = np.lexsort((tb, tR, cR))
         else:
             r_order = np.lexsort((tR, cR))

@@ -24,6 +24,8 @@ divergence between numpy and SQL engines.)
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -33,15 +35,28 @@ _M31 = 2 ** 31
 _M32 = 2 ** 32
 
 
-def _hash_col(t: pa.Table, key: str, salt: int) -> np.ndarray:
+def _hash_col(t: pa.Table, key: str, salt: int
+              ) -> tuple[np.ndarray, Optional[np.ndarray]]:
+    """(int64 hash per row, valid-key mask or None).
+
+    Null keys are filled in the ARROW domain before extraction — a nullable
+    int column otherwise reaches numpy as float64, where NaN→int64 staging
+    invents INT64_MIN hashes and large keys round differently depending on
+    whether THIS block happens to contain a null (breaking re-sharding
+    stability). A NULL key hashes to nothing: callers must drop/deprioritize
+    masked rows (the SQL twin's NULL predicate excludes them)."""
     k = t[key].cast(pa.int64())
     if isinstance(k, pa.ChunkedArray):
         k = k.combine_chunks()
-    kn = k.to_numpy(zero_copy_only=False)
+    valid = None
+    if k.null_count:
+        valid = k.is_valid().to_numpy(zero_copy_only=False)
+        k = pc.fill_null(k, 0)
+    kn = k.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     # numpy % is floored (always non-negative for positive modulus); SQL %
     # is sign-preserving, so the twin wraps it in the canonical
     # ((x % m) + m) % m — identical values for negative keys too
-    return (((kn % _M31) * _KNUTH + salt) % _M32).astype(np.int64)
+    return (((kn % _M31) * _KNUTH + salt) % _M32).astype(np.int64), valid
 
 
 def sample_sql_predicate(key: str, fraction: float, salt: int = 0) -> str:
@@ -61,7 +76,11 @@ def hash_sample(ds, key: str, fraction: float, *, salt: int = 0):
     def f(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t
-        return t.filter(pa.array(_hash_col(t, key, salt) < thr))
+        h, valid = _hash_col(t, key, salt)
+        keep = h < thr
+        if valid is not None:
+            keep &= valid            # NULL keys never sample (SQL twin)
+        return t.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -76,8 +95,12 @@ def bottom_k_sample(ds, key: str, k: int, *, salt: int = 0,
     from saber_ray.stages.topk import topk
 
     def add_prio(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "__prio", pa.array(_hash_col(t, key, salt), type=pa.int64()))
+        h, valid = _hash_col(t, key, salt)
+        if valid is not None:
+            # NULL keys sort last (can only be picked if < k real keys) —
+            # matches SQL ORDER BY ... NULLS LAST
+            h = np.where(valid, h, np.iinfo(np.int64).max)
+        return t.append_column("__prio", pa.array(h, type=pa.int64()))
 
     out = topk(ds.map_batches(add_prio, batch_format="pyarrow",
                               zero_copy_batch=True),

@@ -74,13 +74,16 @@ def _segment_agg(a: AggSpec, col, starts: np.ndarray, counts: np.ndarray):
         nvalid = counts
     if a.op == CNT:
         return pa.array(nvalid, type=pa.int64())
-    # output dtype is a function of the COLUMN TYPE alone, never of this
-    # block's null presence — blocks of one Dataset must share a schema
-    intlike = pa.types.is_integer(col.type) and descale is None \
-        and a.op != AVG
-    if intlike:
+    # Output dtype is a function of the COLUMN TYPE alone, never of this
+    # block's null presence — blocks of one Dataset must share a schema.
+    # ACCUMULATION happens in exact int64 whenever the SOURCE is integer
+    # (incl. scaled-int columns and AVG's sum: float64 pairwise reduceat
+    # would cost the "bit-identical under any partitioning" guarantee).
+    int_src = pa.types.is_integer(col.type)
+    int_out = int_src and descale is None and a.op != AVG
+    if int_src:
         # null-safe int64 domain: fill in Arrow, reduce exactly in int64
-        fill = 0 if a.op == SUM else (
+        fill = 0 if a.op in (SUM, AVG) else (
             np.iinfo(np.int64).max if a.op == MIN else np.iinfo(np.int64).min)
         x = pc.fill_null(pc.cast(col, pa.int64()), fill) \
             .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
@@ -98,7 +101,7 @@ def _segment_agg(a: AggSpec, col, starts: np.ndarray, counts: np.ndarray):
                 arr = pa.array(np.asarray(s, dtype=np.float64) / descale,
                                type=pa.float64())
             else:
-                arr = pa.array(s, type=pa.int64() if intlike else pa.float64())
+                arr = pa.array(s, type=pa.int64() if int_out else pa.float64())
         else:
             sf = np.asarray(s, dtype=np.float64)
             if descale is not None:
@@ -113,7 +116,9 @@ def _segment_agg(a: AggSpec, col, starts: np.ndarray, counts: np.ndarray):
             arr = pa.array(np.asarray(m, dtype=np.float64) / descale,
                            type=pa.float64())
         else:
-            arr = pa.array(m, type=pa.int64() if intlike else pa.float64())
+            arr = pa.array(m, type=pa.int64() if int_out else pa.float64())
+            if not int_out and pa.types.is_floating(col.type):
+                arr = arr.cast(col.type)    # min/max keep the source width
     if nvalid is not counts:
         arr = pc.if_else(pa.array(nvalid > 0), arr, pa.scalar(None, arr.type))
     return arr

@@ -350,8 +350,9 @@ class StreamingWindowedAggregate:
                 # a rowless epoch must not advance (or fabricate) the
                 # watermark — and new_wm=None is the END-OF-STREAM flush
                 # sentinel, so never pass it for an ordinary empty epoch
+                cand = int(max_ts) - self.lateness
                 new_wm = wm if rows_in == 0 \
-                    else max(int(max_ts) - self.lateness, wm or 0)
+                    else (cand if wm is None else max(cand, wm))
                 if new_wm is None:
                     outs, emitted = [], 0
                 else:

@@ -261,7 +261,11 @@ class StreamingSessionWindows:
                 t = t.drop_columns([self.ts_col]).append_column(
                     "__t", pa.array(tn, type=pa.int64()))
                 part = _key_hash(t, self.keys, self.n)
-                new_wm = wm if mx is None else max(mx - self.lateness, wm or 0)
+                # wm==0 is a valid frontier; only None means unset (and a
+                # negative-ts stream must not be floored at 0)
+                new_wm = wm if mx is None else (
+                    (mx - self.lateness) if wm is None
+                    else max(mx - self.lateness, wm))
                 outs = ray.get([
                     a.process.remote(
                         t.filter(pa.array(part == i)) if (part == i).any()

@@ -76,8 +76,14 @@ def test_session_agg_dtype_stable_with_nullable_ints(ray_session):
                           aggs=[cnt(alias="n"), sum_("v", "sv"),
                                 min_("v", "mn"), max_("v", "mx")],
                           keys=["conv_id"])
+    # dtype check must be unconditional: blocks WITH and WITHOUT nulls
+    # must both emit int64 (the review-r2 regression this guards)
+    schema = out.schema()
+    types = dict(zip(schema.names, schema.types))
+    import pyarrow as pa2
+    assert types["sv"] == pa2.int64(), types
+    assert types["mn"] == pa2.int64() and types["mx"] == pa2.int64()
     tbl = out.to_pandas()
-    assert str(tbl["sv"].dtype) == "int64" or tbl["sv"].notna().all()
     assert len(tbl) == 2
     assert tbl.set_index("conv_id").loc["a", "sv"] == sum(range(20))
     assert tbl.set_index("conv_id").loc["b", "sv"] == sum(
