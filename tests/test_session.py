@@ -88,3 +88,26 @@ def test_session_agg_dtype_stable_with_nullable_ints(ray_session):
     assert tbl.set_index("conv_id").loc["a", "sv"] == sum(range(20))
     assert tbl.set_index("conv_id").loc["b", "sv"] == sum(
         i for i in range(20, 40) if i != 35)
+
+
+def test_session_null_keys_one_group(ray_session):
+    """SQL PARTITION BY semantics: NULL session keys form ONE group and must
+    not crash Ray's sort (ADVICE r1: sort cannot compare None)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from saber_ray.core.windows import MINUTE
+    t = pa.table({
+        "tool": pa.array(["a", None, "a", None, None, "b"]),
+        "ts": pa.array((np.array([0, 1, 2, 3, 100, 4]) * MINUTE)
+                       .astype(np.int64)),
+    })
+    out = session_windows(rd.from_arrow(t).repartition(3), gap=10 * MINUTE,
+                          aggs=[cnt(alias="n")], keys=["tool"])
+    df = out.to_pandas().sort_values(["tool", "session_id"],
+                                     na_position="last").reset_index(drop=True)
+    # 'a': one session of 2; 'b': one of 1; NULL: ONE group with two
+    # sessions — (1min, 3min) inside the gap, then 100min alone
+    assert len(df) == 4
+    nulls = df[df["tool"].isna()]
+    assert len(nulls) == 2 and sorted(nulls["n"]) == [1, 2]
+    assert df[df["tool"] == "a"]["n"].tolist() == [2]
