@@ -724,13 +724,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
         # rows-only checks (non-SQL-expressible; deterministic, pytest-verified)
         "simhash_near_pairs": _q_simhash_pairs,
         "multimodal_features": _q_multimodal_features,
         "dedup_minhash_lsh": _q_minhash_clusters,
         "simhash_fingerprint": _q_simhash,
-        "quality_score": _q_quality,
-        "lang_id": _q_lang_id,
         "ann_topk_lsh": _q_ann_lsh,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     }
@@ -740,9 +740,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL
 # ---------------------------------------------------------------------------
 
+def _quality_sql() -> str:
+    """SQL twin of stages/text.QualityScorer, op-for-op in float64 (same
+    association order, LEAST/GREATEST for clips, sum of word lengths =
+    count of [A-Za-z] chars). ASCII corpus makes Python-\\w == RE2-\\w."""
+    from saber_ray.stages.text import STOPWORDS
+    stop = ", ".join(f"'{w}'" for w in sorted(STOPWORDS["en"]))
+    return (
+        r"WITH b AS (SELECT doc_id, "
+        r"CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS n, "
+        r"CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) "
+        r"AS alpha_c, "
+        r"CAST(LENGTH(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE) "
+        r"AS punct_c, "
+        r"regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM documents), "
+        f"c AS (SELECT doc_id, alpha_c / n AS alpha, punct_c / n AS punct, "
+        f"CAST(GREATEST(len(ws), 1) AS DOUBLE) AS n_words, "
+        f"CAST(len(list_filter(ws, w -> lower(w) IN ({stop}))) AS DOUBLE) "
+        f"AS stops, alpha_c AS wl_sum FROM b), "
+        "d AS (SELECT doc_id, "
+        "0.35 * alpha + 0.25 * LEAST(GREATEST(1.0 - punct, 0.0), 1.0) "
+        "+ 0.2 * (LEAST(GREATEST(stops / n_words, 0.0), 1.0) * 4.0 "
+        "/ (1.0 + 3.0 * (stops / n_words))) "
+        "+ 0.2 * (CASE WHEN wl_sum / n_words >= 2.0 "
+        "AND wl_sum / n_words <= 12.0 THEN 1.0 ELSE 0.0 END) AS score "
+        "FROM c) "
+        "SELECT doc_id, ROUND(LEAST(GREATEST(score, 0.0), 1.0), 6) "
+        "AS quality FROM d")
+
+
+def _lang_id_sql() -> str:
+    """SQL twin of stages/text.LangId: same token regex, same lexicons, same
+    first-max-wins tie policy over sorted language codes. Counts are exact
+    ints — full value parity. (Engine tokens use Python \\w which is
+    unicode-aware; the corpus is pure ASCII — verified max codepoint 121 —
+    so RE2's ASCII \\w tokenizes identically.)"""
+    from saber_ray.stages.text import STOPWORDS
+    langs = sorted(STOPWORDS)
+    cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        cols.append(f"len(list_filter(tk, t -> t IN ({words}))) AS {lang}")
+    ge = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{lang} >= {o}" for o in langs[i + 1:])
+        ge.append(f"WHEN {conds} THEN '{lang}'")
+    return (
+        r"WITH toks AS (SELECT doc_id, "
+        r"regexp_extract_all(lower(text), '[\wÀ-ÿ]+') AS tk FROM documents), "
+        f"sc AS (SELECT doc_id, {', '.join(cols)} FROM toks) "
+        f"SELECT doc_id, CASE WHEN greatest({', '.join(langs)}) = 0 "
+        f"THEN 'und' {' '.join(ge)} ELSE '{langs[-1]}' END AS lang_pred "
+        "FROM sc")
+
+
 def oracle_sql() -> dict[str, str]:
     from saber_ray.stages.sample import sample_sql_predicate
     return {
+        "lang_id": _lang_id_sql(),
+        "quality_score": _quality_sql(),
         "selection": (
             "SELECT event_id, event_type, value FROM events "
             "WHERE value > 100.0 AND event_type <> 'error'"),

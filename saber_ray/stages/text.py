@@ -94,8 +94,9 @@ class QualityScorer:
         score = (0.35 * alpha.to_numpy() + 0.25 * np.clip(1.0 - punct.to_numpy(), 0, 1)
                  + 0.2 * (stop_ratio.clip(0, 1) * 4.0 / (1 + 3.0 * stop_ratio)).to_numpy()
                  + 0.2 * wl_ok)
+        from saber_ray.core.aggregates import round_oracle_np
         df = df.copy()
-        df["quality"] = np.round(np.clip(score, 0.0, 1.0), 6)
+        df["quality"] = round_oracle_np(np.clip(score, 0.0, 1.0), 6)
         return df
 
 
