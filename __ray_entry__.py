@@ -350,6 +350,44 @@ def _q_string_ops(sf):
     ], keep=["doc_id"])
 
 
+def _q_ngram_jaccard(sf):
+    """Exact word-3-gram Jaccard over a deterministic pair set (doc_id < 30,
+    a < b) — the verification kernel the LSH dedup paths share, with a full
+    value oracle (DuckDB list_intersect/list_distinct twins)."""
+    import ray
+    import ray.data as rd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+    from saber_ray.core.aggregates import round_oracle_np
+    from saber_ray.stages.dedup import ngram_jaccard
+    sub = pq.read_table(os.path.join(sf, "documents.parquet"),
+                        columns=["doc_id", "text"],
+                        filters=[("doc_id", "<", 30)])
+    ref = ray.put((sub["doc_id"].to_pylist(), sub["text"].to_pylist()))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        oids, otxt = ray.get(ref)
+        bids = t["doc_id"].to_pylist()
+        btxt = t["text"].to_pylist()
+        a_id, b_id, a_tx, b_tx = [], [], [], []
+        for i, a in enumerate(bids):
+            for j, b in enumerate(oids):
+                if b > a:
+                    a_id.append(a)
+                    b_id.append(b)
+                    a_tx.append(btxt[i])
+                    b_tx.append(otxt[j])
+        j = ngram_jaccard(a_tx, b_tx, n=3)
+        return pa.table({"a": pa.array(a_id, pa.int64()),
+                         "b": pa.array(b_id, pa.int64()),
+                         "jaccard": pa.array(round_oracle_np(
+                             np.asarray(j, dtype=np.float64), 6))})
+
+    ds = rd.from_arrow(sub).repartition(4)
+    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_simhash_pairs(sf):
     from saber_ray.stages.dedup import simhash_near_pairs
     docs = read_table(sf, "documents", columns=["doc_id", "text"])
@@ -726,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         # rows-only checks (non-SQL-expressible; deterministic, pytest-verified)
         "simhash_near_pairs": _q_simhash_pairs,
         "multimodal_features": _q_multimodal_features,
@@ -799,6 +838,31 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_sql(),
         "quality_score": _quality_sql(),
+        "ngram_jaccard_pairs": (r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents WHERE doc_id < 30),
+            s AS (
+              SELECT doc_id,
+                CASE WHEN len(ws) = 0 THEN []
+                     WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                     ELSE list_transform(range(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                END AS sh
+              FROM d),
+            p AS (
+              SELECT l.doc_id AS a, r.doc_id AS b,
+                     list_distinct(l.sh) AS sa, list_distinct(r.sh) AS sb
+              FROM s l JOIN s r ON l.doc_id < r.doc_id)
+            SELECT a, b,
+              ROUND(CASE
+                WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 1.0
+                ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sa, sb))) END, 6)
+                AS jaccard
+            FROM p"""),
         "selection": (
             "SELECT event_id, event_type, value FROM events "
             "WHERE value > 100.0 AND event_type <> 'error'"),
