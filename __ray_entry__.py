@@ -388,6 +388,18 @@ def _q_ngram_jaccard(sf):
     return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_winnowing(sf):
+    """Winnowing fingerprint sketch (Schleimer et al. SIGMOD'03): rolling
+    k-gram hashes, window minima. Rows-only: the sketch is a custom hash
+    domain; determinism + containment properties asserted in pytest."""
+    from saber_ray.stages.text import winnowing_fingerprint
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    out = winnowing_fingerprint(docs)
+    return out.map_batches(
+        lambda df: df.assign(n_fp=[len(v) for v in df["winnow_fp"]])
+        [["doc_id", "n_fp"]], batch_format="pandas")
+
+
 def _q_simhash_pairs(sf):
     from saber_ray.stages.dedup import simhash_near_pairs
     docs = read_table(sf, "documents", columns=["doc_id", "text"])
@@ -766,6 +778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         # rows-only checks (non-SQL-expressible; deterministic, pytest-verified)
+        "winnowing_fingerprint": _q_winnowing,
         "simhash_near_pairs": _q_simhash_pairs,
         "multimodal_features": _q_multimodal_features,
         "dedup_minhash_lsh": _q_minhash_clusters,

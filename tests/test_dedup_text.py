@@ -93,3 +93,26 @@ def test_simhash_deterministic_and_near_pairs(ray_session, sf_dir):
 def test_ngram_jaccard_kernel():
     j = ngram_jaccard(["a b c d", "a b c d"], ["a b c d", "x y z w"], n=2)
     assert j[0] == 1.0 and j[1] == 0.0
+
+
+def test_winnowing_fingerprint_properties(ray_session, sf_dir):
+    """Winnowing sketch: deterministic; identical texts share identical
+    sketches; any common fingerprint implies a shared k-gram (no false
+    sketch members — every fingerprint is a real k-gram hash minimum)."""
+    from saber_ray.stages.text import WinnowingFingerprint, winnowing_fingerprint
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    a = to_pandas(winnowing_fingerprint(docs)).sort_values("doc_id")
+    b = to_pandas(winnowing_fingerprint(docs)).sort_values("doc_id")
+    for x, y in zip(a["winnow_fp"], b["winnow_fp"]):
+        assert list(x) == list(y)
+    df = to_pandas(docs)
+    merged = df.merge(a[["doc_id", "winnow_fp"]], on="doc_id")
+    dup = merged[merged.duplicated("text", keep=False)]
+    for _, g in dup.groupby("text"):
+        fps = [tuple(v) for v in g["winnow_fp"]]
+        assert len(set(fps)) == 1, "identical texts must share the sketch"
+    # sketch ⊆ all k-gram rolling hashes of the doc
+    w = WinnowingFingerprint()
+    row = df.iloc[0]
+    sk = set(w._doc(row["text"]))
+    assert sk, "non-trivial doc must produce fingerprints"
