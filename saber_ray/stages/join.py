@@ -504,9 +504,18 @@ def windowed_join(
     right_cols: Optional[Sequence[str]] = None,
     predicate: Optional[Callable[[pa.Table], np.ndarray]] = None,
     suffixes: tuple[str, str] = ("_l", "_r"),
+    band_partition: bool = False,
 ):
     """Pairs (l, r) with ``tL - before <= tR <= tL + after`` and equal key
     (when ``on`` is given).
+
+    ``band_partition=True`` (implied by ``on=None``) additionally splits
+    every KEY by time cell: the exchange sorts on (key..., cell) instead of
+    the key alone, so a pathologically hot key's pairs spread over its many
+    time cells instead of landing in one reducer block — the explicit skew
+    path SURVEY.md §7.4 documents (state per block = one band's worth).
+    Costs ≤ 2x replication of the right side; output is identical (each
+    pair still meets in exactly one (key, cell)) — asserted in pytest.
 
     ``before``/``after`` are microseconds of event time. Non-key column names
     colliding across sides get ``suffixes``; ts columns become ``ts_l``/``ts_r``
@@ -533,6 +542,7 @@ def windowed_join(
     """
     keyless = on is None or on == []
     on = [] if keyless else ([on] if isinstance(on, str) else list(on))
+    band = keyless or band_partition
     cell = max(int(before) + int(after), 1)
     lcols = [c for c in (left_cols if left_cols is not None
                          else left.schema().names) if c not in on and c != left_ts]
@@ -572,7 +582,7 @@ def windowed_join(
             for c in other_cols:
                 cols[prefix_other + c] = pa.nulls(b.num_rows, type=other_types[c])
             take = None
-            if keyless:
+            if band:
                 if side == 0:
                     cells = ts_np // cell
                 else:
@@ -591,7 +601,7 @@ def windowed_join(
             else:
                 nrows = b.num_rows
             cols["__side"] = pa.array(np.full(nrows, side, dtype=np.int8))
-            if keyless:
+            if band:
                 cols["__cell"] = pa.array(cells, type=pa.int64())
             arrs, names = [], []
             for n in sorted(cols):
@@ -622,12 +632,13 @@ def windowed_join(
         if keyless:
             codes = g["__cell"].to_numpy(zero_copy_only=False)
             codes = codes - codes.min()        # dense-ish, block-local
-        elif len(on) == 1:
+        elif len(on) == 1 and not band:
             codes = g[on[0]].combine_chunks().dictionary_encode() \
                 .indices.to_numpy(zero_copy_only=False).astype(np.int64)
         else:
+            code_cols = on + (["__cell"] if band else [])
             codes, _ = pd.factorize(pd.MultiIndex.from_frame(
-                g.select(on).to_pandas()))
+                g.select(code_cols).to_pandas()))
             codes = codes.astype(np.int64)
         l_idx = np.flatnonzero(side == 0)
         r_idx = np.flatnonzero(side != 0)
@@ -655,6 +666,6 @@ def windowed_join(
 
     # range shuffle by key (or time cell): equal codes co-locate in one block
     # (Ray sort boundary semantics — see stages/window_agg.py sortmerge notes)
-    sort_cols = ["__cell"] if keyless else on
+    sort_cols = ["__cell"] if keyless else (on + ["__cell"] if band else on)
     return both.sort(sort_cols).map_batches(per_block, batch_format="pyarrow",
                                             zero_copy_batch=True)

@@ -218,3 +218,22 @@ def test_asof_join_tie_break_deterministic(ray_session):
             on="k", tie_break="rid",
             left_cols=["lv"], right_cols=["rid"]))
         assert out["rid"].tolist() == [9]     # largest tie value at ts=50
+
+
+def test_windowed_join_band_partition_equivalent(ray_session, sf_dir):
+    """The hot-key skew path (band_partition=True: exchange on (key, cell),
+    right side replicated to candidate cells) produces EXACTLY the default
+    path's pairs — SURVEY §7.4's documented assumption, now implemented."""
+    from saber_ray import selection, col
+    ev = read_table(sf_dir, "events",
+                    columns=["ts", "user_id", "event_type", "event_id"])
+    purchases = selection(ev, col("event_type") == "purchase")
+    clicks = selection(ev, col("event_type") == "click")
+    kw = dict(on="user_id", before=6 * HOUR, after=6 * HOUR,
+              left_cols=["event_id"], right_cols=["event_id"])
+    base = canon(to_pandas(windowed_join(purchases, clicks, **kw)))
+    banded = canon(to_pandas(windowed_join(purchases, clicks,
+                                           band_partition=True, **kw)))
+    import pandas as pd
+    assert len(base) > 0
+    pd.testing.assert_frame_equal(base, banded)
