@@ -235,6 +235,8 @@ class StreamingSessionWindows:
             while ck["offset"] < len(files):
                 if max_epochs is not None and epochs >= max_epochs:
                     break
+                import time
+                t0 = time.monotonic()
                 chunk = files[ck["offset"]:ck["offset"] + epoch_size]
                 wm = ck["watermark"]
                 cols = None
@@ -273,6 +275,7 @@ class StreamingSessionWindows:
                         new_wm)
                     for i, a in enumerate(actors)])
                 emitted = _write(self.out_dir, ck["epoch"], outs)
+                wall = time.monotonic() - t0
                 nxt = ck["epoch"] + 1
                 ray.get([a.snapshot.remote(self._snap(i, nxt))
                          for i, a in enumerate(actors)])
@@ -280,6 +283,12 @@ class StreamingSessionWindows:
                           watermark=new_wm)
                 ck["metrics"]["emitted_rows"] += emitted
                 ck["metrics"]["late_dropped"] += late
+                ck["metrics"].setdefault("epoch_stats", []).append({
+                    "epoch": nxt - 1, "wall_sec": round(wall, 4),
+                    "rows_in": int(t.num_rows), "rows_out": emitted,
+                    "rows_in_per_sec": (int(t.num_rows / wall) if wall > 0
+                                        else None),
+                    "emit_latency_wall_ms": round(wall * 1000.0, 1)})
                 tmp = self._ckpt_path + ".tmp"
                 with open(tmp, "w") as f:
                     json.dump(ck, f)
