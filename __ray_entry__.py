@@ -799,13 +799,15 @@ def _quality_sql() -> str:
     from saber_ray.stages.text import STOPWORDS
     stop = ", ".join(f"'{w}'" for w in sorted(STOPWORDS["en"]))
     return (
-        r"WITH b AS (SELECT doc_id, "
+        r"WITH b0 AS (SELECT doc_id, COALESCE(text, '') AS text "
+        r"FROM documents), "           # engine fillna('') — NULL-text parity
+        r"b AS (SELECT doc_id, "
         r"CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS n, "
         r"CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) "
         r"AS alpha_c, "
         r"CAST(LENGTH(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE) "
         r"AS punct_c, "
-        r"regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM documents), "
+        r"regexp_extract_all(text, '[a-zA-Z]+') AS ws FROM b0), "
         f"c AS (SELECT doc_id, alpha_c / n AS alpha, punct_c / n AS punct, "
         f"CAST(GREATEST(len(ws), 1) AS DOUBLE) AS n_words, "
         f"CAST(len(list_filter(ws, w -> lower(w) IN ({stop}))) AS DOUBLE) "
@@ -839,7 +841,8 @@ def _lang_id_sql() -> str:
         ge.append(f"WHEN {conds} THEN '{lang}'")
     return (
         r"WITH toks AS (SELECT doc_id, "
-        r"regexp_extract_all(lower(text), '[\wÀ-ÿ]+') AS tk FROM documents), "
+        r"regexp_extract_all(lower(COALESCE(text, '')), '[\wÀ-ÿ]+') AS tk "
+        r"FROM documents), "
         f"sc AS (SELECT doc_id, {', '.join(cols)} FROM toks) "
         f"SELECT doc_id, CASE WHEN greatest({', '.join(langs)}) = 0 "
         f"THEN 'und' {' '.join(ge)} ELSE '{langs[-1]}' END AS lang_pred "
@@ -854,7 +857,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": (r"""
             WITH d AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\s+'),
+                     list_filter(string_split_regex(
+                                   lower(COALESCE(text, '')), '\s+'),
                                  w -> w <> '') AS ws
               FROM documents WHERE doc_id < 30),
             s AS (

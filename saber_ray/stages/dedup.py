@@ -599,12 +599,21 @@ def simhash_near_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming=3):
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard(texts_a, texts_b, n: int = 3) -> np.ndarray:
-    """Exact word n-gram Jaccard for aligned pairs (verification kernel)."""
+    """Exact word n-gram Jaccard for aligned pairs (verification kernel).
+
+    Docs shorter than ``n`` words contribute their whole text as one shingle
+    (the same fallback MinHasher._shingles uses — and the SQL twin of the
+    ``ngram_jaccard_pairs`` gate); empty docs contribute nothing, and two
+    empty shingle sets are defined as similarity 1.0."""
+    def shingles(words: list) -> set:
+        if len(words) < n:
+            return {" ".join(words)} if words else set()
+        return {" ".join(words[j:j + n]) for j in range(len(words) - n + 1)}
+
     out = np.zeros(len(texts_a), dtype=np.float64)
     for i, (ta, tb) in enumerate(zip(texts_a, texts_b)):
-        wa, wb = (ta or "").lower().split(), (tb or "").lower().split()
-        sa = {" ".join(wa[j:j + n]) for j in range(max(0, len(wa) - n + 1))}
-        sb = {" ".join(wb[j:j + n]) for j in range(max(0, len(wb) - n + 1))}
+        sa = shingles((ta or "").lower().split())
+        sb = shingles((tb or "").lower().split())
         u = len(sa | sb)
         out[i] = (len(sa & sb) / u) if u else 1.0
     return out

@@ -401,6 +401,19 @@ class StreamingWindowedAggregate:
         return pa.concat_tables([pq.read_table(f) for f in files])
 
 
+def epoch_stat_row(epoch: int, wall_sec: float, rows_in: int,
+                   rows_out: int, **extra) -> dict:
+    """The shared per-epoch monitoring schema (one definition for all three
+    streaming engines — aggregate, join, session)."""
+    row = {"epoch": int(epoch), "wall_sec": round(wall_sec, 4),
+           "rows_in": int(rows_in), "rows_out": int(rows_out),
+           "rows_in_per_sec": (int(rows_in / wall_sec) if wall_sec > 0
+                               else None),
+           "emit_latency_wall_ms": round(wall_sec * 1000.0, 1)}
+    row.update(extra)
+    return row
+
+
 def _epoch_stats(epoch: int, outs: list[pa.Table], window: Window,
                  watermark: Optional[int], wall_sec: float,
                  rows_in: int, rows_out: int) -> dict:
@@ -421,12 +434,8 @@ def _epoch_stats(epoch: int, outs: list[pa.Table], window: Window,
             lags.append(watermark - window.window_end(wid))
     lag = np.concatenate(lags) if lags else np.zeros(0, dtype=np.int64)
     q = (lambda p: float(np.percentile(lag, p)) if len(lag) else None)
-    return {"epoch": int(epoch), "wall_sec": round(wall_sec, 4),
-            "rows_in": int(rows_in), "rows_out": int(rows_out),
-            "rows_in_per_sec": (int(rows_in / wall_sec) if wall_sec > 0
-                                else None),
-            "emit_latency_wall_ms": round(wall_sec * 1000.0, 1),
-            "event_lag_us_p50": q(50), "event_lag_us_p95": q(95)}
+    return epoch_stat_row(epoch, wall_sec, rows_in, rows_out,
+                          event_lag_us_p50=q(50), event_lag_us_p95=q(95))
 
 
 def _write_emit(out_dir: str, epoch: int, tables: list[pa.Table]) -> int:

@@ -315,12 +315,9 @@ class StreamingWindowedJoin:
                             if "__cell" in t.column_names else t for t in outs]
                 emitted = _write_epoch(self.out_dir, ck["epoch"], outs)
                 wall = time.monotonic() - t0
-                ck["metrics"].setdefault("epoch_stats", []).append({
-                    "epoch": ck["epoch"], "wall_sec": round(wall, 4),
-                    "rows_in": rl + rr, "rows_out": emitted,
-                    "rows_in_per_sec": (int((rl + rr) / wall) if wall > 0
-                                        else None),
-                    "emit_latency_wall_ms": round(wall * 1000.0, 1)})
+                from saber_ray.streaming import epoch_stat_row
+                ck["metrics"].setdefault("epoch_stats", []).append(
+                    epoch_stat_row(ck["epoch"], wall, rl + rr, emitted))
                 nxt = ck["epoch"] + 1
                 ray.get([a.snapshot.remote(snap(i, nxt))
                          for i, a in enumerate(actors)])

@@ -253,6 +253,7 @@ class StreamingSessionWindows:
                 # None (not 0) for a rowless chunk: ts 0 is valid data and
                 # must advance the watermark (truthiness would lose it)
                 mx = int(tn.max()) if len(tn) else None
+                rows_in = t.num_rows        # pre-late-filter (engine parity)
                 late = 0
                 if wm is not None:
                     ok = tn >= wm
@@ -283,12 +284,9 @@ class StreamingSessionWindows:
                           watermark=new_wm)
                 ck["metrics"]["emitted_rows"] += emitted
                 ck["metrics"]["late_dropped"] += late
-                ck["metrics"].setdefault("epoch_stats", []).append({
-                    "epoch": nxt - 1, "wall_sec": round(wall, 4),
-                    "rows_in": int(t.num_rows), "rows_out": emitted,
-                    "rows_in_per_sec": (int(t.num_rows / wall) if wall > 0
-                                        else None),
-                    "emit_latency_wall_ms": round(wall * 1000.0, 1)})
+                from saber_ray.streaming import epoch_stat_row
+                ck["metrics"].setdefault("epoch_stats", []).append(
+                    epoch_stat_row(nxt - 1, wall, rows_in, emitted))
                 tmp = self._ckpt_path + ".tmp"
                 with open(tmp, "w") as f:
                     json.dump(ck, f)

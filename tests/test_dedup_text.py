@@ -111,8 +111,22 @@ def test_winnowing_fingerprint_properties(ray_session, sf_dir):
     for _, g in dup.groupby("text"):
         fps = [tuple(v) for v in g["winnow_fp"]]
         assert len(set(fps)) == 1, "identical texts must share the sketch"
-    # sketch ⊆ all k-gram rolling hashes of the doc
+    # real containment: recompute ALL k-gram rolling hashes independently;
+    # the sketch must equal the set of window minima over them (and hence be
+    # a subset of the full hash set) — catches window-bound/indexing bugs
+    from numpy.lib.stride_tricks import sliding_window_view
     w = WinnowingFingerprint()
-    row = df.iloc[0]
-    sk = set(w._doc(row["text"]))
+    text = df.iloc[0]["text"]
+    sk = set(w._doc(text))
+    buf = np.frombuffer(text.lower().encode("utf-8", "ignore"), dtype=np.uint8)
+    k = w.k
+    base = np.uint64(1000003)
+    powers = np.power(base, np.arange(k, dtype=np.uint64), dtype=np.uint64)
+    h = np.zeros(len(buf) - k + 1, dtype=np.uint64)
+    for i in range(k):
+        h += buf[i:len(buf) - k + 1 + i].astype(np.uint64) * powers[k - 1 - i]
+    all_hashes = {int(x) for x in h}
     assert sk, "non-trivial doc must produce fingerprints"
+    assert sk <= all_hashes, "sketch member that is not a real k-gram hash"
+    mins = {int(x) for x in sliding_window_view(h, w.window).min(axis=1)}
+    assert sk == mins, "sketch must be exactly the window minima"
