@@ -322,6 +322,20 @@ def _q_curation_pipeline(sf):
         ["doc_id", "lang", "n_chars", "n_ws_tokens", "n_bpe_tokens"])
 
 
+def _q_grouped_quantiles(sf):
+    """Exact grouped order statistics (p50/p95 doc length, distinct lengths
+    per language) — one null-safe sort co-location + a single lexsort per
+    block; quantile_disc index rule calibrated bit-exact vs DuckDB."""
+    from saber_ray.stages.stats import grouped_quantiles
+    docs = read_table(sf, "documents", columns=["lang", "text"])
+    ds = projection(docs, [col("text").str_len().cast("int64").alias("n_chars")],
+                    keep=["lang"])
+    return grouped_quantiles(ds, "lang", "n_chars",
+                             {"p50_chars": 0.5, "p95_chars": 0.95},
+                             count_distinct_alias="n_distinct_lens",
+                             count_alias="n_docs")
+
+
 def _q_hash_sample(sf):
     """Deterministic Bernoulli sample — stable under any re-sharding, with a
     value-level SQL twin (the same int64-safe Knuth hash on both sides)."""
@@ -768,6 +782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk": _q_topk,
         "hash_sample": _q_hash_sample,
         "curation_pipeline": _q_curation_pipeline,
+        "grouped_quantiles": _q_grouped_quantiles,
         "bottom_k_sample": _q_bottom_k_sample,
         "distinct_count": _q_distinct,
         "dedup_exact": _q_dedup_exact,
@@ -1091,6 +1106,11 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": (
             "SELECT event_id, event_type, value FROM events WHERE "
             + sample_sql_predicate("event_id", 0.1)),
+        "grouped_quantiles": (
+            "SELECT lang, quantile_disc(LENGTH(text), 0.5) AS p50_chars, "
+            "quantile_disc(LENGTH(text), 0.95) AS p95_chars, "
+            "COUNT(DISTINCT LENGTH(text)) AS n_distinct_lens, "
+            "COUNT(*) AS n_docs FROM documents GROUP BY 1"),
         "curation_pipeline": (
             "WITH dedup AS (SELECT d.doc_id, d.lang, d.text FROM documents d "
             "JOIN (SELECT text, MIN(doc_id) AS doc_id FROM documents "
