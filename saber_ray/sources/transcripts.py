@@ -59,30 +59,75 @@ TRANSCRIPTS_SQL = """
 """
 
 
+_ROLE_OF = {"click": "user", "view": "user",
+            "purchase": "assistant", "signup": "assistant"}
+_TOOL_OF = {"error": "debugger", "purchase": "checkout"}
+
+
 def transcripts_from_events(sf_dir: str):
-    """Derive the transcript stream from `events` (see TRANSCRIPTS_SQL)."""
+    """Derive the transcript stream from `events` (see TRANSCRIPTS_SQL).
+
+    Distributed per-key ordinal WITHOUT per-group dispatch (VERDICT r2 #2):
+    ONE sort co-location exchange on ``user_id`` alone (Ray's sort never
+    splits equal keys across blocks — and the sort key must be the group key
+    ONLY, not (key, ts): equal full sort tuples co-locate, equal prefixes do
+    not), then a per-block vectorized pass lexsorts by (user, ts, event_id)
+    and assigns ``turn_idx`` by run detection. role/tool are dictionary-level
+    lookups (one Python step per DISTINCT event_type, ≤5 values)."""
+    import pyarrow.compute as pc
     ds = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type", "props"])
 
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        et = g["event_type"]
-        role = np.where(et.isin(["click", "view"]), "user",
-                        np.where(et.isin(["purchase", "signup"]),
-                                 "assistant", "system"))
-        tool = np.select([et == "error", et == "purchase"],
-                         ["debugger", "checkout"], default=None)
-        return pd.DataFrame({
-            "conv_id": "c" + g["user_id"].astype(str),
-            "turn_idx": np.arange(len(g), dtype=np.int32),
+    def per_block(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "role": pa.array([], pa.string()),
+                "text": pa.array([], pa.string()),
+                "tool": pa.array([], pa.string()),
+                "ts": pa.array([], t.schema.field("ts").type)})
+        t = t.combine_chunks()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts_i = t["ts"].cast(pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts_i, uid))
+        t = t.take(pa.array(order))
+        uid = uid[order]
+        # turn_idx = per-user ordinal: arange minus each run's start offset
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        run_start = np.where(new_user, np.arange(n), 0)
+        np.maximum.accumulate(run_start, out=run_start)
+        turn_idx = np.arange(n) - run_start
+        # conv_id = 'c' || user_id (C-level string build)
+        conv_id = pc.binary_join_element_wise(
+            pa.array(np.full(n, "c"), type=pa.string()),
+            t["user_id"].cast(pa.string()).combine_chunks(), "")
+        # role/tool: map the ≤5 distinct event_type dictionary values once
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        vals = et.dictionary.to_pylist()
+        role = pa.DictionaryArray.from_arrays(
+            et.indices,
+            pa.array([_ROLE_OF.get(v, "system") for v in vals],
+                     type=pa.string())).cast(pa.string())
+        tool = pa.DictionaryArray.from_arrays(
+            et.indices,
+            pa.array([_TOOL_OF.get(v) for v in vals],
+                     type=pa.string())).cast(pa.string())
+        return pa.table({
+            "conv_id": conv_id,
+            "turn_idx": pa.array(turn_idx, type=pa.int32()),
             "role": role,
-            "text": g["props"].to_numpy(),
+            "text": t["props"].combine_chunks(),
             "tool": tool,
-            "ts": g["ts"].to_numpy(),
+            "ts": t["ts"].combine_chunks(),
         })
 
-    return ds.groupby("user_id").map_groups(per_conv, batch_format="pandas")
+    return ds.sort("user_id").map_batches(per_block, batch_format="pyarrow",
+                                          zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

@@ -77,3 +77,29 @@ def test_streaming_sessions_kill_resume(ray_session, session_stream, tmp_path):
     got = canon(j2.results().to_pandas())
     want = _batch(ray_session, session_stream)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_segmented_running_max_matches_naive():
+    """Vectorized segmented cummax (incl. the overflow fallback path) must
+    equal a per-segment numpy accumulate."""
+    import numpy as np
+    from saber_ray.streaming_session import _segmented_running_max
+    rng = np.random.default_rng(3)
+    n = 5000
+    vals = rng.integers(-10**6, 10**6, n)
+    new_seg = rng.random(n) < 0.01
+    new_seg[0] = True
+    want = vals.copy()
+    starts = np.flatnonzero(new_seg)
+    ends = np.append(starts[1:], n)
+    for s, e in zip(starts, ends):
+        np.maximum.accumulate(vals[s:e], out=want[s:e])
+    got = _segmented_running_max(vals, new_seg)
+    assert (got == want).all()
+    # overflow fallback: huge value span forces the per-segment path
+    vals2 = vals.astype(np.int64) * (2**40)
+    want2 = vals2.copy()
+    for s, e in zip(starts, ends):
+        np.maximum.accumulate(vals2[s:e], out=want2[s:e])
+    got2 = _segmented_running_max(vals2, new_seg)
+    assert (got2 == want2).all()
