@@ -149,36 +149,51 @@ def merge_join(
     right_suffix: str = "_r",
 ):
     """Engine-owned distributed equi join: ONE sort co-location exchange +
-    per-block vectorized pairing. ``how ∈ {inner, semi, anti, left_outer}``
-    — semi/anti are join types the reference lacks entirely (SURVEY.md §2.7)
-    and Ray's Dataset.join cannot express directly.
+    per-block vectorized pairing. ``how ∈ {inner, semi, anti, left_outer,
+    right_outer, full_outer}`` — semi/anti/outer are join types the
+    reference lacks entirely (SURVEY.md §2.7) and Ray's Dataset.join cannot
+    express directly (or crashes — below).
 
     Why not Ray's hash join: this Ray version's hash-shuffle join crashes
     when a partition receives zero left rows (see dedup.connected_components
     note); the sort exchange has no such failure mode, and equal keys
     co-locate per Ray's sort boundary semantics. NULL keys never match (SQL
-    semantics): they are dropped from the right side and from the left for
-    inner/semi (kept, unmatched, for anti/left_outer).
+    ON-clause semantics): they are dropped from sides whose rows only appear
+    when matched (both for inner/semi; left for right_outer; right for
+    anti/left_outer) and kept — unmatched — on sides an outer/anti emits.
+
+    NULL-key note for ``anti``: this is LEFT ANTI JOIN semantics (DuckDB
+    ``ANTI JOIN`` / ``NOT EXISTS``) — a left row with a NULL key can never
+    match, so it is KEPT. SQL ``NOT IN`` differs: a NULL key compares
+    UNKNOWN and drops the row whenever the subquery is non-empty. Gates
+    using a NOT IN oracle rely on non-null keys in the gate data; the
+    NULL-key behavior is pinned by pytest (test_join.py).
 
     Per block the pairing reuses the band kernel with a zero-width band
     (``_band_pairs`` with all timestamps 0): two searchsorted calls answer
     every left row with its right-match range — counts>0 is the semi mask,
-    counts==0 the anti mask, and the expanded (li, ri) the inner pairs.
+    counts==0 the anti mask, the expanded (li, ri) the inner pairs, and the
+    never-matched flags on either side the outer emissions.
     """
-    if how not in ("inner", "semi", "anti", "left_outer"):
+    if how not in ("inner", "semi", "anti", "left_outer", "right_outer",
+                   "full_outer"):
         raise ValueError(f"unsupported how={how!r}")
     on = [on] if isinstance(on, str) else list(on)
     r_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on))
     rnames = [c for c in (right_cols if right_cols is not None
                           else right.schema().names) if c not in r_on]
+    if how in ("right_outer", "full_outer"):
+        # the right KEY must survive on right-only rows (the left key column
+        # is NULL there) — ship it as a data column, SQL RIGHT/FULL style
+        rnames = list(r_on) + rnames
     lschema = left.schema()
     rschema = right.schema()
     rtypes = dict(zip(rschema.names, rschema.types))
     ltypes = dict(zip(lschema.names, lschema.types))
     lnames = list(lschema.names)
     rmap = {c: (c + right_suffix if c in lnames else c) for c in rnames}
-    pairing = how in ("inner", "left_outer")
+    pairing = how in ("inner", "left_outer", "right_outer", "full_outer")
 
     from saber_ray.core.aggregates import null_fill_scalar
 
@@ -200,7 +215,7 @@ def merge_join(
         return filled, va
 
     def tag_left(b: pa.Table) -> pa.Table:
-        if how in ("inner", "semi"):
+        if how in ("inner", "semi", "right_outer"):
             mask = None
             for k in on:
                 v = pc.is_valid(b[k])
@@ -219,12 +234,14 @@ def merge_join(
              for v in (cols[n] for n in sorted(cols))], names=sorted(cols))
 
     def tag_right(b: pa.Table) -> pa.Table:
-        mask = None
-        for k in r_on:
-            v = pc.is_valid(b[k])
-            mask = v if mask is None else pc.and_(mask, v)
-        if mask is not None and not pc.all(mask).as_py():
-            b = b.filter(mask)
+        if how not in ("right_outer", "full_outer"):
+            # null-key right rows can never match and are never emitted
+            mask = None
+            for k in r_on:
+                v = pc.is_valid(b[k])
+                mask = v if mask is None else pc.and_(mask, v)
+            if mask is not None and not pc.all(mask).as_py():
+                b = b.filter(mask)
         cols, kv = _key_cols(b, r_on)
         cols["__kv"] = kv
         cols["__side"] = pa.array(np.ones(b.num_rows, dtype=np.int8))
@@ -267,22 +284,24 @@ def merge_join(
         l_idx = np.flatnonzero(side == 0)
         r_idx = np.flatnonzero(side != 0)
         cL, cR = codes[l_idx], codes[r_idx]
-        if len(r_idx):
-            valid_r = cR >= 0
-            r_idx, cR = r_idx[valid_r], cR[valid_r]
-        if not len(l_idx):
+        if not len(l_idx) and how not in ("right_outer", "full_outer"):
             return out_schema.empty_table()
         matched = np.zeros(len(l_idx), dtype=bool)
-        probe = np.flatnonzero(cL >= 0)   # null-key left rows never match —
-        if len(r_idx) and len(probe):     # exclude them from the probe so a
-            # fill-sentinel collision can't cost O(nulls x sentinel-matches)
-            pli, ri = _band_pairs(cL[probe],
-                                  np.zeros(len(probe), dtype=np.int64), cR,
-                                  np.zeros(len(r_idx), dtype=np.int64), 0, 0)
-            li = probe[pli]
+        matched_r = np.zeros(len(r_idx), dtype=bool)
+        # null-key rows never match — exclude them from the probe so a
+        # fill-sentinel collision can't cost O(nulls x sentinel-matches)
+        probe_l = np.flatnonzero(cL >= 0)
+        probe_r = np.flatnonzero(cR >= 0)
+        li = ri = np.zeros(0, dtype=np.int64)
+        if len(probe_l) and len(probe_r):
+            pli, pri = _band_pairs(cL[probe_l],
+                                   np.zeros(len(probe_l), dtype=np.int64),
+                                   cR[probe_r],
+                                   np.zeros(len(probe_r), dtype=np.int64),
+                                   0, 0)
+            li, ri = probe_l[pli], probe_r[pri]
             matched[li] = True
-        else:
-            li = ri = np.zeros(0, dtype=np.int64)
+            matched_r[ri] = True
 
         def build(gl: pa.Table, gr: Optional[pa.Table]) -> pa.Table:
             cols = [gl["L__" + c] for c in lnames]
@@ -301,8 +320,13 @@ def merge_join(
         if len(li):
             parts.append(build(g.take(pa.array(l_idx[li])),
                                g.take(pa.array(r_idx[ri]))))
-        if how == "left_outer" and (~matched).any():
+        if how in ("left_outer", "full_outer") and (~matched).any():
             parts.append(build(g.take(pa.array(l_idx[~matched])), None))
+        if how in ("right_outer", "full_outer") and (~matched_r).any():
+            # right-side rows carry null L__ columns from the tagger, so the
+            # same table serves both column groups
+            ur = g.take(pa.array(r_idx[~matched_r]))
+            parts.append(build(ur, ur))
         if not parts:
             return out_schema.empty_table()
         return pa.concat_tables(parts)
