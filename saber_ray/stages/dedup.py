@@ -67,9 +67,15 @@ def exact_dedup(ds, *, on: str = "text", id_col: str = "doc_id"):
     equal, so they co-locate), the shuffle is ONE ``sort(__h)`` range
     exchange, and winners are resolved per block by grouping on the actual
     value (collision-safe), fully vectorized over every group in the block.
-    Arrow batches end-to-end; assumes non-null ``on`` values.
+    Arrow batches end-to-end; ``on`` must be non-null (checked loudly —
+    with NULLs, ``dictionary_encode().indices`` yields null codes that
+    would silently group by a platform-dependent NaN-cast sentinel).
     """
     def add_hash(t: pa.Table) -> pa.Table:
+        if t[on].null_count:
+            raise ValueError(
+                f"exact_dedup: column {on!r} contains "
+                f"{t[on].null_count} NULL value(s); drop or fill them first")
         vals = _col_np(t, on)
         h = pd.util.hash_array(np.asarray(vals, dtype=object)).astype("int64")
         return t.append_column("__h", pa.array(h, type=pa.int64()))

@@ -33,8 +33,12 @@ def grouped_quantiles(ds, keys: Sequence[str] | str, col: str,
                       count_alias: Optional[str] = None):
     """One row per key group with exact discrete quantiles of ``col``.
 
-    ``quantiles``: output alias → q in (0, 1]. NULL values of ``col`` are
-    skipped (SQL semantics); NULL keys form one group (null-safe encoding).
+    ``quantiles``: output alias → q in (0, 1]. SQL semantics throughout:
+    NULL values of ``col`` are skipped by the quantile / count-distinct
+    kernels but the rows still reach the shuffle, so ``count_alias`` is
+    ``COUNT(*)`` and a group whose values are all NULL is kept (its
+    quantiles are NULL, distinct-count 0). NULL keys form one group
+    (null-safe encoding).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     qitems = list(quantiles.items())
@@ -42,13 +46,10 @@ def grouped_quantiles(ds, keys: Sequence[str] | str, col: str,
     enc, dec, sort_keys = _encode_null_keys(keys)
 
     def prep(t: pa.Table) -> pa.Table:
-        t = t.select(keys + [col])
-        if t[col].null_count:
-            t = t.filter(pc.is_valid(t[col]))
-        return t
+        return t.select(keys + [col])
 
     def per_block(g: pa.Table) -> pa.Table:
-        from saber_ray.stages.dedup import _col_np, _runs
+        from saber_ray.stages.dedup import _runs
         out_fields = [(k, g.schema.field(k).type) for k in sort_keys] + \
             [(a, g.schema.field(col).type) for a, _ in qitems]
         if count_distinct_alias:
@@ -68,24 +69,39 @@ def grouped_quantiles(ds, keys: Sequence[str] | str, col: str,
                              .to_numpy(zero_copy_only=False))
             else:
                 kcols.append(c.to_numpy(zero_copy_only=False))
-        vals = _col_np(g, col)
-        order = np.lexsort(tuple([vals] + kcols[::-1]))
+        vcol = g[col].combine_chunks()
+        valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+        if pa.types.is_string(vcol.type) or pa.types.is_large_string(vcol.type):
+            base = vcol.dictionary_encode().indices
+        else:
+            base = vcol
+        # fill BEFORE to_numpy: nullable ints stage through float NaN and
+        # corrupt (>2^53) otherwise
+        vals = pc.fill_null(base, 0).to_numpy(zero_copy_only=False)
+        # nulls sort LAST within each key group: valid rows occupy
+        # [start, start + nvalid) after the sort
+        order = np.lexsort(tuple([vals, ~valid] + kcols[::-1]))
         ksorted = [kc[order] for kc in kcols]
         vsorted = vals[order]
+        valid_sorted = valid[order]
         starts, ends = _runs(*ksorted)
-        counts = ends - starts
+        counts = ends - starts                     # COUNT(*)
+        nvalid = np.add.reduceat(valid_sorted.astype(np.int64), starts)
         cols: dict[str, object] = {
             k: g[k].combine_chunks().take(pa.array(order[starts]))
             for k in sort_keys}
+        empty = nvalid == 0                        # all-NULL groups
         for alias, q in qitems:
             idx = starts + np.minimum(
-                counts - 1,
-                np.maximum(0, np.ceil(q * counts).astype(np.int64) - 1))
-            cols[alias] = g[col].combine_chunks().take(pa.array(order[idx]))
+                np.maximum(nvalid - 1, 0),
+                np.maximum(0, np.ceil(q * nvalid).astype(np.int64) - 1))
+            cols[alias] = vcol.take(
+                pa.array(order[idx], mask=empty))  # NULL quantile if no values
         if count_distinct_alias:
             change = np.concatenate(([True], vsorted[1:] != vsorted[:-1]))
             change[starts] = True                  # run boundaries
-            nd = np.add.reduceat(change.astype(np.int64), starts)
+            nd = np.add.reduceat(
+                (change & valid_sorted).astype(np.int64), starts)
             cols[count_distinct_alias] = pa.array(nd, type=pa.int64())
         if count_alias:
             cols[count_alias] = pa.array(counts, type=pa.int64())

@@ -22,6 +22,19 @@ def test_exact_dedup(ray_session, sf_dir):
         sf_dir)
 
 
+def test_exact_dedup_null_on_raises(ray_session):
+    """NULL dedup keys fail loudly instead of grouping by a NaN-cast
+    sentinel (ADVICE r2 #4)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a", None, "a"], pa.string())})
+    with pytest.raises(Exception, match="NULL"):
+        exact_dedup(rd.from_arrow(t), on="text",
+                    id_col="doc_id").materialize()
+
+
 def test_token_stats(ray_session, sf_dir):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = token_stats(docs).select_columns(
