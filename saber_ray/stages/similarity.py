@@ -22,10 +22,7 @@ import pandas as pd
 
 import ray
 
-
-def _stack(col) -> np.ndarray:
-    """pandas Series of per-row float arrays → (n, d) float64 matrix."""
-    return np.stack(col.to_numpy()).astype(np.float64)
+from saber_ray.stages.dedup import _col_np
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -34,31 +31,33 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _pairs_schema(id_col: str):
+    import pyarrow as pa
+    return pa.schema([("query_id", pa.int64()), (id_col, pa.int64()),
+                      ("score", pa.float64())])
+
+
 class _BruteForceScorer:
     def __init__(self, q_ref, k: int, id_col: str, emb_col: str):
         q = ray.get(q_ref)
         self.q = _normalize(np.asarray(q, dtype=np.float64))
         self.k, self.id_col, self.emb_col = k, id_col, emb_col
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                                 self.id_col: pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
-        x = _normalize(_stack(df[self.emb_col]))
-        ids = df[self.id_col].to_numpy()
+    def __call__(self, t):
+        import pyarrow as pa
+        if t.num_rows == 0:
+            return _pairs_schema(self.id_col).empty_table()
+        x = _normalize(_emb_matrix(t, self.emb_col))
+        ids = _col_np(t, self.id_col)
         scores = self.q @ x.T                      # (q, n)
+        nq = scores.shape[0]
         k = min(self.k, scores.shape[1])
-        out_q, out_id, out_s = [], [], []
-        part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
-        for qi in range(scores.shape[0]):
-            sel = part[qi]
-            out_q.append(np.full(k, qi, dtype=np.int64))
-            out_id.append(ids[sel])
-            out_s.append(scores[qi, sel])
-        return pd.DataFrame({"query_id": np.concatenate(out_q),
-                             self.id_col: np.concatenate(out_id),
-                             "score": np.concatenate(out_s)})
+        part = np.argpartition(-scores, k - 1, axis=1)[:, :k]   # (q, k)
+        qid = np.repeat(np.arange(nq, dtype=np.int64), k)
+        return pa.table({"query_id": qid,
+                         self.id_col: ids[part.ravel()],
+                         "score": scores[np.arange(nq)[:, None], part].ravel()},
+                        schema=_pairs_schema(self.id_col))
 
 
 def _topk_merge(k: int, id_col: str, round_decimals: Optional[int]):
@@ -84,7 +83,7 @@ def ann_topk_bruteforce(emb_ds, queries: np.ndarray, k: int = 10, *,
     (score desc, then id asc)."""
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
     partials = emb_ds.map_batches(
-        _BruteForceScorer, batch_format="pandas",
+        _BruteForceScorer, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency, num_cpus=0.5,
         fn_constructor_kwargs=dict(q_ref=q_ref, k=k, id_col=id_col,
                                    emb_col=emb_col))
@@ -109,16 +108,17 @@ class _LshScorer:
         self.probes = [all_b[pop[all_b ^ b] <= probe_hamming]
                        for b in self.qbuckets]
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                                 self.id_col: pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
-        x = _normalize(_stack(df[self.emb_col]))
-        ids = df[self.id_col].to_numpy()
+    def __call__(self, t):
+        import pyarrow as pa
+        schema = _pairs_schema(self.id_col)
+        if t.num_rows == 0:
+            return schema.empty_table()
+        x = _normalize(_emb_matrix(t, self.emb_col))
+        ids = _col_np(t, self.id_col)
         xb = (x @ self.planes.T) > 0
         xbuckets = (xb @ (1 << np.arange(xb.shape[1]))).astype(np.int64)
         out_q, out_id, out_s = [], [], []
+        # loop over QUERIES (a handful), never over rows
         for qi in range(self.q.shape[0]):
             mask = np.isin(xbuckets, self.probes[qi])
             if not mask.any():
@@ -131,12 +131,10 @@ class _LshScorer:
             out_id.append(ids[mask][sel])
             out_s.append(scores[sel])
         if not out_q:
-            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                                 self.id_col: pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
-        return pd.DataFrame({"query_id": np.concatenate(out_q),
-                             self.id_col: np.concatenate(out_id),
-                             "score": np.concatenate(out_s)})
+            return schema.empty_table()
+        return pa.table({"query_id": np.concatenate(out_q),
+                         self.id_col: np.concatenate(out_id),
+                         "score": np.concatenate(out_s)}, schema=schema)
 
 
 class _NearDupScorer:
@@ -157,28 +155,29 @@ class _NearDupScorer:
         self.id_col, self.emb_col = id_col, emb_col
         self.round_decimals = round_decimals
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
-                              "b": pd.Series(dtype="int64"),
-                              "score": pd.Series(dtype="float64")})
-        if len(df) == 0:
-            return empty
-        x = _normalize(_stack(df[self.emb_col]))
-        xi = df[self.id_col].to_numpy()
+    def __call__(self, t):
+        import pyarrow as pa
+        schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("score", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        x = _normalize(_emb_matrix(t, self.emb_col))
+        xi = _col_np(t, self.id_col)
         scores = x @ self.mat.T                        # (batch, n)
         bi, cj = np.nonzero(scores >= self.threshold)
         if len(bi) == 0:
-            return empty
+            return schema.empty_table()
         a, b = xi[bi], self.ids[cj]
         keep = a < b                                   # each pair once, a < b
         if not keep.any():
-            return empty
+            return schema.empty_table()
         s = scores[bi[keep], cj[keep]]
         if self.round_decimals is not None:
             from saber_ray.core.aggregates import round_oracle_np
             s = round_oracle_np(np.asarray(s, dtype=np.float64),
                                 self.round_decimals)
-        return pd.DataFrame({"a": a[keep], "b": b[keep], "score": s})
+        return pa.table({"a": a[keep], "b": b[keep], "score": s},
+                        schema=schema)
 
 
 def embedding_near_dup_pairs(emb_ds, *, threshold: float = 0.95,
@@ -202,12 +201,13 @@ def embedding_near_dup_pairs(emb_ds, *, threshold: float = 0.95,
         return embedding_near_dup_pairs_lsh(
             emb_ds, threshold=threshold, id_col=id_col, emb_col=emb_col,
             round_decimals=round_decimals, **(lsh_kwargs or {}))
-    flat = emb_ds.select_columns([id_col, emb_col]).to_pandas()
-    mat = _stack(flat[emb_col])
-    mat_ref = ray.put(mat)
-    ids_ref = ray.put(flat[id_col].to_numpy())
+    import pyarrow as pa
+    flat = pa.concat_tables(
+        ray.get(emb_ds.select_columns([id_col, emb_col]).to_arrow_refs()))
+    mat_ref = ray.put(_emb_matrix(flat, emb_col))
+    ids_ref = ray.put(_col_np(flat, id_col))
     return emb_ds.map_batches(
-        _NearDupScorer, batch_format="pandas",
+        _NearDupScorer, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency, num_cpus=0.5,
         fn_constructor_kwargs=dict(mat_ref=mat_ref, ids_ref=ids_ref,
                                    threshold=threshold, id_col=id_col,
@@ -375,7 +375,7 @@ def ann_topk_lsh(emb_ds, queries: np.ndarray, k: int = 10, *, dim: int,
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
     p_ref = ray.put(planes)
     partials = emb_ds.map_batches(
-        _LshScorer, batch_format="pandas",
+        _LshScorer, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency, num_cpus=0.5,
         fn_constructor_kwargs=dict(q_ref=q_ref, planes_ref=p_ref, k=k,
                                    id_col=id_col, emb_col=emb_col,

@@ -130,6 +130,40 @@ def test_late_rows_dropped_and_counted(ray_session, stream_files, tmp_path):
         num_partitions=2, allowed_lateness=0)
     ck = job.run(files, epoch_size=3)
     assert ck["metrics"]["late_dropped"] == t0.num_rows
+    # ...and land in the dead-letter sink with lineage, not just a counter
+    dead = job.late_results()
+    assert dead.num_rows == t0.num_rows
+    assert {"__epoch", "__src_file", "__src_rg"} <= set(dead.column_names)
+    assert set(dead["__src_file"].to_pylist()) == {late_file}
+    got = canon(pa.table({c: dead[c] for c in t0.column_names}).to_pandas())
+    pd.testing.assert_frame_equal(got, canon(t0.to_pandas()),
+                                  check_dtype=False)
+
+
+def test_late_dead_letter_exactly_once_across_resume(ray_session, stream_files,
+                                                     tmp_path):
+    """Kill before the late epoch, resume with a new instance: dead-letter
+    rows land exactly once (VERDICT r2 #7)."""
+    t0 = pq.read_table(stream_files[0])
+    late_file = str(tmp_path / "late.parquet")
+    pq.write_table(t0, late_file)
+    files = list(stream_files) + [late_file]   # late epoch is the last one
+    out = str(tmp_path / "out")
+    job1 = StreamingWindowedAggregate(out, window=W, aggs=AGGS, keys=["role"],
+                                      num_partitions=2, allowed_lateness=0)
+    job1.run(files, epoch_size=3, max_epochs=2)
+    assert job1.late_results().num_rows == 0   # late epoch not reached yet
+    job2 = StreamingWindowedAggregate(out, window=W, aggs=AGGS, keys=["role"],
+                                      num_partitions=2, allowed_lateness=0)
+    ck = job2.run(files, epoch_size=3)
+    assert ck["finalized"]
+    assert ck["metrics"]["late_dropped"] == t0.num_rows
+    assert job2.late_results().num_rows == t0.num_rows  # exactly once
+    # a re-run of the finalized job adds nothing
+    StreamingWindowedAggregate(out, window=W, aggs=AGGS, keys=["role"],
+                               num_partitions=2,
+                               allowed_lateness=0).run(files, epoch_size=3)
+    assert job2.late_results().num_rows == t0.num_rows
 
 
 def test_allowed_lateness_absorbs_disorder(ray_session, stream_files, tmp_path):
