@@ -267,6 +267,20 @@ def _q_anti_join(sf):
                       how="anti")
 
 
+def _q_full_outer_join(sf):
+    """Full outer join with unmatched rows on BOTH sides: BUILDING-segment
+    customers × URGENT orders — non-BUILDING customers' urgent orders are
+    right-only, BUILDING customers with no urgent order are left-only."""
+    from saber_ray.stages.join import merge_join
+    cust = read_table(sf, "customer", columns=["c_custkey", "c_mktsegment"])
+    bld = selection(cust, col("c_mktsegment") == "BUILDING")
+    orders = read_table(
+        sf, "orders", columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+    urgent = selection(orders, col("o_orderpriority") == "1-URGENT")
+    return merge_join(bld, urgent, on="c_custkey", right_on="o_custkey",
+                      how="full_outer")
+
+
 def _q_asof_join(sf):
     """As-of join: each purchase matched to the user's LATEST click at or
     before it (DuckDB ASOF JOIN is the oracle). Custom operator beyond the
@@ -334,6 +348,22 @@ def _q_grouped_quantiles(sf):
                              {"p50_chars": 0.5, "p95_chars": 0.95},
                              count_distinct_alias="n_distinct_lens",
                              count_alias="n_docs")
+
+
+def _q_grouped_quantiles_approx(sf):
+    """The mergeable-sketch path (giant-group regime): per-block MRL/KLL +
+    KMV partials merged through the exchange. Default capacities never
+    compact at gate scale, so the result is bit-identical to the exact
+    path and fully value-oracled — the merge machinery itself is what the
+    gate proves; the compaction regime is property-tested (test_stats)."""
+    from saber_ray.stages.stats import grouped_quantiles
+    docs = read_table(sf, "documents", columns=["lang", "text"])
+    ds = projection(docs, [col("text").str_len().cast("int64").alias("n_chars")],
+                    keep=["lang"])
+    return grouped_quantiles(ds, "lang", "n_chars",
+                             {"p25_chars": 0.25, "p90_chars": 0.9},
+                             count_distinct_alias="n_distinct_lens",
+                             count_alias="n_docs", approx=True)
 
 
 def _q_hash_sample(sf):
@@ -763,6 +793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
+        "full_outer_join": _q_full_outer_join,
         "cm1": _q_cm1,
         "streaming_cm1": _q_streaming_cm1,
         "streaming_windowed_join": _q_streaming_join,
@@ -783,6 +814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "curation_pipeline": _q_curation_pipeline,
         "grouped_quantiles": _q_grouped_quantiles,
+        "grouped_quantiles_approx": _q_grouped_quantiles_approx,
         "bottom_k_sample": _q_bottom_k_sample,
         "distinct_count": _q_distinct,
         "dedup_exact": _q_dedup_exact,
@@ -792,7 +824,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
-        # rows-only checks (non-SQL-expressible; deterministic, pytest-verified)
+    }
+
+
+def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
+    """Pipelines with no SQL-expressible oracle (LSH/simhash/minhash
+    bucketing, rolling-hash winnowing, multimodal decode). ``queries()`` is
+    held at exactly 50 all-oracle entries — the driver's per-round
+    comparison window — so these run under pytest instead, where their
+    checks are STRONGER than the driver's rows-only count: determinism,
+    containment, pairs ⊆ exact, recall ≥ 0.9 (test_dedup_text,
+    test_similarity, test_multimodal, test_driver_contract)."""
+    return {
         "winnowing_fingerprint": _q_winnowing,
         "simhash_near_pairs": _q_simhash_pairs,
         "multimodal_features": _q_multimodal_features,
@@ -984,6 +1027,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_mktsegment FROM customer "
             "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
             "WHERE o_orderpriority = '1-URGENT')"),
+        "full_outer_join": (
+            "SELECT c.c_custkey, c.c_mktsegment, o.o_custkey, o.o_orderkey, "
+            "o.o_orderpriority FROM "
+            "(SELECT c_custkey, c_mktsegment FROM customer "
+            "WHERE c_mktsegment = 'BUILDING') c FULL OUTER JOIN "
+            "(SELECT o_orderkey, o_custkey, o_orderpriority FROM orders "
+            "WHERE o_orderpriority = '1-URGENT') o "
+            "ON c.c_custkey = o.o_custkey"),
         "asof_join": (
             "SELECT p.user_id, epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
             "p.event_id AS event_id_l, c.event_id AS event_id_r, "
@@ -1109,6 +1160,11 @@ def oracle_sql() -> dict[str, str]:
         "grouped_quantiles": (
             "SELECT lang, quantile_disc(LENGTH(text), 0.5) AS p50_chars, "
             "quantile_disc(LENGTH(text), 0.95) AS p95_chars, "
+            "COUNT(DISTINCT LENGTH(text)) AS n_distinct_lens, "
+            "COUNT(*) AS n_docs FROM documents GROUP BY 1"),
+        "grouped_quantiles_approx": (
+            "SELECT lang, quantile_disc(LENGTH(text), 0.25) AS p25_chars, "
+            "quantile_disc(LENGTH(text), 0.9) AS p90_chars, "
             "COUNT(DISTINCT LENGTH(text)) AS n_distinct_lens, "
             "COUNT(*) AS n_docs FROM documents GROUP BY 1"),
         "curation_pipeline": (

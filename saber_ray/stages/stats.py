@@ -12,10 +12,17 @@ every group at once via one ``np.lexsort`` + run detection:
   (calibrated empirically), so gates compare exactly even on ints.
 - count-distinct: run-length count over the (key, value)-sorted array.
 
-Scale note: a group must fit one block (same assumption as sessions — keys
-like ``lang``/``conv_id`` are bounded). For giant groups use the sketching
-path (per-block partial top-/bottom-k or a KLL sketch) — not needed for the
-transcript workloads.
+Scale note: the exact path requires a group to fit one block (same
+assumption as sessions — keys like ``lang``/``conv_id`` are bounded). For
+GIANT groups — a single ``lang='en'`` spanning most of a 100 TB corpus —
+pass ``approx=True``: per-block mergeable sketches (an MRL/KLL-style
+multi-level quantile sketch + a KMV distinct sketch) flow through the same
+null-safe exchange, so only O(sketch) bytes per (block, group) shuffle and
+no group ever needs to fit anywhere. Both sketches are EXACT until their
+capacity (values ≤ sketch capacity / distincts < kmv_k), which is what the
+driver gate exploits: at gate scale the approx path is bit-identical to the
+exact path and thus fully value-oracled; the giant-group regime is
+property-tested for rank error instead.
 """
 
 from __future__ import annotations
@@ -27,10 +34,125 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+class QuantileSketch:
+    """Mergeable rank sketch (MRL/KLL family: Manku-Rajagopalan-Lindsay '98,
+    Karnin-Lang-Liberty '16 — public algorithms). Items live in levels; an
+    item at level h represents 2^h original values. A full level is sorted
+    and every other element (random offset, seeded rng — deterministic
+    pipeline) promotes to level h+1. EXACT while total values ≤ capacity k
+    (never compacts); rank error O(levels / k) after.
+
+    Query rule matches DuckDB ``quantile_disc``: smallest item whose
+    cumulative weight ≥ ceil(q · W) — identical to the exact path's
+    ``ceil(q·n)-1`` index when all weights are 1.
+    """
+
+    __slots__ = ("k", "levels", "n", "rng")
+
+    def __init__(self, k: int, seed: int = 42):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = []
+        self.n = 0                       # non-null values represented
+        self.rng = np.random.default_rng(seed)
+
+    def add(self, vals: np.ndarray) -> None:
+        if len(vals) == 0:
+            return
+        self.n += len(vals)
+        if not self.levels:
+            self.levels.append(vals.copy())
+        else:
+            self.levels[0] = np.concatenate([self.levels[0], vals])
+        self._compact()
+
+    def merge(self, other: "QuantileSketch") -> None:
+        self.n += other.n
+        for h, lv in enumerate(other.levels):
+            if len(lv) == 0:
+                continue
+            while len(self.levels) <= h:
+                self.levels.append(np.empty(0, dtype=lv.dtype))
+            self.levels[h] = np.concatenate([self.levels[h], lv]) \
+                if len(self.levels[h]) else lv.copy()
+        self._compact()
+
+    def _compact(self) -> None:
+        h = 0
+        while h < len(self.levels):
+            lv = self.levels[h]
+            if len(lv) > self.k:
+                lv = np.sort(lv, kind="stable")
+                off = int(self.rng.integers(2))
+                promoted = lv[off::2]
+                self.levels[h] = np.empty(0, dtype=lv.dtype)
+                if len(self.levels) <= h + 1:
+                    self.levels.append(promoted)
+                else:
+                    self.levels[h + 1] = np.concatenate(
+                        [self.levels[h + 1], promoted]) \
+                        if len(self.levels[h + 1]) else promoted
+            h += 1
+
+    def query(self, qs: Sequence[float]) -> list:
+        """disc quantiles for each q; [] sentinel-free — None per q if empty."""
+        items = [(lv, 1 << h) for h, lv in enumerate(self.levels) if len(lv)]
+        if not items:
+            return [None] * len(qs)
+        vals = np.concatenate([lv for lv, _ in items])
+        wts = np.concatenate([np.full(len(lv), w, dtype=np.int64)
+                              for lv, w in items])
+        order = np.argsort(vals, kind="stable")
+        vals, cum = vals[order], np.cumsum(wts[order])
+        total = cum[-1]
+        out = []
+        for q in qs:
+            target = max(1, int(np.ceil(q * total)))
+            out.append(vals[np.searchsorted(cum, target)].item())
+        return out
+
+
+class KmvSketch:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. '02 — public).
+    Keeps the k smallest distinct 64-bit hashes. EXACT below k distincts
+    (modulo 64-bit hash collisions, ~n²/2⁶⁴ — negligible and documented);
+    above, estimate (k-1)/kth_min with relative std ≈ 1/√k."""
+
+    __slots__ = ("k", "hashes")
+
+    def __init__(self, k: int):
+        self.k = int(k)
+        self.hashes = np.empty(0, dtype=np.uint64)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        if len(h) == 0:
+            return
+        u = np.union1d(self.hashes, h.astype(np.uint64))   # sorted unique
+        self.hashes = u[:self.k]
+
+    def merge(self, other: "KmvSketch") -> None:
+        self.add_hashes(other.hashes)
+
+    def estimate(self) -> int:
+        m = len(self.hashes)
+        if m < self.k:
+            return m                                       # exact regime
+        kth = float(self.hashes[self.k - 1]) / float(2**64)
+        return int(round((self.k - 1) / kth)) if kth > 0 else m
+
+
+def _value_hashes(vals: np.ndarray) -> np.ndarray:
+    import pandas as pd
+    return pd.util.hash_array(
+        vals if vals.dtype != object else np.asarray(vals, dtype=object)
+    ).astype(np.uint64)
+
+
 def grouped_quantiles(ds, keys: Sequence[str] | str, col: str,
                       quantiles: dict[str, float], *,
                       count_distinct_alias: Optional[str] = None,
-                      count_alias: Optional[str] = None):
+                      count_alias: Optional[str] = None,
+                      approx: bool = False, sketch_k: int = 4096,
+                      kmv_k: int = 4096, seed: int = 42):
     """One row per key group with exact discrete quantiles of ``col``.
 
     ``quantiles``: output alias → q in (0, 1]. SQL semantics throughout:
@@ -39,8 +161,19 @@ def grouped_quantiles(ds, keys: Sequence[str] | str, col: str,
     ``COUNT(*)`` and a group whose values are all NULL is kept (its
     quantiles are NULL, distinct-count 0). NULL keys form one group
     (null-safe encoding).
+
+    ``approx=True`` switches to the mergeable-sketch path (module
+    docstring): identical output schema and semantics, exact until
+    ``sketch_k`` values / ``kmv_k`` distincts per group, then bounded-error
+    approximate — the only path that survives a group larger than a block.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
+    if approx:
+        return _grouped_quantiles_sketch(
+            ds, keys, col, quantiles,
+            count_distinct_alias=count_distinct_alias,
+            count_alias=count_alias, sketch_k=sketch_k, kmv_k=kmv_k,
+            seed=seed)
     qitems = list(quantiles.items())
     from saber_ray.stages.window_agg import _encode_null_keys
     enc, dec, sort_keys = _encode_null_keys(keys)
@@ -113,4 +246,131 @@ def grouped_quantiles(ds, keys: Sequence[str] | str, col: str,
         .map_batches(enc, batch_format="pyarrow", zero_copy_batch=True) \
         .sort(sort_keys) \
         .map_batches(per_block, batch_format="pyarrow", zero_copy_batch=True) \
+        .map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _grouped_quantiles_sketch(ds, keys: list, col: str,
+                              quantiles: dict[str, float], *,
+                              count_distinct_alias: Optional[str],
+                              count_alias: Optional[str],
+                              sketch_k: int, kmv_k: int, seed: int):
+    """Sketch path: map_batches builds ONE (QuantileSketch, KmvSketch,
+    COUNT(*)) row per (block, group); the same null-safe sort exchange
+    co-locates a group's sketch rows (O(blocks-touching-group) tiny rows,
+    never the values); a per-block pass merges and finalizes. The per-group
+    Python loop here is over groups-per-block, which is small in the
+    giant-group regime this path exists for (few huge keys); high-cardinality
+    small groups belong on the exact path."""
+    import pickle
+
+    qitems = list(quantiles.items())
+    from saber_ray.stages.window_agg import _encode_null_keys
+    enc, dec, sort_keys = _encode_null_keys(keys)
+
+    def _group_arrays(g: pa.Table):
+        """(kcols list, order, starts, ends) over encoded (non-null) keys."""
+        from saber_ray.stages.dedup import _runs
+        kcols = []
+        for k in sort_keys:
+            c = g[k].combine_chunks()
+            if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+                kcols.append(c.dictionary_encode().indices
+                             .to_numpy(zero_copy_only=False))
+            else:
+                kcols.append(c.to_numpy(zero_copy_only=False))
+        order = np.lexsort(tuple(kcols[::-1]))
+        starts, ends = _runs(*[kc[order] for kc in kcols])
+        return order, starts, ends
+
+    def partial(g: pa.Table) -> pa.Table:
+        schema = pa.schema([(k, g.schema.field(k).type) for k in sort_keys]
+                           + [("__sk", pa.binary())])
+        if g.num_rows == 0:
+            return schema.empty_table()
+        g = g.combine_chunks()
+        order, starts, ends = _group_arrays(g)
+        vcol = g[col].combine_chunks()
+        valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)[order]
+        vals = pc.fill_null(vcol, 0).to_numpy(zero_copy_only=False) \
+            if vcol.null_count else vcol.to_numpy(zero_copy_only=False)
+        vals = vals[order]
+        blobs = []
+        for s, e in zip(starts, ends):           # loop over GROUPS, not rows
+            v = vals[s:e][valid[s:e]]
+            qs = QuantileSketch(sketch_k, seed)
+            qs.add(v)
+            kmv = KmvSketch(kmv_k)
+            kmv.add_hashes(np.unique(_value_hashes(v)))
+            blobs.append(pickle.dumps(
+                (int(e - s), qs.n, qs.levels, kmv.hashes, vals.dtype)))
+        key_arrs = [g[k].combine_chunks().take(pa.array(order[starts]))
+                    for k in sort_keys]
+        return pa.table(key_arrs + [pa.array(blobs, type=pa.binary())],
+                        schema=schema)
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            # quantile dtype unknown without data; int64 placeholder (an
+            # empty block only ever unifies with non-empty ones on collect)
+            return pa.schema(
+                [(k, g.schema.field(k).type) for k in sort_keys]
+                + [(a, pa.int64()) for a, _ in qitems]
+                + ([(count_distinct_alias, pa.int64())]
+                   if count_distinct_alias else [])
+                + ([(count_alias, pa.int64())] if count_alias else [])
+            ).empty_table()
+        import pickle as _p
+        g = g.combine_chunks()
+        order, starts, ends = _group_arrays(g)
+        blobs = g["__sk"].combine_chunks().to_pylist()
+        qvals: list[list] = [[] for _ in qitems]
+        nds, ns = [], []
+        np_dtype = None
+        for s, e in zip(starts, ends):
+            qs = QuantileSketch(sketch_k, seed + 1)  # merge-side rng stream
+            kmv = KmvSketch(kmv_k)
+            n_all = 0
+            for i in order[s:e]:
+                cnt_i, n_i, levels, hashes, dt = _p.loads(blobs[i])
+                np_dtype = dt
+                other = QuantileSketch(sketch_k, seed)
+                other.levels, other.n = levels, n_i
+                qs.merge(other)
+                k2 = KmvSketch(kmv_k)
+                k2.hashes = hashes
+                kmv.merge(k2)
+                n_all += cnt_i
+            res = qs.query([q for _, q in qitems])
+            for j, v in enumerate(res):
+                qvals[j].append(v)
+            nds.append(kmv.estimate())
+            ns.append(n_all)
+        qtype = pa.from_numpy_dtype(np_dtype) if np_dtype is not None \
+            else pa.int64()
+        cols = [g[k].combine_chunks().take(pa.array(order[starts]))
+                for k in sort_keys]
+        names = list(sort_keys)
+        for j, (alias, _) in enumerate(qitems):
+            cols.append(pa.array(qvals[j], type=qtype))
+            names.append(alias)
+        if count_distinct_alias:
+            cols.append(pa.array(nds, type=pa.int64()))
+            names.append(count_distinct_alias)
+        if count_alias:
+            cols.append(pa.array(ns, type=pa.int64()))
+            names.append(count_alias)
+        return pa.table(cols, names=names)
+
+    def prep(t: pa.Table) -> pa.Table:
+        vt = t.schema.field(col).type
+        if pa.types.is_string(vt) or pa.types.is_large_string(vt):
+            raise ValueError("approx grouped_quantiles supports numeric "
+                             "value columns only")
+        return t.select(keys + [col])
+
+    return ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .map_batches(enc, batch_format="pyarrow", zero_copy_batch=True) \
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .sort(sort_keys) \
+        .map_batches(final, batch_format="pyarrow", zero_copy_batch=True) \
         .map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)

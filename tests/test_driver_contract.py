@@ -20,10 +20,22 @@ def test_query_vs_oracle(name, ray_session, sf_dir):
     assert_matches_oracle(result, ORACLES[name], sf_dir)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_query_runs(name, ray_session, sf_dir):
+def test_queries_within_driver_window():
+    """The driver compares only the first 50 queries() entries; every entry
+    must get a CORRECTNESS row, so the dict stays at exactly ≤50 and fully
+    oracle-backed (VERDICT r2 #6). Non-SQL pipelines live in
+    pytest_only_queries()."""
+    assert len(QUERIES) <= 50
+    assert set(ORACLES) == set(QUERIES)
+    assert not set(entry_mod.pytest_only_queries()) & set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.pytest_only_queries()))
+def test_pytest_only_query_runs(name, ray_session, sf_dir):
+    """Driver-shape check for the non-SQL pipelines (their VALUE checks —
+    determinism, containment, recall — live in their own test modules)."""
     from tests.oracle_util import to_pandas
-    result = to_pandas(QUERIES[name](sf_dir))
+    result = to_pandas(entry_mod.pytest_only_queries()[name](sf_dir))
     assert len(result) > 0
 
 

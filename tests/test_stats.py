@@ -32,6 +32,56 @@ def test_grouped_quantiles_random_with_null_keys(ray_session):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_sketch_path_exact_at_small_scale(ray_session):
+    """approx=True with default capacities never compacts at this scale, so
+    it is bit-identical to the exact path AND the DuckDB oracle — including
+    NULL keys, NULL values, and an all-NULL group."""
+    rng = np.random.default_rng(23)
+    n = 3000
+    langs = np.array(["en", "es", "fr", None], dtype=object)[
+        rng.integers(0, 4, n)]
+    vals = rng.integers(0, 400, n).astype(object)
+    vals[rng.random(n) < 0.2] = None
+    vals[langs == "es"] = None
+    t = pa.table({"lang": pa.array(langs, pa.string()),
+                  "v": pa.array(vals, pa.int64())})
+    con = duckdb.connect()
+    con.register("t", t)
+    want = canon(con.sql(
+        "SELECT lang, quantile_disc(v, 0.5) AS p50, "
+        "quantile_disc(v, 0.99) AS p99, COUNT(DISTINCT v) AS nd, "
+        "COUNT(*) AS n FROM t GROUP BY 1").df())
+    for parts in (1, 5):
+        ds = rd.from_arrow(t).repartition(parts)
+        got = canon(to_pandas(grouped_quantiles(
+            ds, "lang", "v", {"p50": 0.5, "p99": 0.99},
+            count_distinct_alias="nd", count_alias="n", approx=True)))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sketch_path_survives_giant_group(ray_session):
+    """A single giant group with compaction forced (sketch_k ≪ n): the
+    sketch path emits one row with bounded rank error while shuffling only
+    O(sketch) bytes per block — the exact path would ship all n values into
+    ONE reducer block (unbounded block size at 100 TB)."""
+    rng = np.random.default_rng(31)
+    n = 200_000
+    t = pa.table({"lang": pa.array(["en"] * n, pa.string()),
+                  "v": pa.array(rng.integers(0, 1_000_000, n), pa.int64())})
+    ds = rd.from_arrow(t).repartition(8)
+    got = to_pandas(grouped_quantiles(
+        ds, "lang", "v", {"p50": 0.5, "p95": 0.95},
+        count_distinct_alias="nd", count_alias="n_rows",
+        approx=True, sketch_k=512, kmv_k=1024))
+    assert len(got) == 1 and got["n_rows"][0] == n
+    v = np.sort(t["v"].to_numpy())
+    for alias, q in (("p50", 0.5), ("p95", 0.95)):
+        rank = np.searchsorted(v, got[alias][0], side="left") / n
+        assert abs(rank - q) < 0.05, (alias, rank)
+    true_nd = len(np.unique(v))
+    assert abs(got["nd"][0] - true_nd) / true_nd < 0.1
+
+
 def test_grouped_quantiles_null_values(ray_session):
     """SQL semantics with NULL values: count_alias = COUNT(*), quantile /
     distinct kernels skip NULLs, an all-NULL group survives with NULL
