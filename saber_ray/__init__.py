@@ -23,6 +23,7 @@ from saber_ray.stages.select import selection
 from saber_ray.stages.project import projection
 from saber_ray.stages.noop import noop
 from saber_ray.stages.window_agg import windowed_aggregate
+from saber_ray.stages.cep import match_pattern
 from saber_ray.stages.session import session_windows
 from saber_ray.stages.join import windowed_join, hash_join, broadcast_join
 from saber_ray.stages.topk import topk
@@ -31,6 +32,7 @@ __all__ = [
     "col", "lit", "Expr", "Window", "AggSpec",
     "cnt", "sum_", "avg", "min_", "max_",
     "selection", "projection", "noop", "windowed_aggregate", "session_windows",
+    "match_pattern",
     "windowed_join", "hash_join", "broadcast_join", "topk",
 ]
 

@@ -1,0 +1,152 @@
+"""CEP sequence-pattern matching (MATCH_RECOGNIZE-lite).
+
+The north star names this engine a structured-streaming/CEP engine; the
+reference has no pattern operator (its CEP surface is windows + joins —
+SURVEY.md §2), so this is the engine's own: detect, per key, a SEQUENCE of
+per-row predicates over consecutive ordered rows — e.g. a
+user → assistant → tool turn sequence inside one conversation, optionally
+within a time budget.
+
+Ray-native shape (the session_windows template, stages/session.py:159-218):
+ONE null-safe sort co-location exchange on the keys (every key's rows land
+whole in one block per Ray's sort-boundary invariant), then a per-block pass
+that is fully vectorized: each pattern step's predicate is evaluated ONCE
+over the whole block (pyarrow.compute mask), and a match at position i is
+the AND of the step masks shifted by their offsets — no per-row or per-key
+Python. O(block_rows × pattern_len) with C-level kernels.
+
+Semantics (pinned by the DuckDB LEAD() oracle twin in tests/test_cep.py):
+a match starts at every row i where predicate[j] holds on row i+j for all
+j, all pattern rows share the key, and (with ``within``) the last row's
+timestamp is within ``within`` microseconds of the first's. Matches may
+overlap (every starting position reports independently — LEAD semantics);
+set ``non_overlapping=True`` for disjoint greedy-from-left matches (the
+MATCH_RECOGNIZE SKIP PAST LAST ROW policy), resolved per key with a simple
+scan over match STARTS only (bounded by matches, not rows).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def match_pattern(
+    ds,
+    pattern: Sequence[Callable[[pa.Table], object]],
+    *,
+    keys: Sequence[str] | str = ("conv_id",),
+    order_by: Sequence[str] | str = ("turn_idx",),
+    ts_col: Optional[str] = None,
+    within: Optional[int] = None,
+    non_overlapping: bool = False,
+    columns: Optional[Sequence[str]] = None,
+):
+    """One output row per detected pattern occurrence.
+
+    ``pattern``: per-step row predicates (engine expressions or any
+    ``table -> bool mask`` callable), matched on CONSECUTIVE rows in
+    ``order_by`` order per key. ``within`` (requires ``ts_col``): max
+    microseconds between first and last matched row.
+
+    Output: key columns + ``match_start_<order>`` / ``match_end_<order>``
+    (first order_by column's value at the first/last matched row), plus
+    ``match_start_us`` / ``match_end_us`` when ``ts_col`` is given.
+
+    ``columns``: extra input columns required by the predicates (pruned
+    read support — defaults to all columns reaching this stage).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+    pattern = list(pattern)
+    if not pattern:
+        raise ValueError("pattern must have at least one step")
+    if within is not None and ts_col is None:
+        raise ValueError("within requires ts_col")
+    m = len(pattern)
+    ord0 = order_by[0]
+
+    from saber_ray.stages.window_agg import _encode_null_keys
+    enc, dec, sort_keys = _encode_null_keys(keys)
+
+    need = None if columns is None else list(dict.fromkeys(
+        keys + order_by + ([ts_col] if ts_col else []) + list(columns)))
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t if need is None else t.select(need)
+
+    def per_block(g: pa.Table) -> pa.Table:
+        ord_type = g.schema.field(ord0).type
+        out_fields = [(k, g.schema.field(k).type)
+                      for k in keys + [f"__nn_{k}" for k in keys]]
+        out_fields += [(f"match_start_{ord0}", ord_type),
+                       (f"match_end_{ord0}", ord_type)]
+        if ts_col:
+            out_fields += [("match_start_us", pa.int64()),
+                           ("match_end_us", pa.int64())]
+        schema = pa.schema(out_fields)
+        n = g.num_rows
+        if n < m:
+            return dec(schema.empty_table())
+        order = pc.sort_indices(
+            g, sort_keys=[(c, "ascending") for c in sort_keys + order_by])
+        g = g.take(order).combine_chunks()
+        # same-key runs via dictionary codes (string compare stays in C++)
+        same_key = np.ones(n, dtype=bool)
+        for k in sort_keys:
+            col = g[k].combine_chunks()
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                codes = col.dictionary_encode().indices.to_numpy(
+                    zero_copy_only=False)
+            else:
+                codes = col.to_numpy(zero_copy_only=False)
+            same_key[1:] &= codes[1:] == codes[:-1]
+        same_key[0] = False
+        rid = np.cumsum(~same_key)            # run id per row
+        # step masks, evaluated once over the whole block
+        ok = np.ones(n - m + 1, dtype=bool)
+        for j, pred in enumerate(pattern):
+            mask = pred(g)
+            if isinstance(mask, pa.ChunkedArray):
+                mask = mask.combine_chunks()
+            mj = np.asarray(pc.fill_null(mask, False).to_numpy(
+                zero_copy_only=False), dtype=bool)
+            ok &= mj[j:n - m + 1 + j]
+        ok &= rid[:n - m + 1] == rid[m - 1:]  # all steps in one key run
+        tus = None
+        if ts_col is not None:
+            tc = g[ts_col].combine_chunks()
+            if not pa.types.is_integer(tc.type):
+                tc = tc.cast(pa.int64())
+            tus = tc.to_numpy(zero_copy_only=False)
+            if within is not None:
+                ok &= (tus[m - 1:] - tus[:n - m + 1]) <= within
+        starts = np.flatnonzero(ok)
+        if non_overlapping and len(starts) > 1:
+            # greedy from the left per key: drop starts inside the previous
+            # accepted match — scan over match STARTS only
+            keep, last_end, last_rid = [], -1, -1
+            for s in starts:
+                if rid[s] != last_rid or s > last_end:
+                    keep.append(s)
+                    last_end, last_rid = s + m - 1, rid[s]
+            starts = np.asarray(keep, dtype=np.int64)
+        if not len(starts):
+            return dec(schema.empty_table())
+        ends = starts + m - 1
+        cols: list = [g[k].combine_chunks().take(pa.array(starts))
+                      for k in keys + [f"__nn_{k}" for k in keys]]
+        ocol = g[ord0].combine_chunks()
+        cols += [ocol.take(pa.array(starts)), ocol.take(pa.array(ends))]
+        if ts_col:
+            cols += [pa.array(tus[starts], type=pa.int64()),
+                     pa.array(tus[ends], type=pa.int64())]
+        return dec(pa.Table.from_arrays(cols, schema=schema))
+
+    return ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .map_batches(enc, batch_format="pyarrow", zero_copy_batch=True) \
+        .sort(sort_keys) \
+        .map_batches(per_block, batch_format="pyarrow", zero_copy_batch=True)
