@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -43,3 +44,70 @@ def topk(ds, keys: Sequence[str] | str, k: int, *,
     return ds.map_batches(best, batch_format="pyarrow", zero_copy_batch=True) \
              .repartition(1) \
              .map_batches(best, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_topk(ds, group_keys: Sequence[str] | str,
+                 order_by: Sequence[str] | str, k: int, *,
+                 descending: Sequence[bool] | bool = True,
+                 rank_alias: Optional[str] = None):
+    """Per-GROUP top-k: the k best rows of every group by ``order_by``
+    (SQL ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY o) <= k``).
+
+    Same no-total-sort principle as ``topk`` applied per key: each block
+    first keeps only its own k best per group (the associative partial — a
+    block can never contribute more than k rows to any group's answer), so
+    the ONE sort co-location exchange on the group keys ships ≤ k rows per
+    (block, group) instead of whole groups; a per-block final pass
+    re-selects each group's global k. Both passes are one vectorized
+    ``pc.sort_indices`` + run-position arithmetic — no per-group dispatch.
+
+    Ties: broken by later ``order_by`` columns; include a unique id as the
+    last order column for fully deterministic output. ``rank_alias`` adds a
+    1-based int64 rank column.
+    """
+    group_keys = [group_keys] if isinstance(group_keys, str) \
+        else list(group_keys)
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_by)
+    from saber_ray.stages.window_agg import _encode_null_keys
+    enc, dec, sort_keys = _encode_null_keys(group_keys)
+    block_sort = [(c, "ascending") for c in sort_keys] + \
+        [(c, "descending" if d else "ascending")
+         for c, d in zip(order_by, descending)]
+
+    def head(with_rank: bool):
+        def _head(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            if n == 0:
+                return t.append_column(rank_alias, pa.array([], pa.int64())) \
+                    if with_rank and rank_alias else t
+            t = t.take(pc.sort_indices(t, sort_keys=block_sort)) \
+                 .combine_chunks()
+            chg = np.zeros(n, dtype=bool)       # group-run boundaries
+            chg[0] = True
+            for c in sort_keys:
+                col = t[c].combine_chunks()
+                if pa.types.is_string(col.type) or \
+                        pa.types.is_large_string(col.type):
+                    codes = col.dictionary_encode().indices.to_numpy(
+                        zero_copy_only=False)
+                else:
+                    codes = col.to_numpy(zero_copy_only=False)
+                chg[1:] |= codes[1:] != codes[:-1]
+            idx = np.arange(n, dtype=np.int64)
+            run_start = np.maximum.accumulate(np.where(chg, idx, 0))
+            pos = idx - run_start                   # 0-based rank within group
+            keep = pos < k
+            t = t.filter(pa.array(keep))
+            if with_rank and rank_alias:
+                t = t.append_column(rank_alias,
+                                    pa.array(pos[keep] + 1, type=pa.int64()))
+            return t
+        return _head
+
+    return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True) \
+        .map_batches(head(False), batch_format="pyarrow", zero_copy_batch=True) \
+        .sort(sort_keys) \
+        .map_batches(head(True), batch_format="pyarrow", zero_copy_batch=True) \
+        .map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,68 @@
+"""Rolling per-key aggregates vs DuckDB ROWS BETWEEN window oracle."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from saber_ray.stages.rolling import rolling_agg
+from tests.oracle_util import assert_matches_oracle, canon, to_pandas
+
+_WIN = ("WINDOW w AS (PARTITION BY g ORDER BY i "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)")
+
+
+def test_rolling_agg_random_nulls(ray_session):
+    """All five ops vs SQL, with NULL keys, NULL values, and groups both
+    shorter and longer than the window."""
+    rng = np.random.default_rng(11)
+    n = 3000
+    g = np.array(["a", "b", None, "c", "d"], dtype=object)[
+        rng.integers(0, 5, n)]
+    v = rng.integers(-50, 50, n).astype(object)
+    v[rng.random(n) < 0.2] = None
+    t = pa.table({"g": pa.array(g, pa.string()),
+                  "i": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    con = duckdb.connect()
+    con.register("t", t)
+    want = canon(con.sql(
+        "SELECT g, i, SUM(v) OVER w AS rsum, "
+        "AVG(v) OVER w AS ravg, COUNT(v) OVER w AS rcnt, "
+        "MIN(v) OVER w AS rmin, MAX(v) OVER w AS rmax "
+        f"FROM t {_WIN}").df())
+    for parts in (1, 6):
+        got = canon(to_pandas(rolling_agg(
+            rd.from_arrow(t).repartition(parts), "g", "i", "v",
+            window_rows=4,
+            aggs={"rsum": "sum", "ravg": "avg", "rcnt": "count",
+                  "rmin": "min", "rmax": "max"})))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rolling_agg_events_oracle(ray_session, sf_dir):
+    from __ray_entry__ import read_table
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "value"])
+    out = rolling_agg(ev, "user_id", "event_id", "value", window_rows=8,
+                      aggs={"running_sum": "sum", "running_n": "count"})
+    assert_matches_oracle(
+        out,
+        "SELECT user_id, event_id, "
+        "SUM(value) OVER w AS running_sum, COUNT(value) OVER w AS running_n "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id "
+        "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)",
+        sf_dir)
+
+
+def test_rolling_agg_window_one_and_float(ray_session):
+    t = pa.table({"g": pa.array(["x", "x", "y"], pa.string()),
+                  "i": pa.array([0, 1, 0], pa.int64()),
+                  "v": pa.array([1.5, 2.5, -1.0], pa.float64())})
+    got = to_pandas(rolling_agg(rd.from_arrow(t), "g", "i", "v",
+                                window_rows=1,
+                                aggs={"s": "sum", "m": "min"}))
+    got = got.sort_values(["g", "i"]).reset_index(drop=True)
+    assert got["s"].tolist() == [1.5, 2.5, -1.0]
+    assert got["m"].tolist() == [1.5, 2.5, -1.0]
