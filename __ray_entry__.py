@@ -462,6 +462,47 @@ def _q_distinct(sf):
     return ds.groupby("event_type").aggregate(Count(alias_name="n"))
 
 
+def _q_rolling_window(sf):
+    """Per-conversation rolling RANGE frame (last 30 min of turns): SQL
+    `agg OVER (PARTITION BY conv_id ORDER BY ts RANGE BETWEEN 30min
+    PRECEDING AND CURRENT ROW)` — one sort exchange, per-block segmented
+    binary search + prefix sums + sparse-table min/max (stages/rolling)."""
+    import pyarrow.compute as pc
+    from saber_ray.stages.rolling import rolling_agg
+
+    def add_len(t):
+        return t.append_column("n_chars", pc.utf8_length(t["text"]))
+
+    ts = transcripts_from_events(sf).map_batches(
+        add_len, batch_format="pyarrow", zero_copy_batch=True)
+    return rolling_agg(
+        ts, "conv_id", "ts", "n_chars", range_preceding=30 * MINUTE,
+        aggs={"roll_chars": "sum", "roll_avg": "avg", "roll_n": "count",
+              "roll_min": "min", "roll_max": "max"})
+
+
+def _q_grouped_topk(sf):
+    """Per-group top-k without a total sort: per-block k-best partials →
+    one key exchange → per-block final k (stages/topk.grouped_topk)."""
+    from saber_ray.stages.topk import grouped_topk
+    ev = read_table(sf, "events",
+                    columns=["event_type", "value", "event_id"])
+    return grouped_topk(ev, "event_type", ["value", "event_id"], 5,
+                        descending=[True, False], rank_alias="rn")
+
+
+def _q_match_pattern(sf):
+    """CEP sequence pattern (user → assistant → user on consecutive turns,
+    within 24 h) over the transcripts — stages/cep.match_pattern."""
+    from saber_ray.stages.cep import match_pattern
+    return match_pattern(
+        transcripts_from_events(sf),
+        [col("role") == "user", col("role") == "assistant",
+         col("role") == "user"],
+        keys="conv_id", order_by="turn_idx",
+        ts_col="ts", within=24 * HOUR)
+
+
 def _q_dedup_exact(sf):
     from saber_ray.stages.dedup import exact_dedup
     docs = read_table(sf, "documents", columns=["doc_id", "text", "lang"])
@@ -784,7 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_grouped_agg": _q_sliding_grouped,
         "row_window_agg": _q_row_window,
         "row_window_global": _q_row_window_global,
-        "row_window_global_tumbling": _q_row_window_global_tumbling,
+        "rolling_window": _q_rolling_window,
         "session_windows": _q_session,
         "broadcast_join": _q_broadcast_join,
         "hash_join_agg": _q_hash_join_agg,
@@ -815,8 +856,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": _q_curation_pipeline,
         "grouped_quantiles": _q_grouped_quantiles,
         "grouped_quantiles_approx": _q_grouped_quantiles_approx,
-        "bottom_k_sample": _q_bottom_k_sample,
-        "distinct_count": _q_distinct,
+        "grouped_topk": _q_grouped_topk,
+        "match_pattern": _q_match_pattern,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_fingerprint,
@@ -980,12 +1021,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT window_id, COUNT(*) AS n, "
             "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) "
             "AS sum_value FROM w GROUP BY 1"),
-        "row_window_global_tumbling": (
-            "WITH t AS (SELECT value, "
-            "ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS ord FROM events) "
-            "SELECT ord // 500 AS window_id, COUNT(*) AS n, "
-            "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) "
-            "AS sum_value FROM t GROUP BY 1"),
+        "rolling_window": _tx(
+            "SELECT conv_id, ts, "
+            "CAST(SUM(n_chars) OVER w AS BIGINT) AS roll_chars, "
+            "AVG(n_chars) OVER w AS roll_avg, "
+            "COUNT(n_chars) OVER w AS roll_n, "
+            "MIN(n_chars) OVER w AS roll_min, "
+            "MAX(n_chars) OVER w AS roll_max "
+            "FROM (SELECT conv_id, ts, length(text) AS n_chars "
+            "      FROM transcripts) "
+            "WINDOW w AS (PARTITION BY conv_id ORDER BY epoch_us(ts) "
+            f"RANGE BETWEEN {30 * MINUTE} PRECEDING AND CURRENT ROW)"),
         "row_window_agg": _tx(
             "SELECT conv_id, CAST(turn_idx // 4 AS BIGINT) AS window_id, "
             "COUNT(*) AS n_turns FROM transcripts GROUP BY 1, 2"),
@@ -1178,12 +1224,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars, n_ws_tokens, n_bpe_tokens "
             "FROM stats WHERE n_ws_tokens >= 5 AND "
             + sample_sql_predicate("doc_id", 0.5, salt=3)),
-        "bottom_k_sample": (
-            "SELECT event_id, user_id, value FROM events "
-            f"ORDER BY ((event_id % {2**31}) * 2654435761 + 0) % {2**32}, "
-            "event_id LIMIT 100"),
-        "distinct_count": ("SELECT event_type, COUNT(*) AS n FROM events "
-                           "GROUP BY 1"),
+        "grouped_topk": (
+            "SELECT * FROM (SELECT event_type, value, event_id, "
+            "ROW_NUMBER() OVER (PARTITION BY event_type "
+            "ORDER BY value DESC, event_id) AS rn FROM events) "
+            "WHERE rn <= 5"),
+        "match_pattern": _tx(f"""
+            SELECT conv_id, turn_idx AS match_start_turn_idx,
+                   i2 AS match_end_turn_idx,
+                   tu AS match_start_us, t2 AS match_end_us
+            FROM (SELECT conv_id, turn_idx, role, epoch_us(ts) AS tu,
+                    LEAD(role, 1) OVER
+                      (PARTITION BY conv_id ORDER BY turn_idx) r1,
+                    LEAD(role, 2) OVER
+                      (PARTITION BY conv_id ORDER BY turn_idx) r2,
+                    LEAD(turn_idx, 2) OVER
+                      (PARTITION BY conv_id ORDER BY turn_idx) i2,
+                    LEAD(epoch_us(ts), 2) OVER
+                      (PARTITION BY conv_id ORDER BY turn_idx) t2
+                  FROM transcripts)
+            WHERE role = 'user' AND r1 = 'assistant' AND r2 = 'user'
+              AND t2 - tu <= {24 * HOUR}"""),
         "dedup_exact": (
             "SELECT d.doc_id, d.text, d.lang FROM documents d "
             "JOIN (SELECT text, MIN(doc_id) AS doc_id FROM documents "

@@ -32,15 +32,30 @@ def key_change_mask(t: pa.Table, cols: list[str]) -> np.ndarray:
         return chg
     chg[0] = True
     for c in cols:
-        col = t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) \
-            else t[c]
-        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            codes = col.dictionary_encode().indices.to_numpy(
-                zero_copy_only=False)
-        else:
-            codes = col.to_numpy(zero_copy_only=False)
+        codes = equality_codes(t[c])
         chg[1:] |= codes[1:] != codes[:-1]
     return chg
+
+
+def equality_codes(col) -> np.ndarray:
+    """Null-safe int64 equality codes for one column (chunked or plain):
+    equal values (nulls included — one NULL group) get equal codes. Strings
+    and any null-bearing or non-integral column go through
+    ``dictionary_encode`` so the comparison stays in C and NULL never
+    becomes a NaN that breaks ``==`` (NaN != NaN would split a null run
+    into per-row segments)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    import pyarrow.compute as pc
+    t = col.type
+    direct = (pa.types.is_integer(t) or pa.types.is_boolean(t)
+              or pa.types.is_temporal(t))
+    if direct and col.null_count == 0:
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    idx = col.indices if pa.types.is_dictionary(t) \
+        else col.dictionary_encode().indices
+    return pc.fill_null(idx.cast(pa.int64()), -1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
 def segmented_running_max(vals: np.ndarray, new_seg: np.ndarray) -> np.ndarray:

@@ -106,15 +106,22 @@ def transcripts_from_events(sf_dir: str):
         conv_id = pc.binary_join_element_wise(
             pa.array(np.full(n, "c"), type=pa.string()),
             t["user_id"].cast(pa.string()).combine_chunks(), "")
-        # role/tool: map the ≤5 distinct event_type dictionary values once
+        # role/tool: map the ≤5 distinct event_type dictionary values once.
+        # A NULL event_type takes the CASE ... ELSE branch ('system' role,
+        # NULL tool) like the TRANSCRIPTS_SQL twin — a null index must not
+        # propagate a NULL role.
         et = t["event_type"].combine_chunks().dictionary_encode()
         vals = et.dictionary.to_pylist()
+        idx = et.indices
+        if idx.null_count:
+            vals = vals + [None]
+            idx = pc.fill_null(idx, len(vals) - 1)
         role = pa.DictionaryArray.from_arrays(
-            et.indices,
+            idx,
             pa.array([_ROLE_OF.get(v, "system") for v in vals],
                      type=pa.string())).cast(pa.string())
         tool = pa.DictionaryArray.from_arrays(
-            et.indices,
+            idx,
             pa.array([_TOOL_OF.get(v) for v in vals],
                      type=pa.string())).cast(pa.string())
         return pa.table({

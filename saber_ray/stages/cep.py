@@ -95,16 +95,8 @@ def match_pattern(
             g, sort_keys=[(c, "ascending") for c in sort_keys + order_by])
         g = g.take(order).combine_chunks()
         # same-key runs via dictionary codes (string compare stays in C++)
-        same_key = np.ones(n, dtype=bool)
-        for k in sort_keys:
-            col = g[k].combine_chunks()
-            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-                codes = col.dictionary_encode().indices.to_numpy(
-                    zero_copy_only=False)
-            else:
-                codes = col.to_numpy(zero_copy_only=False)
-            same_key[1:] &= codes[1:] == codes[:-1]
-        same_key[0] = False
+        from saber_ray.core.segments import key_change_mask
+        same_key = ~key_change_mask(g, sort_keys)
         rid = np.cumsum(~same_key)            # run id per row
         # step masks, evaluated once over the whole block
         ok = np.ones(n - m + 1, dtype=bool)
@@ -116,14 +108,20 @@ def match_pattern(
                 zero_copy_only=False), dtype=bool)
             ok &= mj[j:n - m + 1 + j]
         ok &= rid[:n - m + 1] == rid[m - 1:]  # all steps in one key run
-        tus = None
+        tus = tvalid = None
         if ts_col is not None:
             tc = g[ts_col].combine_chunks()
             if not pa.types.is_integer(tc.type):
                 tc = tc.cast(pa.int64())
-            tus = tc.to_numpy(zero_copy_only=False)
+            # fill BEFORE to_numpy: a NULL ts must not become NaN (breaks
+            # the int64 output build); emit NULL bounds for such matches
+            tvalid = pc.is_valid(tc).to_numpy(zero_copy_only=False)
+            tus = pc.fill_null(tc, 0).to_numpy(zero_copy_only=False)
             if within is not None:
+                # SQL comparison semantics: a NULL ts can never satisfy
+                # `end.ts - start.ts <= within`
                 ok &= (tus[m - 1:] - tus[:n - m + 1]) <= within
+                ok &= tvalid[m - 1:] & tvalid[:n - m + 1]
         starts = np.flatnonzero(ok)
         if non_overlapping and len(starts) > 1:
             # greedy from the left per key: drop starts inside the previous
@@ -142,8 +140,10 @@ def match_pattern(
         ocol = g[ord0].combine_chunks()
         cols += [ocol.take(pa.array(starts)), ocol.take(pa.array(ends))]
         if ts_col:
-            cols += [pa.array(tus[starts], type=pa.int64()),
-                     pa.array(tus[ends], type=pa.int64())]
+            cols += [pa.array(tus[starts], type=pa.int64(),
+                              mask=~tvalid[starts]),
+                     pa.array(tus[ends], type=pa.int64(),
+                              mask=~tvalid[ends])]
         return dec(pa.Table.from_arrays(cols, schema=schema))
 
     return ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \

@@ -1,29 +1,66 @@
-"""Per-key rolling (moving) window aggregates over row counts.
+"""Per-key rolling (moving) window aggregates: row-count and range frames.
 
-SQL semantics: ``agg(col) OVER (PARTITION BY keys ORDER BY order_by ROWS
-BETWEEN window_rows-1 PRECEDING AND CURRENT ROW)`` — one output row PER
-INPUT ROW. Absent from the reference (its row windows aggregate per window,
-not per row — SURVEY.md §2.1); standard in training-data pipelines
-(context-length budgeting, running quality averages per conversation).
+SQL semantics, one output row PER INPUT ROW:
+
+- ``window_rows=k``  → ``agg(col) OVER (PARTITION BY keys ORDER BY order_by
+  ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)``
+- ``range_preceding=X`` → ``... RANGE BETWEEN X PRECEDING AND CURRENT ROW``
+  over a single numeric/timestamp order column — the frame is every row of
+  the key whose order value is in ``[o_i - X, o_i]``, INCLUDING peers of the
+  current row (SQL RANGE frames end at the last peer). NULL order values
+  form their own peer group whose frame is exactly the NULL peers (SQL).
+
+Absent from the reference (its row windows aggregate per window, not per
+row — SURVEY.md §2.1); standard in training-data pipelines (context-length
+budgeting, running quality averages, events-in-the-last-hour features).
 
 Ray-native shape: ONE null-safe sort co-location exchange on the keys, then
-a per-block vectorized pass — segmented prefix sums answer sum/avg/count for
-every row at once; min/max use a full-window ``sliding_window_view`` plus a
-truncated-head correction iterated over OFFSETS (< window_rows) and
-vectorized over segments — O(window_rows × segments), never a row loop.
-NULL handling matches SQL: NULL values are skipped by the aggregate; a
-window with no valid values yields NULL.
+a per-block vectorized pass. Frame bounds come from segment arithmetic
+(rows mode) or per-segment vectorized binary search
+(``core.segments.seg_searchsorted``, range mode); sum/avg/count are
+segmented prefix-sum differences; min/max answer every row's
+variable-length frame from a sparse-table RMQ (O(n log maxframe) build,
+O(1)-per-row query, computed IN the source dtype — no float64 round-trip,
+no O(n·w) sliding materialization). NULL values are skipped by the
+aggregate; a frame with no valid values yields NULL (SQL).
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from saber_ray.core.segments import key_change_mask, seg_searchsorted
+
 _OPS = ("sum", "avg", "count", "min", "max")
+
+
+def _rmq(vf: np.ndarray, low: np.ndarray, hi: np.ndarray,
+         maximum: bool) -> np.ndarray:
+    """Per-row min/max of ``vf`` over ``[low[i], hi[i])`` (every range
+    non-empty) via a sparse table: levels j hold op over ``[i, i + 2^j)``;
+    each query is the op of the two power-of-two blocks covering its range.
+    One gather per DISTINCT level (≤ log2 n), everything else C-level."""
+    op = np.maximum if maximum else np.minimum
+    lens = hi - low
+    k = np.floor(np.log2(lens)).astype(np.int64)   # exact for int lens
+    maxk = int(k.max())
+    sp = [vf]
+    for j in range(1, maxk + 1):
+        half = 1 << (j - 1)
+        prev = sp[j - 1]
+        sp.append(op(prev[:len(prev) - half], prev[half:]))
+    out = np.empty(len(low), dtype=vf.dtype)
+    for j in range(maxk + 1):
+        sel = k == j
+        if not sel.any():
+            continue
+        blk = 1 << j
+        out[sel] = op(sp[j][low[sel]], sp[j][hi[sel] - blk])
+    return out
 
 
 def rolling_agg(
@@ -32,26 +69,38 @@ def rolling_agg(
     order_by: Sequence[str] | str,
     col: str,
     *,
-    window_rows: int,
     aggs: dict[str, str],
+    window_rows: Optional[int] = None,
+    range_preceding: Optional[float] = None,
     keep: Sequence[str] | None = None,
 ):
     """``aggs``: output alias → op in {sum, avg, count, min, max}.
 
+    Exactly one of ``window_rows`` (ROWS frame) / ``range_preceding``
+    (RANGE frame; requires a single order_by column) must be given.
+
     Output: key columns + ``order_by`` columns + ``keep`` extras + one
-    column per alias. ``order_by`` should be total per key (e.g. a unique
-    turn_idx) for deterministic output. ``count`` is COUNT(col) — non-null
-    values in the window (SQL).
+    column per alias. In rows mode ``order_by`` should be total per key
+    (e.g. a unique turn_idx) for deterministic output. ``count`` is
+    COUNT(col) — non-null values in the frame (SQL).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
-    if window_rows < 1:
+    if (window_rows is None) == (range_preceding is None):
+        raise ValueError(
+            "exactly one of window_rows / range_preceding is required")
+    if window_rows is not None and window_rows < 1:
         raise ValueError("window_rows must be >= 1")
+    if range_preceding is not None:
+        if range_preceding < 0:
+            raise ValueError("range_preceding must be >= 0")
+        if len(order_by) != 1:
+            raise ValueError("range mode requires a single order_by column")
     for a, op in aggs.items():
         if op not in _OPS:
             raise ValueError(f"unsupported op {op!r} for {a!r}")
     keep = list(keep) if keep else []
-    w = int(window_rows)
+    w = int(window_rows) if window_rows is not None else None
 
     from saber_ray.stages.window_agg import _encode_null_keys
     enc, dec, sort_keys = _encode_null_keys(keys)
@@ -82,53 +131,68 @@ def rolling_agg(
         g = g.take(pc.sort_indices(
             g, sort_keys=[(c, "ascending") for c in sort_keys + order_by])) \
             .combine_chunks()
-        chg = np.zeros(n, dtype=bool)         # segment (key-run) boundaries
-        chg[0] = True
-        for c in sort_keys:
-            cl = g[c].combine_chunks()
-            if pa.types.is_string(cl.type) or pa.types.is_large_string(cl.type):
-                codes = cl.dictionary_encode().indices.to_numpy(
-                    zero_copy_only=False)
-            else:
-                codes = cl.to_numpy(zero_copy_only=False)
-            chg[1:] |= codes[1:] != codes[:-1]
+        chg = key_change_mask(g, sort_keys)   # segment (key-run) boundaries
         idx = np.arange(n, dtype=np.int64)
         seg_start = np.maximum.accumulate(np.where(chg, idx, 0))
-        low = np.maximum(idx - w + 1, seg_start)    # window start per row
+
+        if w is not None:                     # ROWS frame
+            low = np.maximum(idx - w + 1, seg_start)
+            hi = idx + 1
+        else:                                 # RANGE frame
+            starts = np.flatnonzero(chg)
+            seg_len = np.diff(np.append(starts, n))
+            seg_end = np.repeat(starts + seg_len, seg_len)
+            oc = g[order_by[0]].combine_chunks()
+            if pa.types.is_temporal(oc.type):
+                oc = oc.cast(pa.int64())
+            ovalid = pc.is_valid(oc).to_numpy(zero_copy_only=False)
+            # fill BEFORE to_numpy (NaN staging corrupts int64 > 2^53)
+            ovals = pc.fill_null(oc, 0).to_numpy(zero_copy_only=False)
+            # NULL order values sort last per segment: valid rows occupy
+            # [seg_start, valid_end); a NULL row's peers are [valid_end,
+            # seg_end)
+            nval = np.add.reduceat(ovalid.astype(np.int64), starts)
+            valid_end = np.repeat(starts + nval, seg_len)
+            if np.issubdtype(ovals.dtype, np.integer):
+                if range_preceding != int(range_preceding):
+                    raise ValueError(
+                        "fractional range_preceding over an integer order "
+                        "column is not supported (stage through float64 "
+                        "would corrupt |v| > 2^53)")
+                q = ovals - np.int64(range_preceding)
+            else:
+                q = ovals - range_preceding
+            low = seg_searchsorted(ovals, q, seg_start, valid_end,
+                                   side="left")
+            hi = seg_searchsorted(ovals, ovals, seg_start, valid_end,
+                                  side="right")   # through the last peer
+            null_ord = ~ovalid
+            low = np.where(null_ord, valid_end, low)
+            hi = np.where(null_ord, seg_end, hi)
+
         vcol = g[col].combine_chunks()
         valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
         vals = pc.fill_null(vcol, 0).to_numpy(zero_copy_only=False)
-        # segmented prefix sums: window = prefix[i+1] - prefix[low]
+        # segmented prefix sums: frame agg = prefix[hi] - prefix[low]
         cs = np.concatenate(([0], np.cumsum(
             vals, dtype=np.int64 if int_in else np.float64)))
         cv = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
-        wsum = cs[idx + 1] - cs[low]
-        wcnt = cv[idx + 1] - cv[low]          # valid values in the window
+        wsum = cs[hi] - cs[low]
+        wcnt = cv[hi] - cv[low]               # valid values in the frame
 
         mm: dict[str, np.ndarray] = {}
         for op in {o for o in aggs.values() if o in ("min", "max")}:
-            fill = np.inf if op == "min" else -np.inf
-            vf = np.where(valid, vals.astype(np.float64), fill)
-            res = np.full(n, fill, dtype=np.float64)
-            if n >= w:
-                from numpy.lib.stride_tricks import sliding_window_view
-                sv = sliding_window_view(vf, w)
-                res[w - 1:] = sv.min(axis=1) if op == "min" else sv.max(axis=1)
-            # rows whose window is truncated by their segment start get the
-            # segment-prefix value instead; offsets 0..w-2, vectorized over
-            # segments
-            starts = np.flatnonzero(chg)
-            seg_len = np.diff(np.append(starts, n))
-            pref = np.full(len(starts), fill, dtype=np.float64)
-            for j in range(w - 1):
-                sel = seg_len > j
-                if not sel.any():
-                    break
-                rows = starts[sel] + j
-                pref[sel] = np.minimum(pref[sel], vf[rows]) if op == "min" \
-                    else np.maximum(pref[sel], vf[rows])
-                res[rows] = pref[sel]         # j < w-1 ⇒ truncated window
-            mm[op] = res
+            # min/max stay in the SOURCE dtype domain: int64 sentinels for
+            # ints (a float64 round-trip corrupts |v| > 2^53), ±inf fills
+            # for floats (legit ±inf inputs must survive)
+            if int_in:
+                fill = np.iinfo(np.int64).max if op == "min" \
+                    else np.iinfo(np.int64).min
+                vf = np.where(valid, vals.astype(np.int64), fill)
+            else:
+                fill = np.inf if op == "min" else -np.inf
+                vf = np.where(valid, vals.astype(np.float64), fill)
+            mm[op] = _rmq(vf, low, hi, maximum=(op == "max"))
 
         cols: list = [g[c].combine_chunks() for c in sort_keys + order_by + keep]
         empty_win = wcnt == 0
@@ -150,11 +214,10 @@ def rolling_agg(
                 cols.append(nullify(pa.array(
                     np.where(wcnt > 0, av, 0.0), type=pa.float64())))
             else:
-                r = mm[op]
-                safe = np.where(np.isfinite(r), r, 0)
-                arr = pa.array(safe.astype(np.int64), type=vtype) if int_in \
-                    else pa.array(safe, type=vtype)
-                cols.append(nullify(arr))
+                # empty frames hold the fill sentinel — zero them so the
+                # narrow-type cast can't overflow; nullify() then nulls them
+                r = np.where(empty_win, 0, mm[op])
+                cols.append(nullify(pa.array(r, type=vtype)))
         return pa.Table.from_arrays(
             [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
              for c in cols], schema=schema)

@@ -205,12 +205,22 @@ def grouped_quantiles(ds, keys: Sequence[str] | str, col: str,
         vcol = g[col].combine_chunks()
         valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
         if pa.types.is_string(vcol.type) or pa.types.is_large_string(vcol.type):
-            base = vcol.dictionary_encode().indices
+            # quantiles need LEXICOGRAPHIC order: dictionary codes are
+            # first-appearance order, so remap them through the sorted
+            # dictionary (tiny — one C-level sort over distinct values)
+            d = vcol.dictionary_encode()
+            dorder = pc.sort_indices(d.dictionary).to_numpy(
+                zero_copy_only=False)
+            rank_of = np.empty(len(dorder), dtype=np.int64)
+            rank_of[dorder] = np.arange(len(dorder), dtype=np.int64)
+            codes = pc.fill_null(d.indices.cast(pa.int64()), 0) \
+                .to_numpy(zero_copy_only=False)
+            vals = rank_of[codes] if len(dorder) \
+                else np.zeros(g.num_rows, dtype=np.int64)  # all-NULL column
         else:
-            base = vcol
-        # fill BEFORE to_numpy: nullable ints stage through float NaN and
-        # corrupt (>2^53) otherwise
-        vals = pc.fill_null(base, 0).to_numpy(zero_copy_only=False)
+            # fill BEFORE to_numpy: nullable ints stage through float NaN
+            # and corrupt (>2^53) otherwise
+            vals = pc.fill_null(vcol, 0).to_numpy(zero_copy_only=False)
         # nulls sort LAST within each key group: valid rows occupy
         # [start, start + nvalid) after the sort
         order = np.lexsort(tuple([vals, ~valid] + kcols[::-1]))

@@ -70,6 +70,10 @@ def grouped_topk(ds, group_keys: Sequence[str] | str,
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
     if isinstance(descending, bool):
         descending = [descending] * len(order_by)
+    if len(descending) != len(order_by):
+        raise ValueError(
+            f"descending has {len(descending)} entries for "
+            f"{len(order_by)} order_by columns")
     from saber_ray.stages.window_agg import _encode_null_keys
     enc, dec, sort_keys = _encode_null_keys(group_keys)
     block_sort = [(c, "ascending") for c in sort_keys] + \
@@ -84,17 +88,8 @@ def grouped_topk(ds, group_keys: Sequence[str] | str,
                     if with_rank and rank_alias else t
             t = t.take(pc.sort_indices(t, sort_keys=block_sort)) \
                  .combine_chunks()
-            chg = np.zeros(n, dtype=bool)       # group-run boundaries
-            chg[0] = True
-            for c in sort_keys:
-                col = t[c].combine_chunks()
-                if pa.types.is_string(col.type) or \
-                        pa.types.is_large_string(col.type):
-                    codes = col.dictionary_encode().indices.to_numpy(
-                        zero_copy_only=False)
-                else:
-                    codes = col.to_numpy(zero_copy_only=False)
-                chg[1:] |= codes[1:] != codes[:-1]
+            from saber_ray.core.segments import key_change_mask
+            chg = key_change_mask(t, sort_keys)  # group-run boundaries
             idx = np.arange(n, dtype=np.int64)
             run_start = np.maximum.accumulate(np.where(chg, idx, 0))
             pos = idx - run_start                   # 0-based rank within group

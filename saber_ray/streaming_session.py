@@ -48,6 +48,8 @@ import ray
 
 from saber_ray.core.aggregates import (AggSpec, ROWS, arrow_merge_aggs,
                                        arrow_partial_aggs, finalize)
+from saber_ray.core.segments import \
+    segmented_running_max as _segmented_running_max
 from saber_ray.streaming import _key_hash
 
 
@@ -66,9 +68,16 @@ def _key_codes(t: pa.Table, keys: list) -> list[np.ndarray]:
                 pa.types.is_dictionary(col.type) else col.indices
             codes = pc.fill_null(idx.cast(pa.int64()), -1) \
                 .to_numpy(zero_copy_only=False)
-        else:
+        elif pa.types.is_integer(col.type) or pa.types.is_boolean(col.type) \
+                or pa.types.is_temporal(col.type):
             codes = pc.fill_null(col.cast(pa.int64()),
                                  np.iinfo(np.int64).min) \
+                .to_numpy(zero_copy_only=False)
+        else:
+            # float / decimal / other keys: equality codes via dictionary —
+            # a safe int64 cast would raise on fractional values
+            codes = pc.fill_null(
+                col.dictionary_encode().indices.cast(pa.int64()), -1) \
                 .to_numpy(zero_copy_only=False)
         out.append(codes.astype(np.int64, copy=False))
     return out
@@ -81,31 +90,6 @@ def _same_as_prev(code_cols: list[np.ndarray], n: int) -> np.ndarray:
     if n:
         same[0] = False
     return same
-
-
-def _segmented_running_max(vals: np.ndarray, new_seg: np.ndarray) -> np.ndarray:
-    """Running max of ``vals`` within segments (``new_seg`` marks starts) —
-    one global ``np.maximum.accumulate`` over per-segment-offset values (an
-    earlier segment's max is shifted strictly below the next segment's range,
-    so it can never leak forward); per-segment fallback when the offset
-    product would overflow int64."""
-    n = len(vals)
-    if n == 0:
-        return vals.copy()
-    seg = np.cumsum(new_seg) - 1
-    lo = int(vals.min())
-    span = int(vals.max()) - lo + 1
-    nseg = int(seg[-1]) + 1
-    if span * nseg < 2 ** 62:
-        shifted = (vals - lo) + seg * span
-        run = np.maximum.accumulate(shifted)
-        return (run - seg * span) + lo
-    out = vals.copy()
-    starts = np.flatnonzero(new_seg)
-    ends = np.append(starts[1:], n)
-    for s, e in zip(starts, ends):
-        np.maximum.accumulate(vals[s:e], out=out[s:e])
-    return out
 
 
 class _SessionState:

@@ -102,3 +102,27 @@ def test_match_pattern_empty_and_validation(ray_session):
     with pytest.raises(ValueError):
         match_pattern(rd.from_arrow(t), PATTERN, keys="conv_id",
                       order_by="turn_idx", within=5)
+
+
+def test_match_pattern_null_ts(ray_session):
+    """NULL timestamps: ts_col-only mode emits NULL match bounds (no crash);
+    `within` mode excludes matches touching a NULL ts (SQL comparison)."""
+    import pyarrow as pa
+    import ray.data as rd
+    t = pa.table({
+        "conv_id": pa.array(["c"] * 4, pa.string()),
+        "turn_idx": pa.array([0, 1, 2, 3], pa.int64()),
+        "role": pa.array(["x"] * 4, pa.string()),
+        "ts": pa.array([10, None, 30, 40], pa.timestamp("us"))})
+    pat = [col("role") == "x", col("role") == "x"]
+    got = to_pandas(match_pattern(
+        rd.from_arrow(t), pat, keys="conv_id", order_by="turn_idx",
+        ts_col="ts")).sort_values("match_start_turn_idx")
+    assert len(got) == 3
+    assert pd.isna(got["match_end_us"].iloc[0])    # rows 0-1: end ts NULL
+    assert pd.isna(got["match_start_us"].iloc[1])  # rows 1-2: start ts NULL
+    assert got["match_start_us"].iloc[2] == 30
+    within = to_pandas(match_pattern(
+        rd.from_arrow(t), pat, keys="conv_id", order_by="turn_idx",
+        ts_col="ts", within=1_000_000))
+    assert sorted(within["match_start_turn_idx"]) == [2]

@@ -66,3 +66,80 @@ def test_rolling_agg_window_one_and_float(ray_session):
     got = got.sort_values(["g", "i"]).reset_index(drop=True)
     assert got["s"].tolist() == [1.5, 2.5, -1.0]
     assert got["m"].tolist() == [1.5, 2.5, -1.0]
+
+
+def test_rolling_minmax_int64_beyond_2p53(ray_session):
+    """min/max must not round-trip through float64: int64 values above 2^53
+    come back bit-exact."""
+    big = 2 ** 53
+    vals = [big + 1, big + 3, big + 2, -big - 7, big + 5]
+    t = pa.table({"g": pa.array(["a"] * 5, pa.string()),
+                  "i": pa.array(range(5), pa.int64()),
+                  "v": pa.array(vals, pa.int64())})
+    got = to_pandas(rolling_agg(
+        rd.from_arrow(t), "g", "i", "v", window_rows=2,
+        aggs={"rmin": "min", "rmax": "max"})).sort_values("i")
+    assert list(got["rmin"]) == [big + 1, big + 1, big + 2, -big - 7, -big - 7]
+    assert list(got["rmax"]) == [big + 1, big + 3, big + 3, big + 2, big + 5]
+
+
+def test_rolling_minmax_keeps_legit_infinities(ray_session):
+    """A float window legitimately containing ±inf emits ±inf, not 0; an
+    all-NULL window still emits NULL."""
+    t = pa.table({"g": pa.array(["a"] * 4, pa.string()),
+                  "i": pa.array(range(4), pa.int64()),
+                  "v": pa.array([-np.inf, np.inf, None, None], pa.float64())})
+    got = to_pandas(rolling_agg(
+        rd.from_arrow(t), "g", "i", "v", window_rows=2,
+        aggs={"rmin": "min", "rmax": "max"})).sort_values("i")
+    assert got["rmin"].iloc[0] == -np.inf and got["rmax"].iloc[1] == np.inf
+    assert got["rmin"].iloc[1] == -np.inf      # window [-inf, inf]
+    assert pd.isna(got["rmin"].iloc[3])        # window [NULL, NULL]
+
+
+def test_rolling_range_frame_vs_duckdb(ray_session):
+    """RANGE BETWEEN X PRECEDING AND CURRENT ROW vs DuckDB, with duplicate
+    order values (peer inclusion), NULL order values (NULL-peer frame),
+    NULL aggregate values, and NULL keys."""
+    rng = np.random.default_rng(23)
+    n = 2500
+    g = np.array(["a", "b", None, "c"], dtype=object)[rng.integers(0, 4, n)]
+    ts = rng.integers(0, 400, n).astype(object)       # heavy duplicates
+    ts[rng.random(n) < 0.05] = None
+    v = rng.integers(-40, 40, n).astype(object)
+    v[rng.random(n) < 0.2] = None
+    t = pa.table({"g": pa.array(g, pa.string()),
+                  "ts": pa.array(ts, pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    con = duckdb.connect()
+    con.register("t", t)
+    want = canon(con.sql(
+        "SELECT g, ts, SUM(v) OVER w AS rsum, AVG(v) OVER w AS ravg, "
+        "COUNT(v) OVER w AS rcnt, MIN(v) OVER w AS rmin, "
+        "MAX(v) OVER w AS rmax FROM t WINDOW w AS "
+        "(PARTITION BY g ORDER BY ts "
+        "RANGE BETWEEN 25 PRECEDING AND CURRENT ROW)").df())
+    for parts in (1, 5):
+        got = canon(to_pandas(rolling_agg(
+            rd.from_arrow(t).repartition(parts), "g", "ts", "v",
+            range_preceding=25,
+            aggs={"rsum": "sum", "ravg": "avg", "rcnt": "count",
+                  "rmin": "min", "rmax": "max"})))
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_rolling_mode_validation(ray_session):
+    t = pa.table({"g": ["a"], "i": [1], "v": [1]})
+    ds = rd.from_arrow(t)
+    for kwargs in ({}, {"window_rows": 2, "range_preceding": 3}):
+        try:
+            rolling_agg(ds, "g", "i", "v", aggs={"s": "sum"}, **kwargs)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+    try:
+        rolling_agg(ds, "g", ["i", "v"], "v", aggs={"s": "sum"},
+                    range_preceding=3)
+        assert False, "expected ValueError (multi-column order in range mode)"
+    except ValueError:
+        pass

@@ -1,0 +1,32 @@
+"""Gates rotated OUT of the 50-entry driver window keep full value-oracle
+coverage here (VERDICT r2 #6: every queries() entry needs a CORRECTNESS
+row, so the dict is capped at 50 — rotation must not weaken checks)."""
+
+import pytest
+
+import __ray_entry__ as entry_mod
+from tests.oracle_util import assert_matches_oracle
+
+ROTATED = {
+    "row_window_global_tumbling": (
+        entry_mod._q_row_window_global_tumbling,
+        "WITH t AS (SELECT value, "
+        "ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS ord FROM events) "
+        "SELECT ord // 500 AS window_id, COUNT(*) AS n, "
+        "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) "
+        "AS sum_value FROM t GROUP BY 1"),
+    "bottom_k_sample": (
+        entry_mod._q_bottom_k_sample,
+        "SELECT event_id, user_id, value FROM events "
+        f"ORDER BY ((event_id % {2**31}) * 2654435761 + 0) % {2**32}, "
+        "event_id LIMIT 100"),
+    "distinct_count": (
+        entry_mod._q_distinct,
+        "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(ROTATED))
+def test_rotated_gate_vs_oracle(name, ray_session, sf_dir):
+    fn, sql = ROTATED[name]
+    assert_matches_oracle(fn(sf_dir), sql, sf_dir)

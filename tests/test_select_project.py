@@ -72,3 +72,29 @@ def test_transcript_text_equality_invariant(ray_session, sf_dir):
         f"WITH transcripts AS ({TRANSCRIPTS_SQL}) "
         "SELECT conv_id, turn_idx, role, text, tool FROM transcripts",
         sf_dir)
+
+
+def test_transcripts_null_event_type_matches_sql(ray_session, tmp_path):
+    """NULL event_type takes the CASE ELSE branch: role 'system', tool NULL
+    (regression: the dictionary-level mapping propagated NULL role)."""
+    import duckdb
+    import pandas as pd
+    from tests.oracle_util import canon, to_pandas
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from saber_ray.sources.transcripts import (TRANSCRIPTS_SQL,
+                                               transcripts_from_events)
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([10, 20, 30, 40], pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 8, 8], pa.int64()),
+        "event_type": pa.array(["click", None, "error", None], pa.string()),
+        "value": pa.array([0.0] * 4, pa.float64()),
+        "props": pa.array(["a", "b", "c", "d"], pa.string())})
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+    got = canon(to_pandas(transcripts_from_events(str(tmp_path))))
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = canon(con.sql(TRANSCRIPTS_SQL).df())
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["role"] != "").all() and got["role"].notna().all()

@@ -108,3 +108,27 @@ def test_grouped_quantiles_null_values(ray_session):
             ds, "lang", "v", {"p50": 0.5, "p95": 0.95},
             count_distinct_alias="nd", count_alias="n")))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_quantiles_string_values_lexicographic(ray_session):
+    """String quantiles must follow LEXICOGRAPHIC order, not the dictionary's
+    first-appearance order (regression: codes were appearance-ordered)."""
+    rng = np.random.default_rng(21)
+    words = np.array(["banana", "apple", "cherry", "date", "elder",
+                      "fig", "grape", None], dtype=object)
+    t = pa.table({"g": pa.array(
+        np.array(["x", "y", "z"], dtype=object)[rng.integers(0, 3, 900)],
+        pa.string()),
+        "s": pa.array(words[rng.integers(0, 8, 900)], pa.string())})
+    con = duckdb.connect()
+    con.register("t", t)
+    want = canon(con.sql(
+        "SELECT g, quantile_disc(s, 0.25) AS p25, "
+        "quantile_disc(s, 0.75) AS p75, COUNT(DISTINCT s) AS nd, "
+        "COUNT(*) AS n FROM t GROUP BY 1").df())
+    for parts in (1, 4):
+        got = canon(to_pandas(grouped_quantiles(
+            rd.from_arrow(t).repartition(parts), "g", "s",
+            {"p25": 0.25, "p75": 0.75},
+            count_distinct_alias="nd", count_alias="n")))
+        pd.testing.assert_frame_equal(got, want)

@@ -103,3 +103,21 @@ def test_segmented_running_max_matches_naive():
         np.maximum.accumulate(vals2[s:e], out=want2[s:e])
     got2 = _segmented_running_max(vals2, new_seg)
     assert (got2 == want2).all()
+
+
+def test_session_state_float_keys_no_crash():
+    """Fractional float session keys must not abort the actor (regression:
+    safe int64 cast raised ArrowInvalid on 1.5)."""
+    import pyarrow as pa
+    from saber_ray.streaming_session import _key_codes, _SessionState
+    t = pa.table({"k": pa.array([1.5, 1.5, 2.25, None, None], pa.float64())})
+    codes = _key_codes(t, ["k"])[0]
+    assert codes[0] == codes[1] and codes[2] != codes[0]
+    assert codes[3] == codes[4]                     # one NULL group
+    st = _SessionState(["k"], gap=10, aggs=[
+        {"op": "cnt", "column": None, "alias": "n"}])
+    rows = pa.table({"k": pa.array([1.5, 1.5, 2.25], pa.float64()),
+                     "__t": pa.array([0, 5, 3], pa.int64())})
+    out = st.process(rows, watermark=1000)
+    got = {(r["k"], r["n"]) for r in out.to_pylist()}
+    assert got == {(1.5, 2), (2.25, 1)}

@@ -43,3 +43,13 @@ def test_grouped_topk_null_keys_and_invariance(ray_session):
             rd.from_arrow(t).repartition(parts), "g", ["v", "id"], 3,
             descending=[True, False], rank_alias="rn")))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_topk_descending_length_mismatch_raises(ray_session):
+    t = pa.table({"g": ["a"], "v": [1], "id": [1]})
+    try:
+        grouped_topk(rd.from_arrow(t), "g", ["v", "id"], 2,
+                     descending=[True])
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "descending" in str(e)
