@@ -198,7 +198,14 @@ class StreamingWindowedAggregate:
     def __init__(self, out_dir: str, *, window: Window, aggs: Sequence[AggSpec],
                  keys: Sequence[str] = (), ts_col: str = "ts",
                  num_partitions: int = 4, allowed_lateness: int = 0,
-                 columns: Optional[Sequence[str]] = None):
+                 columns: Optional[Sequence[str]] = None,
+                 monitor=None):
+        # ``monitor``: optional callable receiving a live progress dict as
+        # each ingest task completes WITHIN an epoch — sub-epoch visibility
+        # (the reference prints throughput every second,
+        # PerformanceMonitor.java:142-170; in micro-batch mode the natural
+        # grain is the ingest task, surfaced as a per-second series).
+        self.monitor = monitor
         self.out_dir = out_dir
         self.window = window
         self.aggs = list(aggs)
@@ -341,13 +348,34 @@ class StreamingWindowedAggregate:
         # one fragment per task up to 4 waves/partition-count worth of
         # tasks; beyond that fragments batch per task (fewer actor messages)
         nblocks = min(len(frags), max(4 * self.n, 32))
-        metas = rd.from_items(frags, override_num_blocks=max(1, nblocks)) \
-            .map_batches(ingest, batch_format="pyarrow").take_all()
-        max_ts = max((int(m["__max_ts"]) for m in metas), default=0)
-        late_total = sum(int(m["__late"]) for m in metas)
-        rows_total = sum(int(m["__rows"]) for m in metas)
-        late_tables = [_ipc_table(m["__late_ipc"]) for m in metas
-                       if m["__late_ipc"] is not None]
+        ds = rd.from_items(frags, override_num_blocks=max(1, nblocks)) \
+            .map_batches(ingest, batch_format="pyarrow")
+        # stream task metas as they finish (not a blocking take_all): the
+        # driver sees progress WITHIN the epoch — sub-epoch monitoring at
+        # per-second granularity (PerformanceMonitor.java:142-170 analogue)
+        import time
+        t0 = time.monotonic()
+        max_ts, late_total, rows_total = 0, 0, 0
+        frags_done = 0
+        late_tables: list[pa.Table] = []
+        sub: dict[int, int] = {}              # second bucket -> rows ingested
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for m in b.to_pylist():
+                max_ts = max(max_ts, int(m["__max_ts"]))
+                late_total += int(m["__late"])
+                rows_total += int(m["__rows"])
+                frags_done += 1
+                if m["__late_ipc"] is not None:
+                    late_tables.append(_ipc_table(m["__late_ipc"]))
+                sec = int(time.monotonic() - t0)
+                sub[sec] = sub.get(sec, 0) + int(m["__rows"])
+                if self.monitor is not None:
+                    self.monitor({"epoch": epoch, "sec": sec,
+                                  "tasks_done": frags_done,
+                                  "rows_in_cum": rows_total,
+                                  "late_cum": late_total})
+        self._last_sub = [{"sec": s, "rows_in": r}
+                          for s, r in sorted(sub.items())]
         return max_ts, late_total, rows_total, late_tables
 
     # -- run -------------------------------------------------------------
@@ -403,9 +431,13 @@ class StreamingWindowedAggregate:
                 ck["watermark"] = new_wm
                 ck["metrics"]["emitted_rows"] += emitted
                 ck["metrics"]["late_dropped"] += late
-                ck["metrics"].setdefault("epoch_stats", []).append(
-                    _epoch_stats(ck["epoch"] - 1, outs, self.window, new_wm,
-                                 wall, rows_in, emitted))
+                row = _epoch_stats(ck["epoch"] - 1, outs, self.window,
+                                   new_wm, wall, rows_in, emitted)
+                # per-second ingest series inside this epoch (sub-epoch
+                # monitoring — a long epoch is no longer invisible until
+                # it commits)
+                row["sub_epoch"] = getattr(self, "_last_sub", [])
+                ck["metrics"].setdefault("epoch_stats", []).append(row)
                 ck.setdefault("lineage", {})[str(next_epoch - 1)] = chunk
                 self._store_ckpt(ck)                  # commit point
                 self._gc_snaps(next_epoch)

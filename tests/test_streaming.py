@@ -226,3 +226,27 @@ def test_mixed_scaled_unscaled_rejected():
     from saber_ray.core.aggregates import scaled_columns
     with pytest.raises(ValueError, match="mixes scaled"):
         scaled_columns([sum_("v", scale=2), avg("v")])
+
+
+def test_sub_epoch_monitoring(ray_session, stream_files, tmp_path):
+    """Sub-epoch visibility: the per-second ingest series in epoch_stats
+    accounts for every input row, and the live monitor callback fires per
+    completed ingest task with cumulative counts."""
+    events = []
+    job = StreamingWindowedAggregate(
+        str(tmp_path / "out"), window=W, aggs=AGGS, keys=["role"],
+        num_partitions=2, monitor=events.append)
+    ck = job.run(stream_files, epoch_size=4)
+    stats = ck["metrics"]["epoch_stats"]
+    assert stats
+    for row in stats:
+        assert sum(b["rows_in"] for b in row["sub_epoch"]) == row["rows_in"]
+    assert events                                  # live callback fired
+    per_epoch = {}
+    for e in events:
+        per_epoch[e["epoch"]] = e
+        assert e["tasks_done"] >= 1
+    # the last callback of each epoch saw the full epoch input
+    by_epoch_rows = {r["epoch"]: r["rows_in"] for r in stats}
+    for ep, last in per_epoch.items():
+        assert last["rows_in_cum"] == by_epoch_rows[ep]
