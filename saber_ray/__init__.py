@@ -26,7 +26,9 @@ from saber_ray.stages.window_agg import windowed_aggregate
 from saber_ray.stages.cep import match_pattern
 from saber_ray.stages.session import session_windows
 from saber_ray.stages.join import windowed_join, hash_join, broadcast_join
-from saber_ray.stages.topk import topk
+from saber_ray.stages.topk import topk, grouped_topk
+from saber_ray.stages.rolling import rolling_agg
+from saber_ray.stages.shift import shift
 
 __all__ = [
     "col", "lit", "Expr", "Window", "AggSpec",
@@ -34,6 +36,7 @@ __all__ = [
     "selection", "projection", "noop", "windowed_aggregate", "session_windows",
     "match_pattern",
     "windowed_join", "hash_join", "broadcast_join", "topk",
+    "grouped_topk", "rolling_agg", "shift",
 ]
 
 __version__ = "0.1.0"
