@@ -29,6 +29,9 @@ from saber_ray.stages.join import windowed_join, hash_join, broadcast_join
 from saber_ray.stages.topk import topk, grouped_topk
 from saber_ray.stages.rolling import rolling_agg
 from saber_ray.stages.shift import shift
+from saber_ray.stages.sample import hash_sample, bottom_k_sample, \
+    stratified_sample
+from saber_ray.stages.heavy_hitters import heavy_hitters
 
 __all__ = [
     "col", "lit", "Expr", "Window", "AggSpec",
@@ -37,6 +40,7 @@ __all__ = [
     "match_pattern",
     "windowed_join", "hash_join", "broadcast_join", "topk",
     "grouped_topk", "rolling_agg", "shift",
+    "hash_sample", "bottom_k_sample", "stratified_sample", "heavy_hitters",
 ]
 
 __version__ = "0.1.0"

@@ -106,3 +106,27 @@ def bottom_k_sample(ds, key: str, k: int, *, salt: int = 0,
                               zero_copy_batch=True),
                ["__prio", key], k, descending=False)
     return out if keep_priority else out.drop_columns(["__prio"])
+
+
+def stratified_sample(ds, group_keys, key: str, k: int, *, salt: int = 0):
+    """Exactly-k deterministic uniform sample PER GROUP (balanced training
+    mixes: k docs per language, k conversations per tool, ...).
+
+    SQL twin: ``ROW_NUMBER() OVER (PARTITION BY group_keys ORDER BY h(key),
+    key) <= k`` with the canonical hash above. Distributed with the
+    grouped_topk shape: per-block per-group k-best partials → ONE key
+    exchange shipping ≤ k rows per (block, group) → per-block final k. NULL
+    group keys form one group (SQL PARTITION BY); NULL sample keys sort
+    last (NULLS LAST)."""
+    from saber_ray.stages.topk import grouped_topk
+
+    def add_prio(t: pa.Table) -> pa.Table:
+        h, valid = _hash_col(t, key, salt)
+        if valid is not None:
+            h = np.where(valid, h, np.iinfo(np.int64).max)
+        return t.append_column("__prio", pa.array(h, type=pa.int64()))
+
+    out = grouped_topk(ds.map_batches(add_prio, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       group_keys, ["__prio", key], k, descending=False)
+    return out.drop_columns(["__prio"])
