@@ -152,7 +152,8 @@ def grouped_quantiles(ds, keys: Sequence[str] | str, col: str,
                       count_distinct_alias: Optional[str] = None,
                       count_alias: Optional[str] = None,
                       approx: bool = False, sketch_k: int = 4096,
-                      kmv_k: int = 4096, seed: int = 42):
+                      kmv_k: int = 4096, seed: int = 42,
+                      interpolate: bool = False):
     """One row per key group with exact discrete quantiles of ``col``.
 
     ``quantiles``: output alias → q in (0, 1]. SQL semantics throughout:
@@ -168,6 +169,9 @@ def grouped_quantiles(ds, keys: Sequence[str] | str, col: str,
     approximate — the only path that survives a group larger than a block.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
+    if interpolate and approx:
+        raise ValueError("interpolate is exact-path only (the sketch keeps "
+                         "discrete ranks)")
     if approx:
         return _grouped_quantiles_sketch(
             ds, keys, col, quantiles,
@@ -183,8 +187,14 @@ def grouped_quantiles(ds, keys: Sequence[str] | str, col: str,
 
     def per_block(g: pa.Table) -> pa.Table:
         from saber_ray.stages.dedup import _runs
+        qtype = (pa.float64() if interpolate
+                 else g.schema.field(col).type)   # quantile_cont is DOUBLE
+        if interpolate and (pa.types.is_string(g.schema.field(col).type)
+                            or pa.types.is_large_string(
+                                g.schema.field(col).type)):
+            raise ValueError("interpolate requires a numeric column")
         out_fields = [(k, g.schema.field(k).type) for k in sort_keys] + \
-            [(a, g.schema.field(col).type) for a, _ in qitems]
+            [(a, qtype) for a, _ in qitems]
         if count_distinct_alias:
             out_fields.append((count_distinct_alias, pa.int64()))
         if count_alias:
@@ -235,11 +245,22 @@ def grouped_quantiles(ds, keys: Sequence[str] | str, col: str,
             for k in sort_keys}
         empty = nvalid == 0                        # all-NULL groups
         for alias, q in qitems:
-            idx = starts + np.minimum(
-                np.maximum(nvalid - 1, 0),
-                np.maximum(0, np.ceil(q * nvalid).astype(np.int64) - 1))
-            cols[alias] = vcol.take(
-                pa.array(order[idx], mask=empty))  # NULL quantile if no values
+            if interpolate:
+                # quantile_cont: linear interpolation at rank q*(n-1)
+                p = q * np.maximum(nvalid - 1, 0).astype(np.float64)
+                lo = np.floor(p).astype(np.int64)
+                hi = np.minimum(lo + 1, np.maximum(nvalid - 1, 0))
+                frac = p - lo
+                vlo = vsorted[starts + lo].astype(np.float64)
+                vhi = vsorted[starts + hi].astype(np.float64)
+                cols[alias] = pa.array(vlo + frac * (vhi - vlo),
+                                       type=pa.float64(), mask=empty)
+            else:
+                idx = starts + np.minimum(
+                    np.maximum(nvalid - 1, 0),
+                    np.maximum(0, np.ceil(q * nvalid).astype(np.int64) - 1))
+                cols[alias] = vcol.take(
+                    pa.array(order[idx], mask=empty))  # NULL if no values
         if count_distinct_alias:
             change = np.concatenate(([True], vsorted[1:] != vsorted[:-1]))
             change[starts] = True                  # run boundaries

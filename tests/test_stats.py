@@ -132,3 +132,37 @@ def test_grouped_quantiles_string_values_lexicographic(ray_session):
             {"p25": 0.25, "p75": 0.75},
             count_distinct_alias="nd", count_alias="n")))
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_quantiles_interpolated_vs_quantile_cont(ray_session):
+    """interpolate=True mirrors DuckDB quantile_cont (linear interpolation
+    at rank q*(n-1)), NULL keys/values included."""
+    rng = np.random.default_rng(27)
+    n = 2200
+    langs = np.array(["en", "es", None, "de"], dtype=object)[
+        rng.integers(0, 4, n)]
+    vals = rng.integers(0, 1000, n).astype(object)
+    vals[rng.random(n) < 0.1] = None
+    t = pa.table({"lang": pa.array(langs, pa.string()),
+                  "v": pa.array(vals, pa.int64())})
+    con = duckdb.connect()
+    con.register("t", t)
+    want = canon(con.sql(
+        "SELECT lang, quantile_cont(v, 0.5) AS p50, "
+        "quantile_cont(v, 0.9) AS p90, COUNT(*) AS n "
+        "FROM t GROUP BY 1").df())
+    for parts in (1, 4):
+        got = canon(to_pandas(grouped_quantiles(
+            rd.from_arrow(t).repartition(parts), "lang", "v",
+            {"p50": 0.5, "p90": 0.9}, count_alias="n", interpolate=True)))
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_quantiles_interpolate_validation(ray_session):
+    t = pa.table({"g": ["a"], "v": [1]})
+    try:
+        grouped_quantiles(rd.from_arrow(t), "g", "v", {"p": 0.5},
+                          interpolate=True, approx=True)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
