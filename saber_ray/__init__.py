@@ -22,7 +22,8 @@ from saber_ray.core.aggregates import AggSpec, cnt, sum_, avg, min_, max_
 from saber_ray.stages.select import selection
 from saber_ray.stages.project import projection
 from saber_ray.stages.noop import noop
-from saber_ray.stages.window_agg import windowed_aggregate
+from saber_ray.stages.window_agg import windowed_aggregate, \
+    assign_windows, windowed_distinct_count
 from saber_ray.stages.cep import match_pattern
 from saber_ray.stages.session import session_windows
 from saber_ray.stages.join import windowed_join, hash_join, broadcast_join
@@ -37,6 +38,7 @@ __all__ = [
     "col", "lit", "Expr", "Window", "AggSpec",
     "cnt", "sum_", "avg", "min_", "max_",
     "selection", "projection", "noop", "windowed_aggregate", "session_windows",
+    "assign_windows", "windowed_distinct_count",
     "match_pattern",
     "windowed_join", "hash_join", "broadcast_join", "topk",
     "grouped_topk", "rolling_agg", "shift",

@@ -398,3 +398,55 @@ def windowed_aggregate(
     fin = FinalizeWindows(window, aggs, keys, watermark=watermark,
                           emit_start=emit_start, round_decimals=round_decimals)
     return merged.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def assign_windows(ds, window: Window, *, ts_col: str = "ts",
+                   window_id_alias: str = _WID):
+    """Explode each row into every window containing it (one output row per
+    (row, window) pair; expansion factor ≈ size/slide, rows in gap panes of
+    a slide>size window emit nothing).
+
+    The compositional primitive behind custom per-window logic the packaged
+    aggregates don't cover — per-window DISTINCT (windowed_distinct_count),
+    per-window top-k (``assign_windows |> grouped_topk``), per-window
+    medians (``|> grouped_quantiles``) — anything expressible per (key,
+    window_id) group. Window math is the pane decomposition
+    (WindowDefinition.java:28-57 parity, core/windows.expand_panes).
+    """
+    def per_block(t: pa.Table) -> pa.Table:
+        tc = t[ts_col]
+        if not pa.types.is_integer(tc.type):
+            tc = tc.cast(pa.int64())
+        if isinstance(tc, pa.ChunkedArray):
+            tc = tc.combine_chunks()
+        if tc.null_count:
+            raise ValueError(
+                f"assign_windows: NULL {ts_col!r} has no window (filter "
+                "nulls first — SQL GROUP BY would keep a NULL window key, "
+                "which the pane math cannot represent)")
+        pane = window.pane_ids(tc.to_numpy(zero_copy_only=False))
+        row_sel, wid = window.expand_panes(pane)
+        out = t.take(pa.array(row_sel))
+        return out.append_column(window_id_alias,
+                                 pa.array(wid, type=pa.int64()))
+
+    return ds.map_batches(per_block, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def windowed_distinct_count(ds, window: Window, col: str, *,
+                            keys: Sequence[str] = (), ts_col: str = "ts",
+                            alias: str = "n_distinct",
+                            approx: bool = False, kmv_k: int = 4096):
+    """COUNT(DISTINCT col) per (keys, window) — absent from the reference
+    (no distinct machinery, SURVEY §2.7) and NOT pane-mergeable (distinct
+    sets don't sum), so it composes assign_windows with the grouped
+    order-statistics engine: one explode + ONE null-safe sort exchange on
+    (keys, window_id). ``approx=True`` swaps in the mergeable KMV sketch
+    path for giant windows (bounded error, no window need fit a block)."""
+    from saber_ray.stages.stats import grouped_quantiles
+    exploded = assign_windows(ds, window, ts_col=ts_col)
+    gk = list(keys) + [_WID]
+    return grouped_quantiles(exploded, gk, col, {},
+                             count_distinct_alias=alias,
+                             approx=approx, kmv_k=kmv_k)
