@@ -350,33 +350,11 @@ class StreamingWindowedAggregate:
         nblocks = min(len(frags), max(4 * self.n, 32))
         ds = rd.from_items(frags, override_num_blocks=max(1, nblocks)) \
             .map_batches(ingest, batch_format="pyarrow")
-        # stream task metas as they finish (not a blocking take_all): the
-        # driver sees progress WITHIN the epoch — sub-epoch monitoring at
-        # per-second granularity (PerformanceMonitor.java:142-170 analogue)
-        import time
-        t0 = time.monotonic()
-        max_ts, late_total, rows_total = 0, 0, 0
-        frags_done = 0
-        late_tables: list[pa.Table] = []
-        sub: dict[int, int] = {}              # second bucket -> rows ingested
-        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-            for m in b.to_pylist():
-                max_ts = max(max_ts, int(m["__max_ts"]))
-                late_total += int(m["__late"])
-                rows_total += int(m["__rows"])
-                frags_done += 1
-                if m["__late_ipc"] is not None:
-                    late_tables.append(_ipc_table(m["__late_ipc"]))
-                sec = int(time.monotonic() - t0)
-                sub[sec] = sub.get(sec, 0) + int(m["__rows"])
-                if self.monitor is not None:
-                    self.monitor({"epoch": epoch, "sec": sec,
-                                  "tasks_done": frags_done,
-                                  "rows_in_cum": rows_total,
-                                  "late_cum": late_total})
-        self._last_sub = [{"sec": s, "rows_in": r}
-                          for s, r in sorted(sub.items())]
-        return max_ts, late_total, rows_total, late_tables
+        sides, late_tables, self._last_sub = drain_ingest(
+            ds, epoch=epoch, monitor=self.monitor)
+        s = sides.get(0, {"max_ts": None, "late": 0, "rows": 0})
+        max_ts = s["max_ts"] if s["max_ts"] is not None else 0
+        return max_ts, s["late"], s["rows"], late_tables
 
     # -- run -------------------------------------------------------------
     def run(self, files: Sequence[str], *, epoch_size: int = 4,
@@ -478,6 +456,60 @@ class StreamingWindowedAggregate:
             return pa.table({})
         return pa.concat_tables([pq.read_table(f) for f in files],
                                 promote_options="default")
+
+
+def drain_ingest(ds, *, epoch: int, monitor=None):
+    """Consume an ingest pipeline's per-task meta batches AS THEY FINISH
+    (streamed via ``iter_batches``, never a blocking ``take_all``) — the
+    shared sub-epoch monitoring loop of all three streaming engines
+    (aggregate, join, session): the driver sees progress WITHIN an epoch at
+    per-second granularity, the micro-batch analogue of the reference's
+    per-second throughput printer (PerformanceMonitor.java:142-170).
+
+    Each meta row must carry ``__max_ts`` (int64; null when the task saw no
+    rows — 0 is a valid event time and must not be conflated with "no
+    data"), ``__late``, ``__rows`` (int64) and ``__late_ipc``
+    (binary|null, IPC-serialized dead-letter rows), plus an optional
+    ``__side`` (int64, defaults to 0) for two-stream engines.
+
+    Returns ``(sides, late_tables, sub_series)`` where ``sides`` maps each
+    ``__side`` to ``{"max_ts": int|None, "late": int, "rows": int}``,
+    ``late_tables`` collects the deserialized dead-letter tables, and
+    ``sub_series`` is the per-second ``[{"sec", "rows_in"}, ...]`` ingest
+    series recorded into the epoch's ``epoch_stats`` row. ``monitor`` (a
+    callable) fires once per completed ingest task with a live progress
+    dict."""
+    import time
+    t0 = time.monotonic()
+    sides: dict[int, dict] = {}
+    late_tables: list[pa.Table] = []
+    sub: dict[int, int] = {}              # second bucket -> rows ingested
+    tasks_done = 0
+    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for m in b.to_pylist():
+            side = int(m.get("__side") or 0)
+            s = sides.setdefault(side,
+                                 {"max_ts": None, "late": 0, "rows": 0})
+            if m["__max_ts"] is not None:
+                mx = int(m["__max_ts"])
+                s["max_ts"] = mx if s["max_ts"] is None \
+                    else max(mx, s["max_ts"])
+            s["late"] += int(m["__late"])
+            s["rows"] += int(m["__rows"])
+            if m.get("__late_ipc") is not None:
+                late_tables.append(_ipc_table(m["__late_ipc"]))
+            tasks_done += 1
+            sec = int(time.monotonic() - t0)
+            sub[sec] = sub.get(sec, 0) + int(m["__rows"])
+            if monitor is not None:
+                monitor({"epoch": epoch, "sec": sec,
+                         "tasks_done": tasks_done,
+                         "rows_in_cum": sum(v["rows"]
+                                            for v in sides.values()),
+                         "late_cum": sum(v["late"]
+                                         for v in sides.values())})
+    sub_series = [{"sec": s, "rows_in": r} for s, r in sorted(sub.items())]
+    return sides, late_tables, sub_series
 
 
 def epoch_stat_row(epoch: int, wall_sec: float, rows_in: int,

@@ -44,7 +44,8 @@ import pyarrow.parquet as pq
 
 import ray
 
-from saber_ray.streaming import _key_hash
+from saber_ray.streaming import _ipc_bytes, _key_hash, _write_late, \
+    drain_ingest
 from saber_ray.stages.join import _band_pairs
 
 
@@ -87,6 +88,23 @@ class _JoinState:
         self.predicate = predicate
         self.bufL: Optional[pa.Table] = None
         self.bufR: Optional[pa.Table] = None
+        # epoch-pending shares pushed DIRECTLY by ingest tasks (they never
+        # transit the driver); consumed — and the seen-set cleared — by the
+        # next process() call
+        self.pendL: list[pa.Table] = []
+        self.pendR: list[pa.Table] = []
+        self._seen: set = set()
+
+    def ingest(self, epoch: int, src: str, side: int, t: pa.Table) -> None:
+        """Buffer one ingest task's key-routed share for this partition.
+        ``src`` is the task's deterministic fragment identity — a retried
+        task re-pushes with the same (epoch, src, side) key and is dropped,
+        keeping routing exactly-once under Ray task retries (the same
+        contract as PaneStoreActor.add)."""
+        if (epoch, src, side) in self._seen or t.num_rows == 0:
+            return
+        self._seen.add((epoch, src, side))
+        (self.pendL if side == 0 else self.pendR).append(t)
 
     def _pairs(self, left: Optional[pa.Table],
                right: Optional[pa.Table]) -> Optional[pa.Table]:
@@ -132,8 +150,20 @@ class _JoinState:
 
     def process(self, newL: Optional[pa.Table], newR: Optional[pa.Table],
                 watermark: Optional[int]) -> pa.Table:
-        """Ingest an epoch's new rows for both sides; emit every new pair;
+        """Ingest an epoch's new rows for both sides (directly-passed
+        tables plus any task-pushed pending shares); emit every new pair;
         evict rows the watermark proves can never pair again."""
+        if self.pendL or self.pendR:
+            pl = self.pendL + ([newL] if newL is not None and newL.num_rows
+                               else [])
+            pr = self.pendR + ([newR] if newR is not None and newR.num_rows
+                               else [])
+            newL = pa.concat_tables(pl, promote_options="default") \
+                if pl else None
+            newR = pa.concat_tables(pr, promote_options="default") \
+                if pr else None
+            self.pendL, self.pendR = [], []
+            self._seen.clear()               # epoch boundary
         parts = []
         # new-left x (old + new right), old-left x new-right: each pair
         # produced exactly once (symmetric hash join decomposition).
@@ -199,7 +229,11 @@ class StreamingWindowedJoin:
                  left_cols: Sequence[str], right_cols: Sequence[str],
                  num_partitions: int = 4, allowed_lateness: int = 0,
                  suffixes: tuple[str, str] = ("_l", "_r"),
-                 predicate: Optional[Callable] = None):
+                 predicate: Optional[Callable] = None,
+                 monitor=None):
+        # ``monitor``: optional callable fired per completed ingest task
+        # WITHIN an epoch (sub-epoch visibility — see drain_ingest)
+        self.monitor = monitor
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
         # on=None → PURE theta (keyless): both streams band-partition on a
@@ -223,61 +257,136 @@ class StreamingWindowedJoin:
         self.rmap = {c: (c + sr if c in self.lcols else c) for c in self.rcols}
         self.predicate = predicate
 
-    def _prep(self, files: list[str], ts_col: str, cols: list[str],
-              watermark, side: int
-              ) -> tuple[list[Optional[pa.Table]], Optional[int], int, int]:
-        """Read one side's epoch files → per-partition key-routed tables.
-        Returns (per-partition tables, max_ts|None, late_rows, rows_in)."""
-        if not files:
-            return [None] * self.n, None, 0, 0
-        read_cols = ([] if self.keyless else self.on) + [ts_col] + cols
-        t = pa.concat_tables([pq.read_table(f, columns=read_cols)
-                              for f in files])
-        rows_in = t.num_rows
-        if not self.keyless:
-            # NULL keys never join (SQL equi semantics; the batch tagger
-            # drops them the same way) — and the actor's dictionary-encode
-            # factorization assumes non-null keys
-            mask = None
-            for k in self.on:
-                v = pc.is_valid(t[k])
-                mask = v if mask is None else pc.and_(mask, v)
-            if mask is not None and not pc.all(mask).as_py():
-                t = t.filter(mask)
-        ts = t[ts_col]
-        if not pa.types.is_integer(ts.type):
-            ts = ts.cast(pa.int64())
-        tn = (ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts) \
-            .to_numpy(zero_copy_only=False)
-        # None (not 0) when the chunk carries no rows: 0 is a valid event ts
-        # and must not be confused with "no data" (watermark min-rule)
-        mx = int(tn.max()) if len(tn) else None
-        late = 0
-        if watermark is not None:
-            ok = tn >= watermark
-            late = int((~ok).sum())
-            if late:
-                t = t.filter(pa.array(ok))
-                tn = tn[ok]
-        t = t.drop_columns([ts_col]).append_column(
-            "__ts", pa.array(tn, type=pa.int64()))
-        if self.keyless:
-            if side == 0:
-                cells = tn // self.cell
-            else:
-                lo_c = (tn - self.after) // self.cell
-                hi_c = (tn + self.before) // self.cell
-                extra = np.flatnonzero(hi_c > lo_c)
-                take = np.concatenate([np.arange(len(tn)), extra])
-                t = t.take(pa.array(take))
-                cells = np.concatenate([lo_c, hi_c[extra]])
-            t = t.append_column("__cell", pa.array(cells, type=pa.int64()))
-        part = _key_hash(t, self.on, self.n)
-        out = []
-        for pid in range(self.n):
-            sel = part == pid
-            out.append(t.filter(pa.array(sel)) if sel.any() else None)
-        return out, mx, late, rows_in
+    def _ingest_epoch(self, chunk_l: list[str], chunk_r: list[str],
+                      watermark, actors, epoch: int):
+        """Read both sides' epoch row-group fragments in PARALLEL Ray tasks;
+        each task key-routes its rows and pushes every partition's share
+        straight to its JoinStateActor (``actor.ingest.remote`` from inside
+        the task — rows never transit the driver, the same direct-push shape
+        as the aggregate engine's ingest). Per-task meta rows stream back
+        through the shared ``drain_ingest`` loop, giving this engine the
+        same sub-epoch monitoring series and watermark-dropped dead-letter
+        channel as the aggregate engine.
+
+        Returns ``(sides, late_tables, sub_series)`` from ``drain_ingest``
+        — sides[0]/sides[1] carry each stream's (max_ts|None, late, rows).
+
+        NULL equi keys are dropped in-task (SQL equi semantics; the batch
+        tagger drops them the same way) — and the actor's dictionary-encode
+        factorization assumes non-null keys. In keyless (pure theta) mode
+        left rows own their time cell and right rows replicate to the ≤2
+        cells whose left owners could match, all computed in-task."""
+        import ray.data as rd
+        frags = []
+        for side, files in enumerate((chunk_l, chunk_r)):
+            for f in files:
+                md = pq.read_metadata(f)
+                for rg in range(md.num_row_groups):
+                    frags.append({"file": f, "rg": rg, "side": side})
+        if not frags:
+            return {}, [], []
+        keyless, cell, on, n = self.keyless, self.cell, self.on, self.n
+        before, after = self.before, self.after
+        ts_cols = (self.left_ts, self.right_ts)
+        side_cols = (self.lcols, self.rcols)
+
+        def ingest(b: pa.Table) -> pa.Table:
+            acc = {}        # side -> accumulators over this task's fragments
+            for row in b.to_pylist():       # fragment DESCRIPTORS (tiny)
+                side = int(row["side"])
+                ts_col, cols = ts_cols[side], side_cols[side]
+                read_cols = ([] if keyless else on) + [ts_col] + list(cols)
+                t = pq.ParquetFile(row["file"]).read_row_group(
+                    row["rg"], columns=read_cols)
+                a = acc.setdefault(side, dict(mx=None, late=0, rows=0,
+                                              parts=[], lates=[], srcs=[]))
+                a["rows"] += t.num_rows
+                a["srcs"].append(f"{row['file']}:{row['rg']}")
+                if not keyless:
+                    mask = None
+                    for k in on:
+                        v = pc.is_valid(t[k])
+                        mask = v if mask is None else pc.and_(mask, v)
+                    if mask is not None and not pc.all(mask).as_py():
+                        t = t.filter(mask)
+                ts = t[ts_col]
+                if not pa.types.is_integer(ts.type):
+                    ts = ts.cast(pa.int64())
+                tn = (ts.combine_chunks()
+                      if isinstance(ts, pa.ChunkedArray) else ts) \
+                    .to_numpy(zero_copy_only=False)
+                # None (not 0) when the fragment carries no rows: 0 is a
+                # valid event ts and must not read as "no data" (min-rule)
+                if len(tn):
+                    m = int(tn.max())
+                    a["mx"] = m if a["mx"] is None else max(m, a["mx"])
+                if watermark is not None and len(tn):
+                    ok = tn >= watermark
+                    nlate = int((~ok).sum())
+                    if nlate:
+                        a["late"] += nlate
+                        dead = t.filter(pa.array(~ok)).append_column(
+                            "__src_file",
+                            pa.array([row["file"]] * nlate)).append_column(
+                            "__src_rg",
+                            pa.array([row["rg"]] * nlate,
+                                     type=pa.int64())).append_column(
+                            "__side",
+                            pa.array([side] * nlate, type=pa.int64()))
+                        a["lates"].append(dead)
+                        t = t.filter(pa.array(ok))
+                        tn = tn[ok]
+                t = t.drop_columns([ts_col]).append_column(
+                    "__ts", pa.array(tn, type=pa.int64()))
+                if keyless:
+                    if side == 0:
+                        cells = tn // cell
+                    else:
+                        lo_c = (tn - after) // cell
+                        hi_c = (tn + before) // cell
+                        extra = np.flatnonzero(hi_c > lo_c)
+                        take = np.concatenate([np.arange(len(tn)), extra])
+                        t = t.take(pa.array(take))
+                        cells = np.concatenate([lo_c, hi_c[extra]])
+                    t = t.append_column(
+                        "__cell", pa.array(cells, type=pa.int64()))
+                if t.num_rows:
+                    a["parts"].append(t)
+            refs, meta = [], {"__side": [], "__max_ts": [], "__late": [],
+                              "__rows": [], "__late_ipc": []}
+            for side in sorted(acc):
+                a = acc[side]
+                if a["parts"]:
+                    t = pa.concat_tables(a["parts"],
+                                         promote_options="default")
+                    part = _key_hash(t, on, n)
+                    src = "|".join(a["srcs"])   # deterministic per block
+                    refs += [actors[pid].ingest.remote(
+                                 epoch, src, side,
+                                 t.filter(pa.array(part == pid)))
+                             for pid in np.unique(part)]
+                meta["__side"].append(side)
+                meta["__max_ts"].append(a["mx"])
+                meta["__late"].append(a["late"])
+                meta["__rows"].append(a["rows"])
+                meta["__late_ipc"].append(
+                    _ipc_bytes(pa.concat_tables(a["lates"],
+                                                promote_options="default"))
+                    if a["lates"] else None)
+            if refs:
+                ray.get(refs)    # ONE await per task; pushes overlap
+            return pa.table({
+                "__side": pa.array(meta["__side"], type=pa.int64()),
+                "__max_ts": pa.array(meta["__max_ts"], type=pa.int64()),
+                "__late": pa.array(meta["__late"], type=pa.int64()),
+                "__rows": pa.array(meta["__rows"], type=pa.int64()),
+                "__late_ipc": pa.array(meta["__late_ipc"],
+                                       type=pa.binary())})
+
+        nblocks = min(len(frags), max(4 * self.n, 32))
+        ds = rd.from_items(frags, override_num_blocks=max(1, nblocks)) \
+            .map_batches(ingest, batch_format="pyarrow")
+        return drain_ingest(ds, epoch=epoch, monitor=self.monitor)
 
     @property
     def _ckpt_path(self):
@@ -318,10 +427,13 @@ class StreamingWindowedJoin:
                 wm = ck["watermark"]
                 chunk_l = files_l[ck["offset_l"]:ck["offset_l"] + epoch_size]
                 chunk_r = files_r[ck["offset_r"]:ck["offset_r"] + epoch_size]
-                pl, mxl, latel, rl = self._prep(chunk_l, self.left_ts,
-                                                self.lcols, wm, 0)
-                pr, mxr, later, rr = self._prep(chunk_r, self.right_ts,
-                                                self.rcols, wm, 1)
+                sides, late_tables, sub = self._ingest_epoch(
+                    chunk_l, chunk_r, wm, actors, ck["epoch"])
+                _write_late(self.out_dir, ck["epoch"], late_tables)
+                sl = sides.get(0, {"max_ts": None, "late": 0, "rows": 0})
+                sr = sides.get(1, {"max_ts": None, "late": 0, "rows": 0})
+                mxl, latel, rl = sl["max_ts"], sl["late"], sl["rows"]
+                mxr, later, rr = sr["max_ts"], sr["late"], sr["rows"]
                 # watermark = min over inputs of each stream's HIGH-WATER
                 # mark (checkpointed; None = no data seen yet, distinct from
                 # ts 0), minus the lateness allowance. A stream leaves the
@@ -360,8 +472,8 @@ class StreamingWindowedJoin:
                         # wm==0 is a valid frontier; only None means unset
                         base = wm if wm is not None else frontier - self.lateness
                         new_wm = max(frontier - self.lateness, base)
-                outs = ray.get([a.process.remote(pl[i], pr[i], new_wm)
-                                for i, a in enumerate(actors)])
+                outs = ray.get([a.process.remote(None, None, new_wm)
+                                for a in actors])
                 if self.keyless:
                     outs = [t.drop_columns(["__cell"])
                             if "__cell" in t.column_names else t for t in outs]
@@ -369,7 +481,8 @@ class StreamingWindowedJoin:
                 wall = time.monotonic() - t0
                 from saber_ray.streaming import epoch_stat_row
                 ck["metrics"].setdefault("epoch_stats", []).append(
-                    epoch_stat_row(ck["epoch"], wall, rl + rr, emitted))
+                    epoch_stat_row(ck["epoch"], wall, rl + rr, emitted,
+                                   sub_epoch=sub))
                 nxt = ck["epoch"] + 1
                 ray.get([a.snapshot.remote(snap(i, nxt))
                          for i, a in enumerate(actors)])
@@ -399,6 +512,19 @@ class StreamingWindowedJoin:
         files = sorted(
             os.path.join(self.out_dir, f) for f in os.listdir(self.out_dir)
             if f.startswith("pairs-") and f.endswith(".parquet"))
+        if not files:
+            return pa.table({})
+        return pa.concat_tables([pq.read_table(f) for f in files],
+                                promote_options="default")
+
+    def late_results(self) -> pa.Table:
+        """All dead-lettered (watermark-dropped) rows with lineage columns
+        (__epoch, __src_file, __src_rg, __side) — the backfill input. The
+        two sides' schemas unify with nulls; ``__side`` (0=left, 1=right)
+        says which stream a row came from."""
+        files = sorted(
+            os.path.join(self.out_dir, f) for f in os.listdir(self.out_dir)
+            if f.startswith("late-") and f.endswith(".parquet"))
         if not files:
             return pa.table({})
         return pa.concat_tables([pq.read_table(f) for f in files],

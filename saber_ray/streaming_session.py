@@ -29,8 +29,9 @@ compose exactly:
    update per key RUN (one step per distinct closing key), not per row.
 
 Actor state is Arrow end-to-end; the only pandas use anywhere in this module
-is none. Late rows below the watermark are dropped and counted, as in
-streaming.py.
+is none. Ingest is task-parallel with direct actor pushes, and late rows
+below the watermark are counted AND dead-lettered to ``late-{epoch}.parquet``
+with source lineage, as in streaming.py.
 """
 
 from __future__ import annotations
@@ -50,7 +51,8 @@ from saber_ray.core.aggregates import (AggSpec, ROWS, arrow_merge_aggs,
                                        arrow_partial_aggs, finalize)
 from saber_ray.core.segments import \
     segmented_running_max as _segmented_running_max
-from saber_ray.streaming import _key_hash
+from saber_ray.streaming import _ipc_bytes, _key_hash, _write_late, \
+    drain_ingest
 
 
 def _key_codes(t: pa.Table, keys: list) -> list[np.ndarray]:
@@ -103,6 +105,20 @@ class _SessionState:
         self.merge_spec, self.merge_rename = arrow_merge_aggs(self.aggs)
         self.open: Optional[pa.Table] = None     # atoms: keys + __start/__last + partials
         self.ordinal: dict = {}                  # key tuple -> next session_id
+        # epoch-pending rows pushed DIRECTLY by ingest tasks; consumed —
+        # and the seen-set cleared — by the next process() call
+        self.pend: list[pa.Table] = []
+        self._seen: set = set()
+
+    def ingest(self, epoch: int, src: str, t: pa.Table) -> None:
+        """Buffer one ingest task's key-routed share for this partition.
+        ``src`` is the task's deterministic fragment identity — a retried
+        task re-pushes with the same (epoch, src) key and is dropped (same
+        exactly-once contract as PaneStoreActor.add)."""
+        if (epoch, src) in self._seen or t.num_rows == 0:
+            return
+        self._seen.add((epoch, src))
+        self.pend.append(t)
 
     def _grouped(self, t: pa.Table, gid: np.ndarray, starts: np.ndarray,
                  spec, rename) -> pa.Table:
@@ -166,6 +182,12 @@ class _SessionState:
 
     def process(self, new_rows: Optional[pa.Table],
                 watermark: Optional[int]) -> pa.Table:
+        if self.pend:
+            parts = self.pend + ([new_rows] if new_rows is not None
+                                 and new_rows.num_rows else [])
+            new_rows = pa.concat_tables(parts, promote_options="default")
+            self.pend = []
+            self._seen.clear()               # epoch boundary
         if new_rows is not None and new_rows.num_rows:
             from saber_ray.core.aggregates import apply_scales, scaled_columns
             scales = scaled_columns(self.aggs)
@@ -252,7 +274,11 @@ class StreamingSessionWindows:
     def __init__(self, out_dir: str, *, gap: int, aggs: Sequence[AggSpec],
                  keys: Sequence[str] = ("conv_id",), ts_col: str = "ts",
                  num_partitions: int = 4, allowed_lateness: int = 0,
-                 columns: Optional[Sequence[str]] = None):
+                 columns: Optional[Sequence[str]] = None,
+                 monitor=None):
+        # ``monitor``: optional callable fired per completed ingest task
+        # WITHIN an epoch (sub-epoch visibility — see drain_ingest)
+        self.monitor = monitor
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
         self.gap = gap
@@ -270,6 +296,87 @@ class StreamingSessionWindows:
     def _snap(self, pid, epoch):
         return os.path.join(self.out_dir,
                             f"sstate-p{pid:03d}-e{epoch:05d}.parquet")
+
+    def _ingest_epoch(self, chunk: list[str], watermark, actors, epoch: int):
+        """Read the epoch's row-group fragments in PARALLEL Ray tasks; each
+        task key-routes its rows and pushes every partition's share straight
+        to its SessionStateActor (rows never transit the driver — the same
+        direct-push shape as the aggregate engine's ingest). Task metas
+        stream back through the shared ``drain_ingest`` loop: sub-epoch
+        monitoring series + watermark-dropped dead-letter channel.
+
+        Returns ``(sides, late_tables, sub_series)`` (single stream —
+        everything under side 0)."""
+        import ray.data as rd
+        frags = []
+        for f in chunk:
+            md = pq.read_metadata(f)
+            for rg in range(md.num_row_groups):
+                frags.append({"file": f, "rg": rg})
+        if not frags:
+            return {}, [], []
+        cols = None
+        if self.columns:
+            cols = sorted(set(self.columns) | set(self.keys)
+                          | {self.ts_col})
+        keys, ts_col, n = self.keys, self.ts_col, self.n
+
+        def ingest(b: pa.Table) -> pa.Table:
+            mx, late_all, rows_all = None, 0, 0
+            parts, lates, srcs = [], [], []
+            for row in b.to_pylist():       # fragment DESCRIPTORS (tiny)
+                t = pq.ParquetFile(row["file"]).read_row_group(
+                    row["rg"], columns=cols)
+                rows_all += t.num_rows
+                srcs.append(f"{row['file']}:{row['rg']}")
+                ts = t[ts_col]
+                if not pa.types.is_integer(ts.type):
+                    ts = ts.cast(pa.int64())
+                tn = (ts.combine_chunks()
+                      if isinstance(ts, pa.ChunkedArray) else ts) \
+                    .to_numpy(zero_copy_only=False)
+                # None (not 0) for a rowless fragment: ts 0 is valid data
+                # and must advance the watermark
+                if len(tn):
+                    m = int(tn.max())
+                    mx = m if mx is None else max(m, mx)
+                if watermark is not None and len(tn):
+                    ok = tn >= watermark
+                    nlate = int((~ok).sum())
+                    if nlate:
+                        late_all += nlate
+                        lates.append(t.filter(pa.array(~ok)).append_column(
+                            "__src_file",
+                            pa.array([row["file"]] * nlate)).append_column(
+                            "__src_rg", pa.array([row["rg"]] * nlate,
+                                                 type=pa.int64())))
+                        t = t.filter(pa.array(ok))
+                        tn = tn[ok]
+                if t.num_rows:
+                    parts.append(t.drop_columns([ts_col]).append_column(
+                        "__t", pa.array(tn, type=pa.int64())))
+            refs = []
+            if parts:
+                t = pa.concat_tables(parts, promote_options="default")
+                part = _key_hash(t, keys, n)
+                src = "|".join(srcs)        # deterministic per block
+                refs = [actors[pid].ingest.remote(
+                            epoch, src, t.filter(pa.array(part == pid)))
+                        for pid in np.unique(part)]
+            if refs:
+                ray.get(refs)    # ONE await per task; pushes overlap
+            late_ipc = _ipc_bytes(pa.concat_tables(
+                lates, promote_options="default")) if lates else None
+            return pa.table({
+                "__max_ts": pa.array([mx], type=pa.int64()),
+                "__late": pa.array([late_all], type=pa.int64()),
+                "__rows": pa.array([rows_all], type=pa.int64()),
+                "__late_ipc": pa.array([late_ipc], type=pa.binary())})
+
+        nblocks = min(len(frags), max(4 * self.n, 32))
+        ds = rd.from_items(frags, override_num_blocks=max(1, nblocks)) \
+            .map_batches(ingest, batch_format="pyarrow")
+        return drain_ingest(ds, epoch=epoch, monitor=self.monitor)
 
     def run(self, files: Sequence[str], *, epoch_size: int = 4,
             end_of_stream: bool = True, max_epochs: Optional[int] = None) -> dict:
@@ -294,42 +401,18 @@ class StreamingSessionWindows:
                 t0 = time.monotonic()
                 chunk = files[ck["offset"]:ck["offset"] + epoch_size]
                 wm = ck["watermark"]
-                cols = None
-                if self.columns:
-                    cols = sorted(set(self.columns) | set(self.keys)
-                                  | {self.ts_col})
-                t = pa.concat_tables([pq.read_table(f, columns=cols)
-                                      for f in chunk])
-                ts = t[self.ts_col]
-                if not pa.types.is_integer(ts.type):
-                    ts = ts.cast(pa.int64())
-                tn = (ts.combine_chunks() if isinstance(ts, pa.ChunkedArray)
-                      else ts).to_numpy(zero_copy_only=False)
-                # None (not 0) for a rowless chunk: ts 0 is valid data and
-                # must advance the watermark (truthiness would lose it)
-                mx = int(tn.max()) if len(tn) else None
-                rows_in = t.num_rows        # pre-late-filter (engine parity)
-                late = 0
-                if wm is not None:
-                    ok = tn >= wm
-                    late = int((~ok).sum())
-                    if late:
-                        t = t.filter(pa.array(ok))
-                        tn = tn[ok]
-                t = t.drop_columns([self.ts_col]).append_column(
-                    "__t", pa.array(tn, type=pa.int64()))
-                part = _key_hash(t, self.keys, self.n)
+                sides, late_tables, sub = self._ingest_epoch(
+                    chunk, wm, actors, ck["epoch"])
+                _write_late(self.out_dir, ck["epoch"], late_tables)
+                s = sides.get(0, {"max_ts": None, "late": 0, "rows": 0})
+                mx, late, rows_in = s["max_ts"], s["late"], s["rows"]
                 # wm==0 is a valid frontier; only None means unset (and a
                 # negative-ts stream must not be floored at 0)
                 new_wm = wm if mx is None else (
                     (mx - self.lateness) if wm is None
                     else max(mx - self.lateness, wm))
-                outs = ray.get([
-                    a.process.remote(
-                        t.filter(pa.array(part == i)) if (part == i).any()
-                        else None,
-                        new_wm)
-                    for i, a in enumerate(actors)])
+                outs = ray.get([a.process.remote(None, new_wm)
+                                for a in actors])
                 emitted = _write(self.out_dir, ck["epoch"], outs)
                 wall = time.monotonic() - t0
                 nxt = ck["epoch"] + 1
@@ -341,7 +424,8 @@ class StreamingSessionWindows:
                 ck["metrics"]["late_dropped"] += late
                 from saber_ray.streaming import epoch_stat_row
                 ck["metrics"].setdefault("epoch_stats", []).append(
-                    epoch_stat_row(nxt - 1, wall, rows_in, emitted))
+                    epoch_stat_row(nxt - 1, wall, rows_in, emitted,
+                                   sub_epoch=sub))
                 tmp = self._ckpt_path + ".tmp"
                 with open(tmp, "w") as f:
                     json.dump(ck, f)
@@ -374,6 +458,17 @@ class StreamingSessionWindows:
         files = sorted(
             os.path.join(self.out_dir, f) for f in os.listdir(self.out_dir)
             if f.startswith("sess-") and f.endswith(".parquet"))
+        if not files:
+            return pa.table({})
+        return pa.concat_tables([pq.read_table(f) for f in files],
+                                promote_options="default")
+
+    def late_results(self) -> pa.Table:
+        """All dead-lettered (watermark-dropped) rows with lineage columns
+        (__epoch, __src_file, __src_rg) — the backfill input."""
+        files = sorted(
+            os.path.join(self.out_dir, f) for f in os.listdir(self.out_dir)
+            if f.startswith("late-") and f.endswith(".parquet"))
         if not files:
             return pa.table({})
         return pa.concat_tables([pq.read_table(f) for f in files],

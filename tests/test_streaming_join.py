@@ -258,3 +258,43 @@ def test_streaming_keyless_theta_matches_batch(ray_session, tmp_path, join_strea
     got = canon(to_pandas(job.results())[want.columns.tolist()])
     assert len(want) > 0
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_join_late_dead_letter_and_sub_epoch(ray_session, tmp_path):
+    """Engine parity with the aggregate engine: watermark-dropped rows land
+    in the dead-letter sink with lineage (+ __side saying which stream),
+    epoch_stats rows carry the per-second sub_epoch ingest series, and the
+    live monitor callback fires per completed ingest task."""
+    left = pa.table({"user_id": np.array([1], dtype=np.int64),
+                     "ts": np.array([100 * HOUR], dtype=np.int64),
+                     "event_id": np.array([10], dtype=np.int64)})
+    right_late = pa.table({"user_id": np.array([1], dtype=np.int64),
+                           "ts": np.array([99 * HOUR], dtype=np.int64),
+                           "event_id": np.array([20], dtype=np.int64)})
+    lf = [str(tmp_path / "L0.parquet")]
+    pq.write_table(left, lf[0])
+    rf = [str(tmp_path / "R0.parquet")]
+    pq.write_table(right_late, rf[0])
+    events = []
+    kw = dict(on="user_id", before=BAND, after=BAND,
+              left_cols=["user_id", "ts", "event_id"],
+              right_cols=["user_id", "ts", "event_id"], num_partitions=2,
+              monitor=events.append)
+    out = str(tmp_path / "out")
+    j1 = StreamingWindowedJoin(out, **kw)
+    j1.run(lf, [], epoch_size=1)     # eos default: watermark jumps to hwm_l
+    j2 = StreamingWindowedJoin(out, **kw)
+    ck = j2.run(lf, rf, epoch_size=1)
+    assert ck["metrics"]["late_dropped"] == 1
+    dead = j2.late_results()
+    assert dead.num_rows == 1
+    assert {"__epoch", "__src_file", "__src_rg", "__side"} \
+        <= set(dead.column_names)
+    assert dead["__side"].to_pylist() == [1]          # right stream
+    assert dead["__src_file"].to_pylist() == [rf[0]]
+    assert dead["event_id"].to_pylist() == [20]
+    stats = ck["metrics"]["epoch_stats"]
+    assert stats
+    for row in stats:
+        assert sum(b["rows_in"] for b in row["sub_epoch"]) == row["rows_in"]
+    assert events and all(e["tasks_done"] >= 1 for e in events)

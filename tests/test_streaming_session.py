@@ -121,3 +121,30 @@ def test_session_state_float_keys_no_crash():
     out = st.process(rows, watermark=1000)
     got = {(r["k"], r["n"]) for r in out.to_pylist()}
     assert got == {(1.5, 2), (2.25, 1)}
+
+
+def test_session_late_dead_letter_and_sub_epoch(ray_session, session_stream,
+                                                tmp_path):
+    """Engine parity with the aggregate engine: watermark-dropped rows land
+    in the dead-letter sink with lineage, epoch_stats rows carry the
+    per-second sub_epoch ingest series, and the live monitor callback
+    fires per completed ingest task."""
+    t0 = pq.read_table(session_stream[0])
+    late_file = str(tmp_path / "late.parquet")
+    pq.write_table(t0, late_file)
+    files = list(session_stream) + [late_file]   # oldest data arrives last
+    events = []
+    job = StreamingSessionWindows(
+        str(tmp_path / "out"), gap=GAP, aggs=AGGS, keys=["conv_id"],
+        num_partitions=2, monitor=events.append)
+    ck = job.run(files, epoch_size=3)
+    assert ck["metrics"]["late_dropped"] == t0.num_rows
+    dead = job.late_results()
+    assert dead.num_rows == t0.num_rows
+    assert {"__epoch", "__src_file", "__src_rg"} <= set(dead.column_names)
+    assert set(dead["__src_file"].to_pylist()) == {late_file}
+    stats = ck["metrics"]["epoch_stats"]
+    assert stats
+    for row in stats:
+        assert sum(b["rows_in"] for b in row["sub_epoch"]) == row["rows_in"]
+    assert events and all(e["tasks_done"] >= 1 for e in events)
