@@ -654,6 +654,40 @@ def _q_streaming_cm1(sf):
     return job.results()
 
 
+def _q_streaming_row_window(sf):
+    """Stream-position (global count) windows via the STREAMING engine in
+    ordinal mode — the streaming twin of row_window_global_tumbling
+    (WindowBatch.java:499-643 ROW_BASED semantics): global ordinals come
+    from checkpointed row-group-metadata prefix sums, and the frontier
+    watermark closes a count window the moment its last row arrives. The
+    oracle mirrors the ordinals with ROW_NUMBER() ordered by event_id
+    (file order — verified monotone), exactly as the batch gate does."""
+    import shutil
+    import pyarrow.parquet as pq
+    from saber_ray.streaming import StreamingWindowedAggregate
+
+    work = os.path.join(
+        "/tmp/saber_ray_gate",
+        f"stream_roww-{hashlib.md5(sf.encode()).hexdigest()[:8]}")
+    shutil.rmtree(work, ignore_errors=True)
+    src_dir = os.path.join(work, "in")
+    os.makedirs(src_dir)
+    tbl = pq.read_table(os.path.join(sf, "events.parquet"),
+                        columns=["value"])
+    files, n = [], tbl.num_rows
+    for i in range(6):
+        part = tbl.slice(i * n // 6, (i + 1) * n // 6 - i * n // 6)
+        p = os.path.join(src_dir, f"f{i:03d}.parquet")
+        pq.write_table(part, p)
+        files.append(p)
+    job = StreamingWindowedAggregate(
+        os.path.join(work, "out"), window=Window.tumbling(500, mode="row"),
+        aggs=[cnt(alias="n"), sum_("value", "sum_value", scale=2)],
+        ordinal=True, num_partitions=2, round_decimals=6)
+    job.run(files, epoch_size=2)
+    return job.results()
+
+
 def _q_streaming_join(sf):
     """Streaming stateful band join (purchases x clicks per user) — same
     semantics as windowed_theta_join, executed incrementally through

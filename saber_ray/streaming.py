@@ -84,10 +84,12 @@ class PaneStoreActor:
     for the epoch checkpoint.
     """
 
-    def __init__(self, window_dict: dict, aggs: list, keys: list):
+    def __init__(self, window_dict: dict, aggs: list, keys: list,
+                 round_decimals=None):
         self.window = Window(**window_dict)
         self.aggs = [AggSpec(**a) for a in aggs]
         self.keys = list(keys)
+        self.round_decimals = round_decimals
         self.merge_spec, self.merge_rename = arrow_merge_aggs(self.aggs)
         self.state: Optional[pa.Table] = None      # pane partials (key, pane)
         self.emitted = 0
@@ -151,7 +153,8 @@ class PaneStoreActor:
                 [self.merge_rename.get(c, c) for c in merged.column_names])
             cols = {k: merged[k] for k in self.keys}
             cols[_WID] = merged[_WID]
-            cols.update(finalize(merged, self.aggs))
+            cols.update(finalize(merged, self.aggs,
+                                 round_decimals=self.round_decimals))
             out = pa.table(cols)
             self.emitted += out.num_rows
 
@@ -199,13 +202,32 @@ class StreamingWindowedAggregate:
                  keys: Sequence[str] = (), ts_col: str = "ts",
                  num_partitions: int = 4, allowed_lateness: int = 0,
                  columns: Optional[Sequence[str]] = None,
-                 monitor=None):
+                 monitor=None, ordinal: bool = False,
+                 round_decimals: Optional[int] = None):
         # ``monitor``: optional callable receiving a live progress dict as
         # each ingest task completes WITHIN an epoch — sub-epoch visibility
         # (the reference prints throughput every second,
         # PerformanceMonitor.java:142-170; in micro-batch mode the natural
         # grain is the ingest task, surfaced as a per-second series).
+        #
+        # ``ordinal=True``: stream-position (global count) windows — the
+        # streaming twin of the reference's ROW_BASED windows
+        # (WindowBatch.java:499-643) and of the batch
+        # ``read_with_global_ordinal`` + mode="row" pipeline. The engine
+        # synthesizes a global ``__ord`` column (0-based physical stream
+        # position) and windows over it: each epoch's row-group fragments
+        # get exact ordinal bases from driver-side METADATA prefix sums
+        # (no data read), cumulative across epochs via the checkpointed
+        # ``ord_base``, so ordinals are identical across kill/resume and
+        # independent of ingest-task parallelism. The watermark is the
+        # stream frontier (total rows ingested): a count window [s, e)
+        # closes exactly when row e-1 has arrived. Rows are never late by
+        # construction. Use with ``Window(mode="row")``; ``ts_col`` is
+        # ignored.
         self.monitor = monitor
+        self.ordinal = bool(ordinal)
+        if self.ordinal:
+            ts_col = "__ord"
         self.out_dir = out_dir
         self.window = window
         self.aggs = list(aggs)
@@ -214,6 +236,7 @@ class StreamingWindowedAggregate:
         self.n = num_partitions
         self.lateness = allowed_lateness
         self.columns = list(columns) if columns else None
+        self.round_decimals = round_decimals   # finalize parity with batch
         os.makedirs(out_dir, exist_ok=True)
         # partials at PANE granularity (the state unit): a pane-sized
         # tumbling window makes PanePartialAgg emit one partial per
@@ -258,7 +281,8 @@ class StreamingWindowedAggregate:
 
     # -- one epoch's ingest: tasks push partials DIRECTLY to actors -------
     def _ingest_epoch(self, files: list[str], watermark, actors,
-                      epoch: int) -> tuple[int, int, int, list[pa.Table]]:
+                      epoch: int, ord_base: int = 0
+                      ) -> tuple[int, int, int, list[pa.Table]]:
         """Read the epoch's row-group fragments in parallel tasks; each task
         computes combined pane partials across ALL its fragments and pushes
         each partition's share straight to its PaneStoreActor
@@ -277,16 +301,28 @@ class StreamingWindowedAggregate:
         fraction of the stream — the dead-letter channel is driver-written
         for atomicity with the checkpoint.
 
+        In ordinal mode each fragment descriptor carries its exact global
+        ordinal base (metadata prefix sums over the checkpointed
+        ``ord_base``); the task synthesizes ``__ord`` and reports the
+        stream FRONTIER (last ordinal + 1) as ``__max_ts``, so the
+        watermark closes a count window exactly when its last row arrives.
+
         Returns (max_ts, late_rows, input_rows, late_tables)."""
         import ray.data as rd
         frags = []
+        base = ord_base
         for f in files:
             md = pq.read_metadata(f)
             for rg in range(md.num_row_groups):
-                frags.append({"file": f, "rg": rg})
+                d = {"file": f, "rg": rg}
+                if self.ordinal:
+                    d["base"] = base
+                    base += md.row_group(rg).num_rows
+                frags.append(d)
         keys, ts_col = self.keys, self.ts_col
         cols, n = self.columns, self.n
         partial = self.partial
+        ordinal = self.ordinal
 
         def ingest(b: pa.Table) -> pa.Table:
             mx_all, late_all, rows_all = 0, 0, 0
@@ -298,6 +334,22 @@ class StreamingWindowedAggregate:
                     row["rg"], columns=cols)
                 rows_all += t.num_rows
                 srcs.append(f"{row['file']}:{row['rg']}")
+                if ordinal:
+                    tn = np.arange(t.num_rows, dtype=np.int64) \
+                        + int(row["base"])
+                    t = t.append_column(ts_col,
+                                        pa.array(tn, type=pa.int64()))
+                    if len(tn):
+                        # frontier (next ordinal), not max: window [s, e)
+                        # closes the moment row e-1 arrives
+                        mx_all = max(mx_all, int(tn[-1]) + 1)
+                    p = partial(t) if t.num_rows else pa.table({})
+                    if p.num_rows and _WID in p.column_names:
+                        idx = p.column_names.index(_WID)
+                        p = p.set_column(idx, _PANE, p[_WID])
+                    if p.num_rows:
+                        parts_acc.append(p)
+                    continue
                 tc = t[ts_col]
                 if not pa.types.is_integer(tc.type):
                     tc = tc.cast(pa.int64())
@@ -374,7 +426,7 @@ class StreamingWindowedAggregate:
                  slide=self.window.slide),
             [dict(op=a.op, column=a.column, alias=a.alias, scale=a.scale)
              for a in self.aggs],
-            self.keys) for i in range(self.n)]
+            self.keys, self.round_decimals) for i in range(self.n)]
         try:
             ray.get([a.restore.remote(self._snap_path(i, ck["epoch"]))
                      for i, a in enumerate(actors)])
@@ -387,7 +439,8 @@ class StreamingWindowedAggregate:
                 chunk = files[ck["offset"]:ck["offset"] + epoch_size]
                 wm = ck["watermark"]
                 max_ts, late, rows_in, late_tables = self._ingest_epoch(
-                    chunk, wm, actors, ck["epoch"])
+                    chunk, wm, actors, ck["epoch"],
+                    ord_base=ck.get("ord_base", 0))
                 _write_late(self.out_dir, ck["epoch"], late_tables)
                 # a rowless epoch must not advance (or fabricate) the
                 # watermark — and new_wm=None is the END-OF-STREAM flush
@@ -407,6 +460,10 @@ class StreamingWindowedAggregate:
                 ck["offset"] += len(chunk)
                 ck["epoch"] = next_epoch
                 ck["watermark"] = new_wm
+                if self.ordinal:
+                    # frontier advance: metadata row counts (== rows_in;
+                    # ordinals never depend on ingest-task parallelism)
+                    ck["ord_base"] = ck.get("ord_base", 0) + rows_in
                 ck["metrics"]["emitted_rows"] += emitted
                 ck["metrics"]["late_dropped"] += late
                 row = _epoch_stats(ck["epoch"] - 1, outs, self.window,

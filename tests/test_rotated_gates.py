@@ -23,6 +23,16 @@ ROTATED = {
     "distinct_count": (
         entry_mod._q_distinct,
         "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1"),
+    # streaming twin of row_window_global_tumbling: same oracle — the
+    # streaming engine in ordinal mode must reproduce the batch ROW_BASED
+    # window answer exactly (ordinals = checkpointed metadata prefix sums)
+    "streaming_row_window": (
+        entry_mod._q_streaming_row_window,
+        "WITH t AS (SELECT value, "
+        "ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS ord FROM events) "
+        "SELECT ord // 500 AS window_id, COUNT(*) AS n, "
+        "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) "
+        "AS sum_value FROM t GROUP BY 1"),
 }
 
 

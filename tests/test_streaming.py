@@ -250,3 +250,66 @@ def test_sub_epoch_monitoring(ray_session, stream_files, tmp_path):
     by_epoch_rows = {r["epoch"]: r["rows_in"] for r in stats}
     for ep, last in per_epoch.items():
         assert last["rows_in_cum"] == by_epoch_rows[ep]
+
+
+def test_streaming_global_row_windows(ray_session, tmp_path):
+    """Streaming twin of the batch global stream-position count windows
+    (WindowBatch.java:499-643 ROW_BASED semantics): ordinals come from
+    checkpointed metadata prefix sums, a count window closes the moment its
+    last row arrives (frontier watermark), kill/resume preserves ordinals,
+    and nothing is ever late."""
+    import ray.data as rd
+    rng = np.random.default_rng(5)
+    n = 6000
+    t = pa.table({"value": np.round(rng.random(n) * 100, 2)})
+    files = []
+    for i in range(8):
+        lo, hi = i * n // 8, (i + 1) * n // 8
+        p = str(tmp_path / f"e{i:03d}.parquet")
+        pq.write_table(t.slice(lo, hi - lo), p)
+        files.append(p)
+    w = Window.sliding(1000, 250, mode="row")
+    aggs = [cnt(alias="n"), sum_("value", "sum_value", scale=2)]
+    want = canon(to_pandas(windowed_aggregate(
+        rd.from_arrow(t.append_column(
+            "__ord", pa.array(np.arange(n, dtype=np.int64)))),
+        window=w, ts_col="__ord", aggs=aggs)))
+    out = str(tmp_path / "out")
+    kw = dict(window=w, aggs=aggs, ordinal=True, num_partitions=2)
+    job = StreamingWindowedAggregate(out, **kw)
+    ck1 = job.run(files, epoch_size=3, max_epochs=1)   # kill after epoch 0
+    # incremental: windows whose last row arrived in epoch 0 already emitted
+    assert ck1["metrics"]["epoch_stats"][0]["rows_out"] > 0
+    assert ck1["ord_base"] == 3 * (n // 8)
+    job2 = StreamingWindowedAggregate(out, **kw)
+    ck = job2.run(files, epoch_size=3)
+    got = canon(job2.results().to_pandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert ck["metrics"]["late_dropped"] == 0
+    assert ck["metrics"]["emitted_rows"] == len(got)
+
+
+def test_streaming_tumbling_row_windows(ray_session, tmp_path):
+    """Tumbling count windows across epoch boundaries: a window spanning two
+    epochs emits once, with all its rows."""
+    import ray.data as rd
+    n = 1700                          # not a multiple of the window size
+    t = pa.table({"value": np.arange(n, dtype=np.int64)})
+    files = []
+    for i in range(4):
+        lo, hi = i * n // 4, (i + 1) * n // 4
+        p = str(tmp_path / f"e{i:03d}.parquet")
+        pq.write_table(t.slice(lo, hi - lo), p)
+        files.append(p)
+    w = Window.tumbling(500, mode="row")
+    aggs = [cnt(alias="n"), sum_("value", "sum_value")]
+    want = canon(to_pandas(windowed_aggregate(
+        rd.from_arrow(t.append_column(
+            "__ord", pa.array(np.arange(n, dtype=np.int64)))),
+        window=w, ts_col="__ord", aggs=aggs)))
+    job = StreamingWindowedAggregate(
+        str(tmp_path / "out"), window=w, aggs=aggs, ordinal=True,
+        num_partitions=2)
+    job.run(files, epoch_size=1)
+    got = canon(job.results().to_pandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
