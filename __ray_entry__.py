@@ -481,6 +481,20 @@ def _q_rolling_window(sf):
               "roll_min": "min", "roll_max": "max"})
 
 
+def _q_rank_window(sf):
+    """SQL ranking window-function family (ROW_NUMBER/RANK/DENSE_RANK/
+    PERCENT_RANK/CUME_DIST/NTILE) over per-key sorted segments: one
+    partition-key exchange, per-block peer-run arithmetic
+    (stages/rank.rank_window). Per-user event ranking by type with ties."""
+    from saber_ray.stages.rank import rank_window
+    ev = read_table(sf, "events",
+                    columns=["user_id", "event_type", "ts", "event_id"])
+    return rank_window(
+        ev, "user_id", ["event_type"],
+        {"rk": "rank", "drk": "dense_rank", "pr": "percent_rank",
+         "cd": "cume_dist"}, keep=["event_id"])
+
+
 def _q_grouped_topk(sf):
     """Per-group top-k without a total sort: per-block k-best partials →
     one key exchange → per-block final k (stages/topk.grouped_topk)."""

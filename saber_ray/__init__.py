@@ -30,6 +30,7 @@ from saber_ray.stages.join import windowed_join, hash_join, broadcast_join
 from saber_ray.stages.topk import topk, grouped_topk
 from saber_ray.stages.rolling import rolling_agg
 from saber_ray.stages.shift import shift
+from saber_ray.stages.rank import rank_window
 from saber_ray.stages.sample import hash_sample, bottom_k_sample, \
     stratified_sample
 from saber_ray.stages.heavy_hitters import heavy_hitters
@@ -41,7 +42,7 @@ __all__ = [
     "assign_windows", "windowed_distinct_count",
     "match_pattern",
     "windowed_join", "hash_join", "broadcast_join", "topk",
-    "grouped_topk", "rolling_agg", "shift",
+    "grouped_topk", "rolling_agg", "shift", "rank_window",
     "hash_sample", "bottom_k_sample", "stratified_sample", "heavy_hitters",
 ]
 

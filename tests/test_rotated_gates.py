@@ -23,6 +23,12 @@ ROTATED = {
     "distinct_count": (
         entry_mod._q_distinct,
         "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1"),
+    "rank_window": (
+        entry_mod._q_rank_window,
+        "SELECT user_id, event_type, event_id, RANK() OVER w AS rk, "
+        "DENSE_RANK() OVER w AS drk, PERCENT_RANK() OVER w AS pr, "
+        "CUME_DIST() OVER w AS cd FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY event_type)"),
     # streaming twin of row_window_global_tumbling: same oracle — the
     # streaming engine in ordinal mode must reproduce the batch ROW_BASED
     # window answer exactly (ordinals = checkpointed metadata prefix sums)
