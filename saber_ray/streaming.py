@@ -50,6 +50,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -513,6 +514,90 @@ class StreamingWindowedAggregate:
             return pa.table({})
         return pa.concat_tables([pq.read_table(f) for f in files],
                                 promote_options="default")
+
+
+def backfill(job: "StreamingWindowedAggregate") -> pa.Table:
+    """Correct a FINALIZED streaming job's output for watermark-dropped
+    rows — the consumer of the dead-letter channel (the production
+    backfill VERDICT r2 named the sink's purpose).
+
+    The dead-letter files identify WHICH windows saw late data; the
+    windows' full row sets still live in the original source files (the
+    checkpoint's per-epoch lineage). So the backfill is selective, not a
+    full recompute: affected window ids come from the late rows' event
+    times (pane → covering-windows expansion), their spans merge into
+    disjoint time intervals, only rows inside those intervals are re-read
+    (one vectorized interval test per batch), and ONE batch
+    ``windowed_aggregate`` over that slice recomputes exactly the
+    affected windows — emitted rows for every other window pass through
+    untouched. At scale: late data is rare, so this reads a sliver of
+    the input; the scan prunes to the job's column set.
+
+    Invariant (tested): ``backfill(job)`` == the batch engine over the
+    full input with no watermark, for any epoch split and lateness.
+    """
+    import ray.data as rd
+    from saber_ray.stages.window_agg import windowed_aggregate
+
+    emitted = job.results()
+    late = job.late_results()
+    if late.num_rows == 0:
+        return emitted
+    ck = job._load_ckpt()
+    if not ck.get("finalized"):
+        raise ValueError(
+            "backfill requires a finalized run (end_of_stream=True): "
+            "still-open windows would be recomputed from a partial stream")
+    w = job.window
+    ts = late[job.ts_col]
+    if not pa.types.is_integer(ts.type):
+        ts = ts.cast(pa.int64())
+    tn = (ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts) \
+        .to_numpy(zero_copy_only=False)
+    _, wid = w.expand_panes(np.unique(tn // w.pane))
+    wids = np.unique(wid)
+    if len(wids) == 0:        # late rows in hopping-window gaps: no window
+        return emitted
+    # merge affected window spans into disjoint [lo, hi) intervals
+    starts, ends = wids * w.slide, wids * w.slide + w.size
+    brk = np.concatenate(([True], starts[1:] > np.maximum.accumulate(ends)[:-1]))
+    los = starts[brk]
+    his = np.array([int(ends[s:e].max()) for s, e in zip(
+        np.flatnonzero(brk), np.append(np.flatnonzero(brk)[1:], len(ends)))])
+    files = sorted({f for chunk in ck.get("lineage", {}).values()
+                    for f in chunk})
+    ds = rd.read_parquet(files, columns=job.columns) if job.columns \
+        else rd.read_parquet(files)
+    ts_col = job.ts_col
+
+    def in_affected(t: pa.Table) -> pa.Table:
+        c = t[ts_col]
+        if not pa.types.is_integer(c.type):
+            c = c.cast(pa.int64())
+        x = (c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c) \
+            .to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(los, x, side="right") - 1
+        ok = (pos >= 0) & (x < his[np.maximum(pos, 0)])
+        return t.filter(pa.array(ok))
+
+    rec = windowed_aggregate(
+        ds.map_batches(in_affected, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        window=w, aggs=job.aggs, keys=job.keys, ts_col=ts_col,
+        round_decimals=job.round_decimals)
+    rec = pa.concat_tables(ray.get(rec.to_arrow_refs()),
+                           promote_options="default")
+    # interval-edge rows also generate their NEIGHBOUR windows from an
+    # incomplete row set — keep only the affected ids (recomputed complete)
+    rec = rec.filter(pc.is_in(rec[_WID], value_set=pa.array(
+        wids, type=rec[_WID].type)))
+    if emitted.num_rows == 0:
+        return rec
+    keep = pc.invert(pc.is_in(emitted[_WID], value_set=pa.array(
+        wids, type=emitted[_WID].type)))
+    return pa.concat_tables([emitted.filter(keep),
+                             rec.select(emitted.column_names)],
+                            promote_options="default")
 
 
 def drain_ingest(ds, *, epoch: int, monitor=None):

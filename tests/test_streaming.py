@@ -313,3 +313,49 @@ def test_streaming_tumbling_row_windows(ray_session, tmp_path):
     job.run(files, epoch_size=1)
     got = canon(job.results().to_pandas())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_backfill_corrects_late_windows(ray_session, stream_files, tmp_path):
+    """The dead-letter consumer: streaming (which dropped late rows) plus
+    a selective backfill of the affected windows equals the batch engine
+    over the FULL input — late data is recovered, untouched windows pass
+    through byte-identical."""
+    from saber_ray.streaming import backfill
+    t0 = pq.read_table(stream_files[0])
+    late_file = str(tmp_path / "late.parquet")
+    pq.write_table(t0, late_file)
+    files = list(stream_files) + [late_file]   # oldest data arrives last
+    job = StreamingWindowedAggregate(
+        str(tmp_path / "out"), window=W, aggs=AGGS, keys=["role"],
+        num_partitions=2)
+    ck = job.run(files, epoch_size=4)
+    assert ck["metrics"]["late_dropped"] == t0.num_rows
+    want = _batch_result(ray_session, files, ["role"])
+    got_stream = canon(job.results().to_pandas())
+    assert not got_stream.equals(want)         # drops really lost windows
+    corrected = canon(backfill(job).to_pandas())
+    pd.testing.assert_frame_equal(corrected, want, check_dtype=False)
+
+
+def test_backfill_passthrough_and_guard(ray_session, stream_files, tmp_path):
+    """No late rows -> backfill returns the emitted rows unchanged; a
+    non-finalized run is rejected (open windows would recompute from a
+    partial stream)."""
+    from saber_ray.streaming import backfill
+    out = str(tmp_path / "out")
+    job = StreamingWindowedAggregate(out, window=W, aggs=AGGS, keys=[],
+                                     num_partitions=2)
+    job.run(stream_files, epoch_size=4)
+    got = canon(backfill(job).to_pandas())
+    pd.testing.assert_frame_equal(got, canon(job.results().to_pandas()))
+
+    out2 = str(tmp_path / "out2")
+    t0 = pq.read_table(stream_files[0])
+    late_file = str(tmp_path / "late2.parquet")
+    pq.write_table(t0, late_file)
+    job2 = StreamingWindowedAggregate(out2, window=W, aggs=AGGS, keys=[],
+                                      num_partitions=2)
+    job2.run(list(stream_files) + [late_file], epoch_size=4,
+             end_of_stream=False)
+    with pytest.raises(ValueError):
+        backfill(job2)
