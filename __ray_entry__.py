@@ -530,6 +530,122 @@ def _q_token_stats(sf):
         ["doc_id", "n_chars", "n_ws_tokens", "n_bpe_tokens"])
 
 
+def _q_token_counts(sf):
+    """Vocabulary counts: tokenize (one split kernel) → UNNEST (list
+    explode, zero-copy) → ONE combiner-reduced grouped count (all-time
+    window ≡ GROUP BY) → HAVING n ≥ 5. The canonical token-level corpus
+    statistic; only pre-combined (token, n) partials ever shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    from saber_ray.stages.unnest import tokenize, unnest
+    docs = read_table(sf, "documents", columns=["text"])
+    toks = unnest(tokenize(docs, "text", out="tok"), "tok",
+                  keep=[], out="token")
+
+    def add_ts(t: "pa.Table") -> "pa.Table":
+        return t.append_column("__ts", pa.array(
+            np.zeros(t.num_rows, dtype=np.int64)))
+
+    out = windowed_aggregate(
+        toks.map_batches(add_ts, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        window=Window.tumbling(10 ** 18), ts_col="__ts",
+        keys=["token"], aggs=[cnt(alias="n")])
+    return selection(out.drop_columns(["window_id"]), col("n") >= 5)
+
+
+def _q_set_except(sf):
+    """EXCEPT: customers with a finished order but no open one — the SQL
+    set operation through one combiner-reduced full-tuple exchange."""
+    from saber_ray.stages.setops import except_
+    f = selection(read_table(sf, "orders",
+                             columns=["o_custkey", "o_orderstatus"]),
+                  col("o_orderstatus") == "F").select_columns(["o_custkey"])
+    o = selection(read_table(sf, "orders",
+                             columns=["o_custkey", "o_orderstatus"]),
+                  col("o_orderstatus") == "O").select_columns(["o_custkey"])
+    return except_(f, o, on=["o_custkey"])
+
+
+def _q_pivot_wide(sf):
+    """PIVOT: order totals per priority, one column per status — conditional
+    aggregation through the fixed-point (scale=2) aggregate exchange."""
+    from saber_ray.stages.pivot import pivot
+    orders = read_table(sf, "orders",
+                        columns=["o_orderpriority", "o_orderstatus",
+                                 "o_totalprice"])
+    return pivot(orders, "o_orderpriority", "o_orderstatus", "o_totalprice",
+                 agg="sum", values=["F", "O", "P"], scale=2,
+                 round_decimals=4, prefix="tot_")
+
+
+_Q3_CUT_US = 897_696_000_000_000        # 1998-06-01 00:00:00 UTC in µs
+
+
+def _q_q3_shipping(sf):
+    """TPC-H Q3 (shipping priority): the classic 3-table analytics shape —
+    segment-filtered customers BROADCAST into orders (small side via
+    ray.put, no shuffle), orders merge-joined to lineitem (one sort
+    exchange), fixed-point scale=4 revenue aggregate (2-dec price × 2-dec
+    discount is exact at 4 decimals), top-10 by partials + fan-in (no
+    total sort). Pushdown: only 7 of 22 columns leave the scan; both date
+    filters run before either join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from saber_ray.stages.join import merge_join
+    from saber_ray.stages.topk import topk
+
+    cut = pa.scalar(_Q3_CUT_US, type=pa.int64())
+    cust = pq.read_table(os.path.join(sf, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING")) \
+               .select(["c_custkey"])
+
+    def orders_prep(t: "pa.Table") -> "pa.Table":
+        d = pc.cast(t["o_orderdate"], pa.int64())
+        t = pa.table({"o_orderkey": t["o_orderkey"],
+                      "o_custkey": t["o_custkey"],
+                      "o_orderdate_us": d})
+        return t.filter(pc.less(t["o_orderdate_us"], cut))
+
+    orders = read_table(sf, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_prep, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    ojoin = broadcast_join(orders, cust, on="o_custkey",
+                           right_on="c_custkey") \
+        .select_columns(["o_orderkey", "o_orderdate_us"])
+
+    def li_prep(t: "pa.Table") -> "pa.Table":
+        t = t.filter(pc.greater(pc.cast(t["l_shipdate"], pa.int64()), cut))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+
+    li = read_table(sf, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"]) \
+        .map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined = merge_join(li, ojoin, on="l_orderkey", right_on="o_orderkey",
+                        right_cols=["o_orderdate_us"])
+
+    import numpy as np
+
+    def add_ts(t: "pa.Table") -> "pa.Table":
+        return t.append_column("__ts", pa.array(
+            np.zeros(t.num_rows, dtype=np.int64)))
+
+    agg = windowed_aggregate(
+        joined.map_batches(add_ts, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        window=Window.tumbling(10 ** 18), ts_col="__ts",
+        keys=["l_orderkey", "o_orderdate_us"],
+        aggs=[sum_("revenue", "revenue", scale=4)], round_decimals=4)
+    return topk(agg.drop_columns(["window_id"]),
+                ["revenue", "l_orderkey"], 10, descending=[True, False])
+
+
 def _q_fingerprint(sf):
     from saber_ray.stages.text import md5_fingerprint
     docs = read_table(sf, "documents", columns=["doc_id", "text"])
@@ -894,13 +1010,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sg3": _q_sg3,
         "ysb": _q_ysb,
         "transcripts_identity": _q_transcripts_identity,
-        "noop": _q_noop,
+        "token_counts": _q_token_counts,
         "w1_chained": _q_w1_chained,
         "embedding_near_dup": _q_embedding_near_dup,
         "pricing_summary": _q_pricing_summary,
-        "string_ops": _q_string_ops,
+        "set_except": _q_set_except,
         "topk": _q_topk,
-        "hash_sample": _q_hash_sample,
+        "pivot_wide": _q_pivot_wide,
         "curation_pipeline": _q_curation_pipeline,
         "grouped_quantiles": _q_grouped_quantiles,
         "grouped_quantiles_approx": _q_grouped_quantiles_approx,
@@ -908,7 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_pattern": _q_match_pattern,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
-        "doc_fingerprint": _q_fingerprint,
+        "q3_shipping_priority": _q_q3_shipping,
         "ann_topk": _q_ann_topk,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
@@ -1214,7 +1330,6 @@ def oracle_sql() -> dict[str, str]:
             "WHERE role = 'assistant' GROUP BY 1, 2"),
         "transcripts_identity": _tx(
             "SELECT conv_id, turn_idx, role, text, tool FROM transcripts"),
-        "noop": "SELECT * FROM region",
         "w1_chained": (
             "WITH q1 AS (SELECT ts, user_id, "
             + "".join("(" * 8) + "CAST(value AS DOUBLE)"
@@ -1242,15 +1357,34 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(MIN(l_extendedprice), 4) AS min_price, "
             "ROUND(MAX(l_extendedprice), 4) AS max_price, "
             "COUNT(*) AS count_order FROM lineitem GROUP BY 1, 2"),
-        "string_ops": (
-            "SELECT doc_id, LOWER(text) AS lowered, LENGTH(text) AS n_chars "
-            "FROM documents WHERE text LIKE '%the%' "
-            r"AND regexp_matches(text, '\b[a-z]{6,}\b')"),
+        "set_except": (
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+            "EXCEPT "
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"),
         "topk": ("SELECT event_id, value FROM events "
                  "ORDER BY value DESC, event_id LIMIT 10"),
-        "hash_sample": (
-            "SELECT event_id, event_type, value FROM events WHERE "
-            + sample_sql_predicate("event_id", 0.1)),
+        "pivot_wide": (
+            "SELECT o_orderpriority, "
+            + ", ".join(
+                "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
+                f"FILTER (WHERE o_orderstatus = '{s}') AS DOUBLE), 4) "
+                f"AS tot_{s}" for s in ("F", "O", "P"))
+            + " FROM orders GROUP BY o_orderpriority"),
+        "token_counts": (
+            "SELECT token, COUNT(*) AS n FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS token "
+            " FROM documents) GROUP BY 1 HAVING COUNT(*) >= 5"),
+        "q3_shipping_priority": (
+            "SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, "
+            "ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+            "AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue "
+            "FROM customer "
+            "JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            f"AND epoch_us(o_orderdate) < {_Q3_CUT_US} "
+            f"AND epoch_us(l_shipdate) > {_Q3_CUT_US} "
+            "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10"),
         "grouped_quantiles": (
             "SELECT lang, quantile_disc(LENGTH(text), 0.5) AS p50_chars, "
             "quantile_disc(LENGTH(text), 0.95) AS p95_chars, "
@@ -1302,8 +1436,6 @@ def oracle_sql() -> dict[str, str]:
             "len(string_split(text, ' ')) AS n_ws_tokens, "
             r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) "
             "AS n_bpe_tokens FROM documents"),
-        "doc_fingerprint": (
-            "SELECT doc_id, md5(text) AS fingerprint FROM documents"),
         "ann_topk": ("""
             -- DOUBLE[] cast: duckdb's list_cosine_similarity is float32 on
             -- FLOAT[] columns; the engine computes in float64 (numpy)

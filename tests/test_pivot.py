@@ -1,0 +1,75 @@
+"""pivot (long → wide conditional aggregation) vs DuckDB FILTER twins."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from saber_ray.sources.parquet import read_table
+from saber_ray.stages.pivot import distinct_values, pivot
+
+SF = "/root/testdata/sf0.001"
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("documents", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con.execute(sql).df()
+
+
+def test_pivot_count_vs_duckdb(ray_session):
+    docs = read_table(SF, "documents", columns=["source", "lang", "doc_id"])
+    langs = ["en", "es", "fr", "de"]
+    got = canon(pivot(docs, "source", "lang", "doc_id", agg="count",
+                      values=langs, prefix="n_").to_pandas())
+    want = canon(duck(
+        "SELECT source, "
+        + ", ".join(f"COUNT(doc_id) FILTER (WHERE lang = '{l}') AS n_{l}"
+                    for l in langs)
+        + " FROM documents GROUP BY source"))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pivot_sum_fixed_point_vs_duckdb(ray_session):
+    orders = read_table(SF, "orders",
+                        columns=["o_orderpriority", "o_orderstatus",
+                                 "o_totalprice"])
+    sts = ["F", "O", "P"]
+    got = canon(pivot(orders, "o_orderpriority", "o_orderstatus",
+                      "o_totalprice", agg="sum", values=sts, scale=2,
+                      round_decimals=4, prefix="tot_").to_pandas())
+    want = canon(duck(
+        "SELECT o_orderpriority, "
+        + ", ".join(
+            "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
+            f"FILTER (WHERE o_orderstatus = '{s}') AS DOUBLE), 4) AS tot_{s}"
+            for s in sts)
+        + " FROM orders GROUP BY o_orderpriority"))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pivot_discovers_values_and_null_pivot(ray_session):
+    t = pa.table({
+        "g": ["a", "a", "b", "b", "b"],
+        "p": pa.array(["x", None, "x", "y", "y"]),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, None]),
+    })
+    ds = rd.from_arrow(t)
+    assert distinct_values(ds, "p") == ["x", "y"]   # NULL never a category
+    got = canon(pivot(ds, "g", "p", "v", agg="sum").to_pandas())
+    want = pd.DataFrame({"g": ["a", "b"], "x": [1.0, 3.0], "y": [None, 4.0]})
+    pd.testing.assert_frame_equal(got, canon(want), check_dtype=False)
+
+    with pytest.raises(ValueError):
+        pivot(ds, "g", "p", "v", agg="median")
+    with pytest.raises(ValueError):
+        pivot(ds, "g", "p", "v", values=[])
+    with pytest.raises(ValueError):
+        pivot(ds, "g", "p", "v", values=["x", "x"])

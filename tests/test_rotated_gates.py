@@ -5,9 +5,23 @@ row, so the dict is capped at 50 — rotation must not weaken checks)."""
 import pytest
 
 import __ray_entry__ as entry_mod
+from saber_ray.stages.sample import sample_sql_predicate
 from tests.oracle_util import assert_matches_oracle
 
 ROTATED = {
+    "noop": (entry_mod._q_noop, "SELECT * FROM region"),
+    "string_ops": (
+        entry_mod._q_string_ops,
+        "SELECT doc_id, LOWER(text) AS lowered, LENGTH(text) AS n_chars "
+        "FROM documents WHERE text LIKE '%the%' "
+        r"AND regexp_matches(text, '\b[a-z]{6,}\b')"),
+    "hash_sample": (
+        entry_mod._q_hash_sample,
+        "SELECT event_id, event_type, value FROM events WHERE "
+        + sample_sql_predicate("event_id", 0.1)),
+    "doc_fingerprint": (
+        entry_mod._q_fingerprint,
+        "SELECT doc_id, md5(text) AS fingerprint FROM documents"),
     "row_window_global_tumbling": (
         entry_mod._q_row_window_global_tumbling,
         "WITH t AS (SELECT value, "
