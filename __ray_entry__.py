@@ -579,7 +579,7 @@ def _q_pivot_wide(sf):
                  round_decimals=4, prefix="tot_")
 
 
-_Q3_CUT_US = 897_696_000_000_000        # 1998-06-01 00:00:00 UTC in µs
+_Q3_CUT_US = 897_696_000_000_000        # 1998-06-13 00:00:00 UTC in µs
 
 
 def _q_q3_shipping(sf):

@@ -52,14 +52,12 @@ def distinct_values(ds, column: str, *, limit: int = 10_000) -> list:
                          zero_copy_batch=True).repartition(1) \
             .map_batches(per_block, batch_format="pyarrow",
                          zero_copy_batch=True)
-    vals = out.to_arrow_refs()
     import ray
-    tbl = pa.concat_tables(ray.get(vals), promote_options="default")
-    u = pc.unique(tbl[column].combine_chunks())
-    if len(u) > limit:
-        raise ValueError(f"{column!r} has {len(u)} distinct values "
-                         f"(> {limit}) — not a pivot column")
-    return sorted(v for v in u.to_pylist() if v is not None)
+    # the fan-in block is already unique and limit-checked (per_block ran
+    # on it last); the driver only collects and drops NULL
+    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()),
+                           promote_options="default")
+    return sorted(v for v in tbl[column].to_pylist() if v is not None)
 
 
 def pivot(ds, group_keys: Sequence[str] | str, pivot_col: str,
@@ -88,6 +86,13 @@ def pivot(ds, group_keys: Sequence[str] | str, pivot_col: str,
     out_names = [f"{prefix}{v}" for v in values]
     if len(set(out_names)) != len(out_names):
         raise ValueError(f"duplicate pivot column names: {out_names}")
+    clash = set(out_names) & set(group_keys)
+    if clash:
+        # FinalizeWindows writes aggregates into a {name: col} dict keyed
+        # by alias — a category named like a group key would silently
+        # REPLACE the key column with aggregate values
+        raise ValueError(f"pivot column names collide with group keys: "
+                         f"{sorted(clash)} — set prefix=")
 
     def mask(t: pa.Table) -> pa.Table:
         pv = t[pivot_col]
@@ -99,7 +104,8 @@ def pivot(ds, group_keys: Sequence[str] | str, pivot_col: str,
         cols, names = [t[k] for k in group_keys], list(group_keys)
         # synthetic constant event time: the all-time tumbling window puts
         # every row in window 0 — plain GROUP BY through the agg exchange
-        cols.append(pa.array([0] * t.num_rows, type=pa.int64()))
+        import numpy as np
+        cols.append(pa.array(np.zeros(t.num_rows, dtype=np.int64)))
         names.append("__pv_ts")
         for mc, v in zip(masked, values):
             # NULL-safe: pivot NULL never equals v, masked cell stays NULL

@@ -104,10 +104,9 @@ def _setop(left, right, op: str, *, distinct: bool,
         from saber_ray.stages.window_agg import _encode_null_keys
         enc, dec, sort_keys = _encode_null_keys(cols)
         kw = {"batch_format": "pyarrow", "zero_copy_batch": True}
-        l = left.map_batches(lambda t, c=cols: t.select(c), **kw) \
-                .map_batches(_partial_counts(_L, cols), **kw)
-        r = right.map_batches(lambda t, c=cols: t.select(c), **kw) \
-                 .map_batches(_partial_counts(_R, cols), **kw)
+        # _partial_counts selects `cols` itself — no separate project stage
+        l = left.map_batches(_partial_counts(_L, cols), **kw)
+        r = right.map_batches(_partial_counts(_R, cols), **kw)
         return l.union(r) \
             .map_batches(enc, **kw) \
             .sort(sort_keys) \

@@ -71,6 +71,11 @@ def unnest(ds, list_col: str, *, keep: Sequence[str] | None = None,
     def f(t: pa.Table) -> pa.Table:
         cols = list(keep) if keep is not None else \
             [c for c in t.column_names if c != list_col]
+        named = cols + [out or list_col] + ([ordinal] if ordinal else [])
+        if len(set(named)) != len(named):
+            # pa.Table.from_arrays accepts duplicate names silently —
+            # downstream column access would be ambiguous
+            raise ValueError(f"unnest output column collision: {named}")
         lc = t[list_col]
         if isinstance(lc, pa.ChunkedArray):
             lc = lc.combine_chunks()

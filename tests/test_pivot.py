@@ -73,3 +73,10 @@ def test_pivot_discovers_values_and_null_pivot(ray_session):
         pivot(ds, "g", "p", "v", values=[])
     with pytest.raises(ValueError):
         pivot(ds, "g", "p", "v", values=["x", "x"])
+    # a category named like a group key would silently REPLACE the key
+    # column with aggregate values — must fail loudly (prefix= avoids it)
+    with pytest.raises(ValueError):
+        pivot(ds, "g", "p", "v", values=["g", "x"])
+    got = canon(pivot(ds, "g", "p", "v", values=["g", "x"],
+                      prefix="c_").to_pandas())
+    assert set(got.columns) == {"g", "c_g", "c_x"}

@@ -71,6 +71,13 @@ def test_tokenize_regex_and_lower(ray_session):
     with pytest.raises(Exception):            # non-list column rejected
         unnest(rd.from_arrow(t), "text").materialize()
 
+    # output-name collision with a kept column must fail loudly (Arrow
+    # accepts duplicate names silently; access would be ambiguous)
+    t2 = pa.table({"id": [1], "xs": pa.array([["a"]],
+                                             type=pa.list_(pa.string()))})
+    with pytest.raises(Exception):
+        unnest(rd.from_arrow(t2), "xs", out="id").materialize()
+
 
 # ---------------------------------------------------------------------------
 # set operations
