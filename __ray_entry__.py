@@ -554,6 +554,75 @@ def _q_token_counts(sf):
     return selection(out.drop_columns(["window_id"]), col("n") >= 5)
 
 
+def _q_repetition(sf):
+    """Gopher-style repetition quality signals (duplicate-token fraction,
+    duplicate word-2-gram fraction, top-token fraction) — the standard
+    public pretraining repetition filters, per document, no shuffle."""
+    from saber_ray.stages.curation import repetition_stats
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    return repetition_stats(docs, "text", ngram=2).select_columns(
+        ["doc_id", "n_tokens", "dup_word_frac", "dup_ngram_frac",
+         "top_word_frac"])
+
+
+# the PII gate seeds documents with deterministic synthetic PII (the
+# corpus itself carries none); engine and oracle derive IDENTICAL seeded
+# text, so the redaction kernel is what the value hash checks
+_PII_SEED_SQL = (
+    "SELECT doc_id, COALESCE(text, '') || ' contact user' "
+    "|| CAST(doc_id AS VARCHAR) || '@mail.example.com' "
+    "|| CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' "
+    "|| CAST(doc_id % 250 AS VARCHAR) || '.7' ELSE '' END "
+    "|| CASE WHEN doc_id % 7 = 0 THEN ' ssn 987-65-4321' ELSE '' END "
+    "AS text FROM documents")
+
+
+def _q_pii_redact(sf):
+    """PII redaction (email/SSN/card/phone/IPv4, RE2 kernels) over the
+    seeded corpus; n_pii counts every redacted span."""
+    import numpy as np
+    import pandas as pd
+    from saber_ray.stages.curation import redact_pii
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"]
+        extra = (" contact user" + d.astype(str) + "@mail.example.com"
+                 + np.where(d % 3 == 0, " call 555-123-4567", "")
+                 + np.where(d % 5 == 0,
+                            " from 10.0." + (d % 250).astype(str) + ".7", "")
+                 + np.where(d % 7 == 0, " ssn 987-65-4321", ""))
+        out = df.copy()
+        out["text"] = out["text"].fillna("") + extra
+        return out
+
+    red = redact_pii(docs.map_batches(seed, batch_format="pandas"), "text")
+    return red.select_columns(["doc_id", "text_redacted", "n_pii"])
+
+
+def _q_decontaminate(sf):
+    """Benchmark-overlap decontamination: the 'test set' (doc_id % 17 == 0)
+    contributes its distinct word-3-gram shingles to a broadcast blocklist
+    (ray.put once, read once per actor); every document gets its
+    distinct-overlap count. No shuffle — the corpus streams through."""
+    import ray
+    import pyarrow as pa
+    from saber_ray.stages.curation import (build_shingle_blocklist,
+                                           decontaminate)
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+
+    def is_test(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 17 == 0))
+
+    test_set = docs.map_batches(is_test, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    bl = build_shingle_blocklist(test_set, "text", n=3)
+    out = decontaminate(docs, ray.put(bl), "text", n=3)
+    return out.select_columns(["doc_id", "n_contaminated", "contaminated"])
+
+
 def _q_set_except(sf):
     """EXCEPT: customers with a finished order but no open one — the SQL
     set operation through one combiner-reduced full-tuple exchange."""
@@ -997,7 +1066,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_join_keyless": _q_theta_join_keyless,
         "asof_join": _q_asof_join,
         "semi_join": _q_semi_join,
-        "anti_join": _q_anti_join,
         "full_outer_join": _q_full_outer_join,
         "cm1": _q_cm1,
         "streaming_cm1": _q_streaming_cm1,
@@ -1015,7 +1083,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "pricing_summary": _q_pricing_summary,
         "set_except": _q_set_except,
-        "topk": _q_topk,
         "pivot_wide": _q_pivot_wide,
         "curation_pipeline": _q_curation_pipeline,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -1023,8 +1090,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": _q_grouped_topk,
         "match_pattern": _q_match_pattern,
         "dedup_exact": _q_dedup_exact,
-        "token_stats": _q_token_stats,
         "q3_shipping_priority": _q_q3_shipping,
+        "repetition_stats": _q_repetition,
+        "pii_redact": _q_pii_redact,
+        "decontaminate": _q_decontaminate,
         "ann_topk": _q_ann_topk,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
@@ -1113,6 +1182,7 @@ def _lang_id_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from saber_ray.stages.curation import pii_oracle_sql
     from saber_ray.stages.sample import sample_sql_predicate
     return {
         "lang_id": _lang_id_sql(),
@@ -1233,10 +1303,6 @@ def oracle_sql() -> dict[str, str]:
         "semi_join": (
             "SELECT c_custkey, c_mktsegment FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders)"),
-        "anti_join": (
-            "SELECT c_custkey, c_mktsegment FROM customer "
-            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
-            "WHERE o_orderpriority = '1-URGENT')"),
         "full_outer_join": (
             "SELECT c.c_custkey, c.c_mktsegment, o.o_custkey, o.o_orderkey, "
             "o.o_orderpriority FROM "
@@ -1361,8 +1427,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
             "EXCEPT "
             "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"),
-        "topk": ("SELECT event_id, value FROM events "
-                 "ORDER BY value DESC, event_id LIMIT 10"),
         "pivot_wide": (
             "SELECT o_orderpriority, "
             + ", ".join(
@@ -1431,11 +1495,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.text, d.lang FROM documents d "
             "JOIN (SELECT text, MIN(doc_id) AS doc_id FROM documents "
             "GROUP BY text) k ON d.doc_id = k.doc_id"),
-        "token_stats": (
-            "SELECT doc_id, LENGTH(text) AS n_chars, "
-            "len(string_split(text, ' ')) AS n_ws_tokens, "
-            r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) "
-            "AS n_bpe_tokens FROM documents"),
+        "repetition_stats": (
+            "WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') "
+            "AS w FROM documents), "
+            "c AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd, "
+            "CASE WHEN len(w) >= 2 THEN list_transform("
+            "generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]) "
+            "ELSE []::VARCHAR[] END AS g FROM t), "
+            "tp AS (SELECT doc_id, MAX(cnt) AS mx FROM "
+            "(SELECT doc_id, u, COUNT(*) AS cnt FROM "
+            "(SELECT doc_id, unnest(w) AS u FROM t) GROUP BY doc_id, u) "
+            "GROUP BY doc_id) "
+            "SELECT c.doc_id, CAST(c.n AS BIGINT) AS n_tokens, "
+            "ROUND((c.n - c.nd) / CAST(c.n AS DOUBLE), 6) AS dup_word_frac, "
+            "ROUND((len(g) - len(list_distinct(g))) "
+            "/ CAST(GREATEST(len(g), 1) AS DOUBLE), 6) AS dup_ngram_frac, "
+            "ROUND(tp.mx / CAST(c.n AS DOUBLE), 6) AS top_word_frac "
+            "FROM c JOIN tp USING (doc_id)"),
+        "pii_redact": pii_oracle_sql(_PII_SEED_SQL),
+        "decontaminate": (
+            "WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') "
+            "AS w FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_transform("
+            "generate_series(1, len(w) - 2), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) "
+            "ELSE []::VARCHAR[] END AS sh FROM t), "
+            "bl AS (SELECT DISTINCT unnest(sh) AS s FROM g "
+            "WHERE doc_id % 17 = 0), "
+            "hits AS (SELECT doc_id, COUNT(DISTINCT s) AS n FROM "
+            "(SELECT doc_id, unnest(sh) AS s FROM g) x JOIN bl USING (s) "
+            "GROUP BY doc_id) "
+            "SELECT t.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) "
+            "AS n_contaminated, COALESCE(h.n, 0) > 0 AS contaminated "
+            "FROM t LEFT JOIN hits h USING (doc_id)"),
         "ann_topk": ("""
             -- DOUBLE[] cast: duckdb's list_cosine_similarity is float32 on
             -- FLOAT[] columns; the engine computes in float64 (numpy)

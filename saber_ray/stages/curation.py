@@ -1,0 +1,297 @@
+"""Corpus-curation stages for large-scale training-data pipelines.
+
+Scale extensions beyond the reference (whose type system has no strings —
+TupleSchema.java:5-8), following the repo's stage discipline: vectorized
+map_batches, broadcast small sides via ``ray.put``, no per-row Python in
+hot paths.
+
+- repetition_stats — Gopher-style repetition quality signals (Rae et al.
+  2021, public): duplicate-token fraction, duplicate word-n-gram fraction,
+  top-token fraction, per document.
+- redact_pii      — regex PII redaction (email / SSN / card / phone /
+  IPv4) with per-doc redaction counts; pure ``pyarrow.compute`` RE2
+  kernels, patterns shared verbatim with the DuckDB oracle twin.
+- decontaminate   — test-set decontamination: flag documents whose word
+  n-gram shingles intersect a broadcast blocklist (the standard
+  benchmark-overlap filter). The blocklist is the SMALL side (a test set)
+  and ships once via ``ray.put``; membership is tested once per UNIQUE
+  shingle per batch, not per occurrence.
+
+Tokenization twin: tokens = ``split(' ')`` INCLUDING empty strings, the
+exact mirror of DuckDB ``string_split(text, ' ')`` (and of
+``token_stats``'s ``n_ws_tokens`` convention), so every stat here is
+value-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from saber_ray.core.aggregates import round_oracle_np
+
+__all__ = ["repetition_stats", "redact_pii", "decontaminate",
+           "build_shingle_blocklist", "PII_PATTERNS"]
+
+
+# ---------------------------------------------------------------------------
+# shared token machinery (one C-level split + explode; zero per-row Python)
+# ---------------------------------------------------------------------------
+
+def _split_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(flat token array, owner row index per token) via one split+explode.
+
+    ``''.split(' ') == ['']`` — empty/NULL text yields ONE empty token,
+    exactly like DuckDB ``string_split('', ' ')``, so every row owns >= 1
+    token and per-row bincounts never divide by zero.
+    """
+    words = texts.fillna("").str.split(" ")
+    flat = words.explode()
+    return (flat.to_numpy(dtype=object),
+            flat.index.to_numpy(dtype=np.int64))
+
+
+def _gram_codes(codes: np.ndarray, owners: np.ndarray, k: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Integer codes for word k-grams over factorized tokens.
+
+    Iteratively combines (gram-so-far, next token) pairs and re-encodes
+    through ``np.unique`` so intermediate keys never overflow int64: after
+    each step codes are dense in [0, #unique). Returns (gram code per
+    valid gram, starting position of each valid gram); a gram is valid
+    when all k tokens share one owner row.
+    """
+    gc = codes.astype(np.int64)
+    valid = np.ones(len(codes), dtype=bool)
+    for s in range(1, k):
+        nxt = codes[s:].astype(np.int64)
+        gc = gc[: len(nxt)]
+        valid = valid[: len(nxt)] & (owners[: len(nxt)] == owners[s:])
+        if len(nxt) == 0:
+            break
+        key = gc * (int(nxt.max()) + 1) + nxt
+        _, gc = np.unique(key, return_inverse=True)
+        gc = gc.astype(np.int64)
+    pos = np.flatnonzero(valid[: len(gc)])
+    return gc[pos], pos
+
+
+def _distinct_per_owner(owners: np.ndarray, codes: np.ndarray, n_rows: int,
+                        n_codes: int) -> np.ndarray:
+    """#distinct codes per owner row via ONE np.unique over packed keys."""
+    if len(owners) == 0:
+        return np.zeros(n_rows, dtype=np.int64)
+    u = np.unique(owners * np.int64(max(n_codes, 1)) + codes)
+    return np.bincount((u // max(n_codes, 1)).astype(np.int64),
+                       minlength=n_rows)
+
+
+# ---------------------------------------------------------------------------
+# repetition stats (Gopher repetition filters)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(ds, text_col: str = "text", *, ngram: int = 2,
+                     decimals: int = 6):
+    """Append per-document repetition signals:
+
+    - ``n_tokens``       — token count (split-on-space convention)
+    - ``dup_word_frac``  — (n_tokens - n_distinct_tokens) / n_tokens
+    - ``dup_ngram_frac`` — duplicate word-``ngram``-gram fraction
+    - ``top_word_frac``  — most-frequent-token count / n_tokens
+
+    All fractions are float64 divisions of exact integer counts, rounded
+    with the oracle-parity ROUND — bit-exact against the DuckDB twin.
+    Entirely C-level per batch: one split+explode, one factorize, three
+    ``np.unique`` passes. Embarrassingly parallel (no shuffle).
+    """
+    if ngram < 2:
+        raise ValueError("ngram must be >= 2")
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[text_col].reset_index(drop=True)
+        flat, owners = _split_tokens(t)
+        codes, uniq = pd.factorize(flat)
+        codes = codes.astype(np.int64)
+        n_rows, vocab = len(t), len(uniq)
+        n = np.bincount(owners, minlength=n_rows)          # >= 1 per row
+        nd = _distinct_per_owner(owners, codes, n_rows, vocab)
+        # top token count per row: counts of unique (owner, token) pairs
+        pair = owners * np.int64(max(vocab, 1)) + codes
+        upair, ucnt = np.unique(pair, return_counts=True)
+        top = np.zeros(n_rows, dtype=np.int64)
+        np.maximum.at(top, (upair // max(vocab, 1)).astype(np.int64), ucnt)
+        # k-gram duplicates
+        gcodes, gpos = _gram_codes(codes, owners, ngram)
+        gown = owners[gpos]
+        gtot = np.bincount(gown, minlength=n_rows)
+        gnd = _distinct_per_owner(gown, gcodes, n_rows,
+                                  int(gcodes.max()) + 1 if len(gcodes) else 1)
+        nf = n.astype(np.float64)
+        df = df.copy()
+        df["n_tokens"] = n
+        df["dup_word_frac"] = round_oracle_np((n - nd) / nf, decimals)
+        df["dup_ngram_frac"] = round_oracle_np(
+            (gtot - gnd) / np.maximum(gtot, 1).astype(np.float64), decimals)
+        df["top_word_frac"] = round_oracle_np(top / nf, decimals)
+        return df
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# (name, RE2 pattern, replacement) — ORDER MATTERS (applied sequentially;
+# the oracle twin nests regexp_replace in the same order). RE2 syntax on
+# both sides: pyarrow's re2 kernels and DuckDB's regexp_* are both RE2.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CARD>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(ds, text_col: str = "text", *, out: str = "text_redacted",
+               patterns: Optional[list[tuple[str, str, str]]] = None):
+    """Redact PII spans and append the total match count per document.
+
+    Pure ``pyarrow.compute`` RE2 kernels (count_substring_regex +
+    replace_substring_regex), zero-copy batches, NULL text stays NULL
+    (regexp parity with SQL). Counts are taken on the text state BEFORE
+    each pattern's replacement — sequential semantics, mirrored by the
+    oracle's CTE chain. Embarrassingly parallel.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+
+    def f(t: pa.Table) -> pa.Table:
+        cur = t[text_col]
+        total = None
+        for _name, pat, tok in pats:
+            c = pc.count_substring_regex(cur, pat)
+            total = c if total is None else pc.add(total, c)
+            cur = pc.replace_substring_regex(cur, pattern=pat,
+                                             replacement=tok)
+        t = t.append_column(out, cur)
+        return t.append_column("n_pii", pc.cast(
+            pc.fill_null(total, 0), pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pii_oracle_sql(source_sql: str, text_col: str = "text",
+                   *, key_cols: str = "doc_id",
+                   out: str = "text_redacted") -> str:
+    """DuckDB twin of :func:`redact_pii` built from the SAME pattern
+    literals — a CTE chain of len(regexp_extract_all) + regexp_replace
+    per pattern, counts summed across stages."""
+    sql = f"WITH s0 AS ({source_sql})"
+    prev, counts = "s0", []
+    for i, (_name, pat, tok) in enumerate(PII_PATTERNS, start=1):
+        counts.append(f"c{i}")
+        sql += (
+            f", s{i} AS (SELECT * EXCLUDE ({text_col}), "
+            f"len(regexp_extract_all({text_col}, '{pat}')) AS c{i}, "
+            f"regexp_replace({text_col}, '{pat}', '{tok}', 'g') "
+            f"AS {text_col} FROM {prev})")
+        prev = f"s{i}"
+    total = " + ".join(f"COALESCE({c}, 0)" for c in counts)
+    return (f"{sql} SELECT {key_cols}, {text_col} AS {out}, "
+            f"CAST({total} AS BIGINT) AS n_pii FROM {prev}")
+
+
+# ---------------------------------------------------------------------------
+# test-set decontamination
+# ---------------------------------------------------------------------------
+
+def build_shingle_blocklist(ds, text_col: str = "text", *, n: int = 3
+                            ) -> frozenset:
+    """Distinct word-``n``-gram shingles of a TEST SET, as a frozenset of
+    space-joined strings ready to ``ray.put``.
+
+    Per-block kernel emits each block's distinct shingles only; the
+    driver unions them. The test set is the small side by definition
+    (benchmark suites are MBs, not TBs) — the corpus being decontaminated
+    never materializes.
+    """
+    def shingles(df: pd.DataFrame) -> pd.DataFrame:
+        flat, owners = _split_tokens(df[text_col].reset_index(drop=True))
+        codes, _ = pd.factorize(flat)
+        gcodes, gpos = _gram_codes(codes.astype(np.int64), owners, n)
+        if len(gcodes) == 0:
+            return pd.DataFrame({"shingle": pd.Series([], dtype=object)})
+        _, first = np.unique(gcodes, return_index=True)
+        upos = gpos[first]
+        s = flat[upos]
+        for step in range(1, n):
+            s = s + " " + flat[upos + step]
+        return pd.DataFrame({"shingle": s})
+
+    out = set()
+    for b in ds.map_batches(shingles, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        out.update(b["shingle"].tolist())
+    return frozenset(out)
+
+
+class _Decontaminator:
+    """Actor-pool stage: per-batch distinct-shingle overlap vs a broadcast
+    blocklist. ``ray.get`` of the blocklist once per actor (__init__),
+    membership tested once per UNIQUE shingle per batch (shingle strings
+    are only BUILT for unique gram codes — first-occurrence positions)."""
+
+    def __init__(self, blocklist_ref, text_col: str, n: int):
+        self.bl = (ray.get(blocklist_ref)
+                   if isinstance(blocklist_ref, ray.ObjectRef)
+                   else blocklist_ref)
+        self.text_col, self.n = text_col, n
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        t = df[self.text_col].reset_index(drop=True)
+        flat, owners = _split_tokens(t)
+        codes, _ = pd.factorize(flat)
+        gcodes, gpos = _gram_codes(codes.astype(np.int64), owners, self.n)
+        n_rows = len(t)
+        n_cont = np.zeros(n_rows, dtype=np.int64)
+        if len(gcodes):
+            u, first, inv = np.unique(gcodes, return_index=True,
+                                      return_inverse=True)
+            upos = gpos[first]
+            s = flat[upos]
+            for step in range(1, self.n):
+                s = s + " " + flat[upos + step]
+            memb = pd.Series(s).isin(self.bl).to_numpy(dtype=bool)
+            hit = memb[inv]
+            gown = owners[gpos]
+            # distinct contaminated shingles per row
+            pair = np.unique(gown[hit] * np.int64(len(u)) + inv[hit])
+            n_cont = np.bincount((pair // len(u)).astype(np.int64),
+                                 minlength=n_rows)
+        df = df.copy()
+        df["n_contaminated"] = n_cont
+        df["contaminated"] = n_cont > 0
+        return df
+
+
+def decontaminate(ds, blocklist, text_col: str = "text", *, n: int = 3,
+                  concurrency=(1, 4)):
+    """Append ``n_contaminated`` (#distinct shingles shared with the
+    blocklist) and ``contaminated`` per document.
+
+    ``blocklist`` is a frozenset or an ObjectRef to one (``ray.put`` it
+    once for cluster-wide reuse — it is read once per ACTOR, not per
+    batch). No shuffle; the corpus streams through.
+    """
+    return ds.map_batches(
+        _Decontaminator, batch_format="pandas", concurrency=concurrency,
+        num_cpus=0.5,
+        fn_constructor_kwargs={"blocklist_ref": blocklist,
+                               "text_col": text_col, "n": n})

@@ -1,0 +1,119 @@
+"""Unit tests for the corpus-curation stages (stages/curation.py):
+repetition stats, PII redaction, decontamination — each vs a brute-force
+pure-Python reference over randomized documents with NULLs, empties and
+heavy token repetition, across several partitionings."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from saber_ray.stages.curation import (PII_PATTERNS, build_shingle_blocklist,
+                                       decontaminate, redact_pii,
+                                       repetition_stats)
+
+VOCAB = ["a", "bb", "ccc", "dd", "e", ""]
+
+
+def _docs(rng, n):
+    texts = []
+    for _ in range(n):
+        k = int(rng.integers(0, 8))
+        texts.append(None if rng.random() < 0.15
+                     else " ".join(rng.choice(VOCAB, k)) if k else "")
+    return pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def _toks(s):
+    return (s or "").split(" ")
+
+
+def _grams(ws, k):
+    return [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+
+
+@pytest.mark.parametrize("seed,parts,k", [(0, 1, 2), (1, 3, 2), (2, 2, 3),
+                                          (3, 4, 4)])
+def test_repetition_stats_vs_reference(ray_session, seed, parts, k):
+    rng = np.random.default_rng(seed)
+    t = _docs(rng, 30)
+    got = (repetition_stats(rd.from_arrow(t).repartition(parts), "text",
+                            ngram=k)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, s in enumerate(t["text"].to_pylist()):
+        ws = _toks(s)
+        n = len(ws)
+        g = _grams(ws, k)
+        assert got.loc[i, "n_tokens"] == n
+        # engine output is ROUND(x, 6) — allow the half-ulp of that grid
+        assert got.loc[i, "dup_word_frac"] == pytest.approx(
+            (n - len(set(ws))) / n, abs=5.001e-7)
+        assert got.loc[i, "dup_ngram_frac"] == pytest.approx(
+            (len(g) - len(set(g))) / max(len(g), 1), abs=5.001e-7)
+        assert got.loc[i, "top_word_frac"] == pytest.approx(
+            max(ws.count(w) for w in set(ws)) / n, abs=5.001e-7)
+
+
+def test_redact_pii_fixed_cases(ray_session):
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "mail a@b.io and c.d+e@sub.ex.org",
+            "ssn 123-45-6789 card 1111 2222 3333 4444",
+            "ph 555-123-4567 or 555.123.4567 ip 192.168.1.254",
+            None,
+            "clean text no pii 123 456",
+        ], pa.string()),
+    })
+    got = (redact_pii(rd.from_arrow(t).repartition(2), "text")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["text_redacted"].tolist() == [
+        "mail <EMAIL> and <EMAIL>",
+        "ssn <SSN> card <CARD>",
+        "ph <PHONE> or <PHONE> ip <IP>",
+        None,
+        "clean text no pii 123 456",
+    ]
+    assert got["n_pii"].tolist() == [2, 2, 3, 0, 0]
+
+
+def test_redact_pii_patterns_are_re2_safe():
+    """Every shipped pattern must compile under stdlib re (a superset of
+    RE2 syntax used here) and contain no RE2-unsupported constructs."""
+    import re
+    for _name, pat, _tok in PII_PATTERNS:
+        re.compile(pat)
+        assert "(?<" not in pat and "(?=" not in pat and "(?!" not in pat
+
+
+@pytest.mark.parametrize("seed,parts", [(0, 1), (1, 3)])
+def test_decontaminate_vs_reference(ray_session, seed, parts):
+    rng = np.random.default_rng(seed)
+    t = _docs(rng, 40)
+    texts = t["text"].to_pylist()
+    k = 3
+    bl_docs = [s for i, s in enumerate(texts) if i % 5 == 0]
+    want_bl = set()
+    for s in bl_docs:
+        want_bl.update(_grams(_toks(s), k))
+
+    bl_t = pa.table({"text": pa.array(bl_docs, pa.string())})
+    bl = build_shingle_blocklist(rd.from_arrow(bl_t).repartition(2),
+                                 "text", n=k)
+    assert set(bl) == want_bl
+
+    got = (decontaminate(rd.from_arrow(t).repartition(parts), bl, "text",
+                         n=k)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, s in enumerate(texts):
+        sh = set(_grams(_toks(s), k))
+        assert got.loc[i, "n_contaminated"] == len(sh & want_bl), i
+        assert bool(got.loc[i, "contaminated"]) == bool(sh & want_bl)
+
+
+def test_repetition_stats_rejects_unigram():
+    with pytest.raises(ValueError):
+        repetition_stats(None, "text", ngram=1)

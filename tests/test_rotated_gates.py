@@ -37,6 +37,21 @@ ROTATED = {
     "distinct_count": (
         entry_mod._q_distinct,
         "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1"),
+    "topk": (
+        entry_mod._q_topk,
+        "SELECT event_id, value FROM events "
+        "ORDER BY value DESC, event_id LIMIT 10"),
+    "anti_join": (
+        entry_mod._q_anti_join,
+        "SELECT c_custkey, c_mktsegment FROM customer "
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+        "WHERE o_orderpriority = '1-URGENT')"),
+    "token_stats": (
+        entry_mod._q_token_stats,
+        "SELECT doc_id, LENGTH(text) AS n_chars, "
+        "len(string_split(text, ' ')) AS n_ws_tokens, "
+        r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) "
+        "AS n_bpe_tokens FROM documents"),
     "rank_window": (
         entry_mod._q_rank_window,
         "SELECT user_id, event_type, event_id, RANK() OVER w AS rk, "
