@@ -623,6 +623,22 @@ def _q_decontaminate(sf):
     return out.select_columns(["doc_id", "n_contaminated", "contaminated"])
 
 
+def _q_rollup_agg(sf):
+    """SQL ROLLUP over two dimensions — grouping-set partials replicated
+    per set inside map_batches (combiner-reduced), ONE sort exchange on
+    (grouping_id, keys), associative merge + fixed-point finalize."""
+    from saber_ray.core.aggregates import avg, cnt, sum_
+    from saber_ray.stages.grouping import grouping_sets, rollup
+    ds = read_table(sf, "orders",
+                    columns=["o_orderstatus", "o_orderpriority",
+                             "o_totalprice"])
+    return grouping_sets(
+        ds, rollup("o_orderstatus", "o_orderpriority"),
+        [cnt(alias="n"), sum_("o_totalprice", alias="sum_total", scale=2),
+         avg("o_totalprice", alias="avg_total", scale=2)],
+        round_decimals=6)
+
+
 def _q_set_except(sf):
     """EXCEPT: customers with a finished order but no open one — the SQL
     set operation through one combiner-reduced full-tuple exchange."""
@@ -768,6 +784,21 @@ def _q_ann_lsh(sf):
     q = np.asarray([t["embedding"][0].as_py()], dtype=np.float64)
     emb = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
     return ann_topk_lsh(emb, q, k=10, dim=q.shape[1], nbits=4, probe_hamming=2)
+
+
+def _q_ann_ivf(sf):
+    """IVF ANN: coarse spherical-k-means quantizer trained on a streamed
+    sample, centroids broadcast once, per-batch assign + nprobe-list
+    scoring (see stages/similarity.ann_topk_ivf)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from saber_ray.stages.similarity import ann_topk_ivf
+    t = pq.read_table(os.path.join(sf, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    q = np.asarray([t["embedding"][0].as_py()], dtype=np.float64)
+    emb = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    return ann_topk_ivf(emb, q, k=10, nlist=16, nprobe=6)
 
 
 def _q_transcripts_identity(sf):
@@ -1065,8 +1096,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_theta_join": _q_windowed_join,
         "theta_join_keyless": _q_theta_join_keyless,
         "asof_join": _q_asof_join,
-        "semi_join": _q_semi_join,
         "full_outer_join": _q_full_outer_join,
+        "rollup_agg": _q_rollup_agg,
         "cm1": _q_cm1,
         "streaming_cm1": _q_streaming_cm1,
         "streaming_windowed_join": _q_streaming_join,
@@ -1116,6 +1147,7 @@ def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": _q_minhash_clusters,
         "simhash_fingerprint": _q_simhash,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_ivf": _q_ann_ivf,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     }
 
@@ -1300,9 +1332,15 @@ def oracle_sql() -> dict[str, str]:
             "AND p.event_type = 'purchase' AND c.event_type = 'click' "
             f"AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {6 * HOUR} "
             f"AND epoch_us(p.ts) + {6 * HOUR}"),
-        "semi_join": (
-            "SELECT c_custkey, c_mktsegment FROM customer "
-            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"),
+        "rollup_agg": (
+            "SELECT o_orderstatus, o_orderpriority, "
+            "GROUPING(o_orderstatus, o_orderpriority) AS grouping_id, "
+            "COUNT(*) AS n, "
+            "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
+            "AS DOUBLE), 6) AS sum_total, "
+            "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
+            "AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_total "
+            "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"),
         "full_outer_join": (
             "SELECT c.c_custkey, c.c_mktsegment, o.o_custkey, o.o_orderkey, "
             "o.o_orderpriority FROM "

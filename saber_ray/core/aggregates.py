@@ -225,23 +225,26 @@ def group_by_null_safe(tbl: pa.Table, keys: Sequence[str], spec,
     pair determines the original key exactly.
     """
     enc_keys: list[str] = []
-    added: list[tuple[str, str]] = []
+    added: list[tuple[str, str, str]] = []
     for k in keys:
         col = tbl[k]
         if col.null_count:
-            nn = f"__nnk_{k}"
+            # encode under TEMP names: a key may also be an aggregate
+            # source (e.g. MIN(b) GROUP BY ROLLUP(a, b)) — overwriting k
+            # in place would feed the null-fill default into the aggregate
+            nn, fk = f"__nnk_{k}", f"__fk_{k}"
             tbl = tbl.append_column(nn, pc.cast(pc.is_valid(col), pa.int64()))
-            idx = tbl.column_names.index(k)
-            tbl = tbl.set_column(idx, k, pc.fill_null(col, null_fill_scalar(col.type)))
-            enc_keys.extend([nn, k])
-            added.append((k, nn))
+            tbl = tbl.append_column(fk, pc.fill_null(
+                col, null_fill_scalar(col.type)))
+            enc_keys.extend([nn, fk])
+            added.append((k, nn, fk))
         else:
             enc_keys.append(k)
     out = tbl.group_by(enc_keys, use_threads=use_threads).aggregate(spec)
-    for k, nn in added:
+    for k, nn, fk in added:
         valid = compact_array(pc.equal(out[nn], pa.scalar(1, pa.int64())))
-        col = compact_array(out[k])
-        idx = out.column_names.index(k)
+        col = compact_array(out[fk])
+        idx = out.column_names.index(fk)
         out = out.set_column(idx, k, pc.if_else(valid, col,
                                                 pa.scalar(None, col.type)))
         out = out.drop_columns([nn])

@@ -41,6 +41,10 @@ ROTATED = {
         entry_mod._q_topk,
         "SELECT event_id, value FROM events "
         "ORDER BY value DESC, event_id LIMIT 10"),
+    "semi_join": (
+        entry_mod._q_semi_join,
+        "SELECT c_custkey, c_mktsegment FROM customer "
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders)"),
     "anti_join": (
         entry_mod._q_anti_join,
         "SELECT c_custkey, c_mktsegment FROM customer "
