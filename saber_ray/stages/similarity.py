@@ -382,3 +382,104 @@ def ann_topk_lsh(emb_ds, queries: np.ndarray, k: int = 10, *, dim: int,
                                    probe_hamming=probe_hamming))
     return partials.groupby("query_id").map_groups(
         _topk_merge(k, id_col, round_decimals), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the learned-partition scale path
+# ---------------------------------------------------------------------------
+
+def _kmeans_spherical(x: np.ndarray, nlist: int, *, iters: int = 10,
+                      seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd, cosine assignment) on a
+    normalized sample — the IVF coarse quantizer. Pure numpy; empty
+    clusters keep their previous centroid."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(np.asarray(x, dtype=np.float64))
+    nlist = min(nlist, len(x))
+    c = x[rng.choice(len(x), size=nlist, replace=False)].copy()
+    for _ in range(iters):
+        a = (x @ c.T).argmax(axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, a, x)
+        counts = np.bincount(a, minlength=nlist)
+        newc = sums / np.maximum(counts, 1)[:, None]
+        newc[counts == 0] = c[counts == 0]
+        c = _normalize(newc)
+    return c
+
+
+class _IvfScorer:
+    """Score only vectors whose nearest centroid is among a query's
+    ``nprobe`` closest lists — same shape as _LshScorer with learned
+    partitions instead of random hyperplanes."""
+
+    def __init__(self, q_ref, cent_ref, k, nprobe, id_col, emb_col):
+        self.q = _normalize(np.asarray(ray.get(q_ref), dtype=np.float64))
+        self.c = ray.get(cent_ref)                    # (nlist, d)
+        self.k, self.id_col, self.emb_col = k, id_col, emb_col
+        nprobe = min(nprobe, self.c.shape[0])
+        qc = self.q @ self.c.T                        # (q, nlist)
+        self.probes = np.argpartition(-qc, nprobe - 1,
+                                      axis=1)[:, :nprobe]
+
+    def __call__(self, t):
+        import pyarrow as pa
+        schema = _pairs_schema(self.id_col)
+        if t.num_rows == 0:
+            return schema.empty_table()
+        x = _normalize(_emb_matrix(t, self.emb_col))
+        ids = _col_np(t, self.id_col)
+        assign = (x @ self.c.T).argmax(axis=1)        # IVF list per vector
+        out_q, out_id, out_s = [], [], []
+        for qi in range(self.q.shape[0]):             # queries, never rows
+            mask = np.isin(assign, self.probes[qi])
+            if not mask.any():
+                continue
+            scores = x[mask] @ self.q[qi]
+            k = min(self.k, len(scores))
+            sel = np.argpartition(-scores, k - 1)[:k]
+            out_q.append(np.full(k, qi, dtype=np.int64))
+            out_id.append(ids[mask][sel])
+            out_s.append(scores[sel])
+        if not out_q:
+            return schema.empty_table()
+        return pa.table({"query_id": np.concatenate(out_q),
+                         self.id_col: np.concatenate(out_id),
+                         "score": np.concatenate(out_s)}, schema=schema)
+
+
+def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, *,
+                 nlist: int = 16, nprobe: int = 4, train_size: int = 20_000,
+                 iters: int = 10, seed: int = 42, id_col: str = "vec_id",
+                 emb_col: str = "embedding",
+                 round_decimals: Optional[int] = 6, concurrency=(1, 4)):
+    """Approximate cosine top-k via an IVF index (coarse k-means
+    quantizer + per-query nprobe list probing).
+
+    Train: the quantizer fits on the FIRST ``train_size`` rows streamed to
+    the driver (deterministic, one early-stopped pass — the corpus never
+    materializes); size ``nlist`` ~ sqrt(corpus) at scale. Search: the
+    (nlist × d) centroid matrix broadcasts once via ``ray.put``; each batch
+    assigns its vectors with one matmul-argmax and scores only the
+    ~nprobe/nlist fraction a query probes. Same q×k-rows-per-batch fan-in
+    as the brute/LSH paths. Recall/work trade is nprobe/nlist (pytest
+    asserts recall ≥ 0.9 vs brute force on the gate corpus).
+    """
+    chunks, total = [], 0
+    for b in emb_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        chunks.append(_emb_matrix(b, emb_col))
+        total += len(chunks[-1])
+        if total >= train_size:
+            break
+    train = np.concatenate(chunks)[:train_size]
+    cents = _kmeans_spherical(train, nlist, iters=iters, seed=seed)
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    c_ref = ray.put(cents)
+    partials = emb_ds.map_batches(
+        _IvfScorer, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, num_cpus=0.5,
+        fn_constructor_kwargs=dict(q_ref=q_ref, cent_ref=c_ref, k=k,
+                                   nprobe=nprobe, id_col=id_col,
+                                   emb_col=emb_col))
+    return partials.groupby("query_id").map_groups(
+        _topk_merge(k, id_col, round_decimals), batch_format="pandas")

@@ -110,3 +110,40 @@ def test_embedding_near_dup_lsh_planted(ray_session):
     assert len(exact_set) >= 40
     assert lsh_set <= exact_set
     assert len(lsh_set) / len(exact_set) >= 0.9
+
+
+def test_ivf_recall_against_bruteforce(ray_session, sf_dir):
+    """IVF with nprobe covering most lists must recover >= 0.9 of the
+    exact top-10 per query, and be deterministic. (The synthetic corpus
+    is near-uniform on the sphere — IVF's worst case, recall tracks
+    nprobe/nlist — so queries are corpus vectors and nprobe is high; the
+    exactness guarantee is the full-probe test below.)"""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = to_pandas(read_table(sf_dir, "embeddings"))
+    qs = np.stack(df["embedding"].iloc[[0, 7, 19]].to_numpy())
+    from saber_ray.stages.similarity import ann_topk_ivf
+    exact = to_pandas(ann_topk_bruteforce(emb, qs, k=10))
+    approx = to_pandas(ann_topk_ivf(emb, qs, k=10, nlist=16, nprobe=12))
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / max(1, len(e)))
+    assert np.mean(recalls) >= 0.9, f"IVF recall too low: {recalls}"
+    again = to_pandas(ann_topk_ivf(emb, qs, k=10, nlist=16, nprobe=12))
+    key = ["query_id", "rank"]
+    assert approx.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True))
+
+
+def test_ivf_full_probe_equals_bruteforce(ray_session, sf_dir):
+    """nprobe == nlist degrades IVF to exact search — results must equal
+    brute force bit-for-bit (same tie policy)."""
+    from saber_ray.stages.similarity import ann_topk_ivf
+    q = _query_vec(sf_dir)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact = to_pandas(ann_topk_bruteforce(emb, q, k=10))
+    full = to_pandas(ann_topk_ivf(emb, q, k=10, nlist=8, nprobe=8))
+    key = ["query_id", "rank"]
+    assert exact.sort_values(key).reset_index(drop=True).equals(
+        full.sort_values(key).reset_index(drop=True))
