@@ -463,10 +463,11 @@ def _q_distinct(sf):
 
 
 def _q_rolling_window(sf):
-    """Per-conversation rolling RANGE frame (last 30 min of turns): SQL
-    `agg OVER (PARTITION BY conv_id ORDER BY ts RANGE BETWEEN 30min
-    PRECEDING AND CURRENT ROW)` — one sort exchange, per-block segmented
-    binary search + prefix sums + sparse-table min/max (stages/rolling)."""
+    """Per-conversation rolling RANGE frame (30 min back, 10 min ahead):
+    SQL `agg OVER (PARTITION BY conv_id ORDER BY ts RANGE BETWEEN 30min
+    PRECEDING AND 10min FOLLOWING)` — one sort exchange, per-block
+    segmented binary search + prefix sums + sparse-table min/max
+    (stages/rolling; FOLLOWING bound exercises the two-sided frame)."""
     import pyarrow.compute as pc
     from saber_ray.stages.rolling import rolling_agg
 
@@ -477,6 +478,7 @@ def _q_rolling_window(sf):
         add_len, batch_format="pyarrow", zero_copy_batch=True)
     return rolling_agg(
         ts, "conv_id", "ts", "n_chars", range_preceding=30 * MINUTE,
+        range_following=10 * MINUTE,
         aggs={"roll_chars": "sum", "roll_avg": "avg", "roll_n": "count",
               "roll_min": "min", "roll_max": "max"})
 
@@ -1297,7 +1299,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT conv_id, ts, length(text) AS n_chars "
             "      FROM transcripts) "
             "WINDOW w AS (PARTITION BY conv_id ORDER BY epoch_us(ts) "
-            f"RANGE BETWEEN {30 * MINUTE} PRECEDING AND CURRENT ROW)"),
+            f"RANGE BETWEEN {30 * MINUTE} PRECEDING "
+            f"AND {10 * MINUTE} FOLLOWING)"),
         "row_window_agg": _tx(
             "SELECT conv_id, CAST(turn_idx // 4 AS BIGINT) AS window_id, "
             "COUNT(*) AS n_turns FROM transcripts GROUP BY 1, 2"),

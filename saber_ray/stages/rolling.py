@@ -70,14 +70,23 @@ def rolling_agg(
     col: str,
     *,
     aggs: dict[str, str],
-    window_rows: Optional[int] = None,
+    window_rows: Optional[int | tuple[int, int]] = None,
     range_preceding: Optional[float] = None,
+    range_following: Optional[float] = None,
     keep: Sequence[str] | None = None,
 ):
     """``aggs``: output alias → op in {sum, avg, count, min, max}.
 
-    Exactly one of ``window_rows`` (ROWS frame) / ``range_preceding``
-    (RANGE frame; requires a single order_by column) must be given.
+    Exactly one frame mode must be given:
+
+    - ROWS: ``window_rows=k`` ≡ ``ROWS BETWEEN k-1 PRECEDING AND CURRENT
+      ROW``; ``window_rows=(p, f)`` ≡ ``ROWS BETWEEN p PRECEDING AND f
+      FOLLOWING`` (p, f ≥ 0 — the frame always contains the current row).
+    - RANGE: ``range_preceding=X`` and/or ``range_following=Y`` ≡
+      ``RANGE BETWEEN X PRECEDING AND Y FOLLOWING`` (omitted side = 0,
+      i.e. the current row's peer boundary); requires a single order_by
+      column. NULL order values keep SQL peer-group semantics (their
+      frame is exactly the NULL peers regardless of bounds).
 
     Output: key columns + ``order_by`` columns + ``keep`` extras + one
     column per alias. In rows mode ``order_by`` should be total per key
@@ -86,21 +95,32 @@ def rolling_agg(
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
-    if (window_rows is None) == (range_preceding is None):
+    range_mode = range_preceding is not None or range_following is not None
+    if (window_rows is None) == (not range_mode):
         raise ValueError(
-            "exactly one of window_rows / range_preceding is required")
-    if window_rows is not None and window_rows < 1:
-        raise ValueError("window_rows must be >= 1")
-    if range_preceding is not None:
-        if range_preceding < 0:
-            raise ValueError("range_preceding must be >= 0")
+            "exactly one of window_rows / range_preceding|range_following "
+            "is required")
+    rows_p = rows_f = None
+    if window_rows is not None:
+        if isinstance(window_rows, tuple):
+            rows_p, rows_f = (int(window_rows[0]), int(window_rows[1]))
+            if rows_p < 0 or rows_f < 0:
+                raise ValueError("window_rows bounds must be >= 0")
+        else:
+            if window_rows < 1:
+                raise ValueError("window_rows must be >= 1")
+            rows_p, rows_f = int(window_rows) - 1, 0
+    if range_mode:
+        range_preceding = 0 if range_preceding is None else range_preceding
+        range_following = 0 if range_following is None else range_following
+        if range_preceding < 0 or range_following < 0:
+            raise ValueError("range bounds must be >= 0")
         if len(order_by) != 1:
             raise ValueError("range mode requires a single order_by column")
     for a, op in aggs.items():
         if op not in _OPS:
             raise ValueError(f"unsupported op {op!r} for {a!r}")
     keep = list(keep) if keep else []
-    w = int(window_rows) if window_rows is not None else None
 
     from saber_ray.stages.window_agg import _encode_null_keys
     enc, dec, sort_keys = _encode_null_keys(keys)
@@ -134,14 +154,14 @@ def rolling_agg(
         chg = key_change_mask(g, sort_keys)   # segment (key-run) boundaries
         idx = np.arange(n, dtype=np.int64)
         seg_start = np.maximum.accumulate(np.where(chg, idx, 0))
+        starts = np.flatnonzero(chg)
+        seg_len = np.diff(np.append(starts, n))
+        seg_end = np.repeat(starts + seg_len, seg_len)
 
-        if w is not None:                     # ROWS frame
-            low = np.maximum(idx - w + 1, seg_start)
-            hi = idx + 1
+        if rows_p is not None:                # ROWS frame
+            low = np.maximum(idx - rows_p, seg_start)
+            hi = np.minimum(idx + rows_f + 1, seg_end)
         else:                                 # RANGE frame
-            starts = np.flatnonzero(chg)
-            seg_len = np.diff(np.append(starts, n))
-            seg_end = np.repeat(starts + seg_len, seg_len)
             oc = g[order_by[0]].combine_chunks()
             if pa.types.is_temporal(oc.type):
                 oc = oc.cast(pa.int64())
@@ -154,18 +174,22 @@ def rolling_agg(
             nval = np.add.reduceat(ovalid.astype(np.int64), starts)
             valid_end = np.repeat(starts + nval, seg_len)
             if np.issubdtype(ovals.dtype, np.integer):
-                if range_preceding != int(range_preceding):
+                if range_preceding != int(range_preceding) \
+                        or range_following != int(range_following):
                     raise ValueError(
-                        "fractional range_preceding over an integer order "
-                        "column is not supported (stage through float64 "
+                        "fractional range bounds over an integer order "
+                        "column are not supported (stage through float64 "
                         "would corrupt |v| > 2^53)")
                 q = ovals - np.int64(range_preceding)
+                qf = ovals + np.int64(range_following)
             else:
                 q = ovals - range_preceding
+                qf = ovals + range_following
             low = seg_searchsorted(ovals, q, seg_start, valid_end,
                                    side="left")
-            hi = seg_searchsorted(ovals, ovals, seg_start, valid_end,
-                                  side="right")   # through the last peer
+            hi = seg_searchsorted(ovals, qf, seg_start, valid_end,
+                                  side="right")   # through the last row
+                                                  # with o <= o_i + Y
             null_ord = ~ovalid
             low = np.where(null_ord, valid_end, low)
             hi = np.where(null_ord, seg_end, hi)

@@ -143,3 +143,79 @@ def test_rolling_mode_validation(ray_session):
         assert False, "expected ValueError (multi-column order in range mode)"
     except ValueError:
         pass
+
+
+def test_rolling_rows_following_frame(ray_session):
+    """ROWS BETWEEN p PRECEDING AND f FOLLOWING vs DuckDB, NULL keys and
+    values, frames clipped at both segment edges."""
+    rng = np.random.default_rng(23)
+    n = 2000
+    g = np.array(["a", "b", None, "c"], dtype=object)[rng.integers(0, 4, n)]
+    v = rng.integers(-50, 50, n).astype(object)
+    v[rng.random(n) < 0.2] = None
+    t = pa.table({"g": pa.array(g, pa.string()),
+                  "i": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    con = duckdb.connect()
+    con.register("t", t)
+    want = canon(con.sql(
+        "SELECT g, i, SUM(v) OVER w AS rsum, AVG(v) OVER w AS ravg, "
+        "COUNT(v) OVER w AS rcnt, MIN(v) OVER w AS rmin, "
+        "MAX(v) OVER w AS rmax FROM t WINDOW w AS "
+        "(PARTITION BY g ORDER BY i "
+        "ROWS BETWEEN 2 PRECEDING AND 3 FOLLOWING)").df())
+    for parts in (1, 5):
+        got = canon(to_pandas(rolling_agg(
+            rd.from_arrow(t).repartition(parts), "g", "i", "v",
+            window_rows=(2, 3),
+            aggs={"rsum": "sum", "ravg": "avg", "rcnt": "count",
+                  "rmin": "min", "rmax": "max"})))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rolling_range_following_frame(ray_session):
+    """RANGE BETWEEN X PRECEDING AND Y FOLLOWING vs DuckDB, with duplicate
+    order values (peers) and NULL order rows (peer-group frames)."""
+    rng = np.random.default_rng(29)
+    n = 1500
+    g = np.array(["a", "b", "c"], dtype=object)[rng.integers(0, 3, n)]
+    o = rng.integers(0, 300, n).astype(object)
+    o[rng.random(n) < 0.1] = None
+    v = rng.integers(-50, 50, n).astype(object)
+    v[rng.random(n) < 0.2] = None
+    t = pa.table({"g": pa.array(g, pa.string()),
+                  "o": pa.array(o, pa.int64()),
+                  "v": pa.array(v, pa.int64()),
+                  "rid": pa.array(np.arange(n), pa.int64())})
+    con = duckdb.connect()
+    con.register("t", t)
+    want = canon(con.sql(
+        "SELECT g, o, rid, SUM(v) OVER w AS rsum, COUNT(v) OVER w AS rcnt, "
+        "MIN(v) OVER w AS rmin, MAX(v) OVER w AS rmax FROM t WINDOW w AS "
+        "(PARTITION BY g ORDER BY o "
+        "RANGE BETWEEN 20 PRECEDING AND 15 FOLLOWING)").df())
+    for parts in (1, 4):
+        got = canon(to_pandas(rolling_agg(
+            rd.from_arrow(t).repartition(parts), "g", "o", "v",
+            range_preceding=20, range_following=15, keep=["rid"],
+            aggs={"rsum": "sum", "rcnt": "count",
+                  "rmin": "min", "rmax": "max"})))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rolling_range_following_only(ray_session):
+    """range_following alone = RANGE BETWEEN CURRENT ROW AND Y FOLLOWING
+    (frame starts at the first peer, SQL CURRENT ROW range semantics)."""
+    t = pa.table({"g": pa.array(["x"] * 6, pa.string()),
+                  "o": pa.array([0, 10, 10, 20, 30, 100], pa.int64()),
+                  "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64())})
+    con = duckdb.connect()
+    con.register("t", t)
+    want = canon(con.sql(
+        "SELECT g, o, SUM(v) OVER w AS rsum FROM t WINDOW w AS "
+        "(PARTITION BY g ORDER BY o "
+        "RANGE BETWEEN CURRENT ROW AND 10 FOLLOWING)").df())
+    got = canon(to_pandas(rolling_agg(
+        rd.from_arrow(t).repartition(2), "g", "o", "v",
+        range_following=10, aggs={"rsum": "sum"})))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
