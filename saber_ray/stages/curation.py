@@ -82,6 +82,17 @@ def _gram_codes(codes: np.ndarray, owners: np.ndarray, k: int
     return gc[pos], pos
 
 
+def _shingle_strings(flat: np.ndarray, upos: np.ndarray, n: int
+                     ) -> np.ndarray:
+    """Space-joined n-token shingle strings for gram START positions
+    ``upos`` — THE one join convention shared by blocklist construction
+    and probing (divergence would silently break membership)."""
+    s = flat[upos]
+    for step in range(1, n):
+        s = s + " " + flat[upos + step]
+    return s
+
+
 def _distinct_per_owner(owners: np.ndarray, codes: np.ndarray, n_rows: int,
                         n_codes: int) -> np.ndarray:
     """#distinct codes per owner row via ONE np.unique over packed keys."""
@@ -193,16 +204,17 @@ def pii_oracle_sql(source_sql: str, text_col: str = "text",
     """DuckDB twin of :func:`redact_pii` built from the SAME pattern
     literals — a CTE chain of len(regexp_extract_all) + regexp_replace
     per pattern, counts summed across stages."""
-    sql = f"WITH s0 AS ({source_sql})"
-    prev, counts = "s0", []
+    sql = f"WITH __pii_s0 AS ({source_sql})"
+    prev, counts = "__pii_s0", []
+    # __-prefixed aliases: a source column named c1/s1 must not collide
     for i, (_name, pat, tok) in enumerate(PII_PATTERNS, start=1):
-        counts.append(f"c{i}")
+        counts.append(f"__pii_c{i}")
         sql += (
-            f", s{i} AS (SELECT * EXCLUDE ({text_col}), "
-            f"len(regexp_extract_all({text_col}, '{pat}')) AS c{i}, "
+            f", __pii_s{i} AS (SELECT * EXCLUDE ({text_col}), "
+            f"len(regexp_extract_all({text_col}, '{pat}')) AS __pii_c{i}, "
             f"regexp_replace({text_col}, '{pat}', '{tok}', 'g') "
             f"AS {text_col} FROM {prev})")
-        prev = f"s{i}"
+        prev = f"__pii_s{i}"
     total = " + ".join(f"COALESCE({c}, 0)" for c in counts)
     return (f"{sql} SELECT {key_cols}, {text_col} AS {out}, "
             f"CAST({total} AS BIGINT) AS n_pii FROM {prev}")
@@ -229,11 +241,8 @@ def build_shingle_blocklist(ds, text_col: str = "text", *, n: int = 3
         if len(gcodes) == 0:
             return pd.DataFrame({"shingle": pd.Series([], dtype=object)})
         _, first = np.unique(gcodes, return_index=True)
-        upos = gpos[first]
-        s = flat[upos]
-        for step in range(1, n):
-            s = s + " " + flat[upos + step]
-        return pd.DataFrame({"shingle": s})
+        return pd.DataFrame(
+            {"shingle": _shingle_strings(flat, gpos[first], n)})
 
     out = set()
     for b in ds.map_batches(shingles, batch_format="pandas").iter_batches(
@@ -264,10 +273,7 @@ class _Decontaminator:
         if len(gcodes):
             u, first, inv = np.unique(gcodes, return_index=True,
                                       return_inverse=True)
-            upos = gpos[first]
-            s = flat[upos]
-            for step in range(1, self.n):
-                s = s + " " + flat[upos + step]
+            s = _shingle_strings(flat, gpos[first], self.n)
             memb = pd.Series(s).isin(self.bl).to_numpy(dtype=bool)
             hit = memb[inv]
             gown = owners[gpos]

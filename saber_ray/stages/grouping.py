@@ -58,6 +58,10 @@ class _SetPartials:
         self.scales = scaled_columns(aggs)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if _GID in t.column_names:
+            raise ValueError(
+                f"input already has a {_GID!r} column — rename it before "
+                "grouping_sets (the name is reserved for the bitmask)")
         t = apply_scales(t, self.scales)
         key_types = {k: t.schema.field(k).type for k in self.all_keys}
         outs = []
@@ -97,6 +101,9 @@ def grouping_sets(ds, sets: Sequence[Sequence[str]], aggs: Sequence[AggSpec],
 
     aggs = list(aggs)
     sets = [list(s) for s in sets]
+    if any(_GID in s for s in sets) or any(a.alias == _GID for a in aggs):
+        raise ValueError(
+            f"{_GID!r} is reserved for the grouping-set bitmask output")
     seen: set[str] = set()
     all_keys: list[str] = []
     for s in sets:

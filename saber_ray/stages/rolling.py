@@ -3,12 +3,15 @@
 SQL semantics, one output row PER INPUT ROW:
 
 - ``window_rows=k``  → ``agg(col) OVER (PARTITION BY keys ORDER BY order_by
-  ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)``
-- ``range_preceding=X`` → ``... RANGE BETWEEN X PRECEDING AND CURRENT ROW``
-  over a single numeric/timestamp order column — the frame is every row of
-  the key whose order value is in ``[o_i - X, o_i]``, INCLUDING peers of the
-  current row (SQL RANGE frames end at the last peer). NULL order values
-  form their own peer group whose frame is exactly the NULL peers (SQL).
+  ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)``; ``window_rows=(p, f)`` →
+  ``ROWS BETWEEN p PRECEDING AND f FOLLOWING`` (two-sided).
+- ``range_preceding=X`` / ``range_following=Y`` → ``... RANGE BETWEEN X
+  PRECEDING AND Y FOLLOWING`` (omitted side = the current row's peer
+  boundary) over a single numeric/timestamp order column — the frame is
+  every row of the key whose order value is in ``[o_i - X, o_i + Y]``,
+  INCLUDING peers at both edges (SQL RANGE frames span whole peer
+  groups). NULL order values form their own peer group whose frame is
+  exactly the NULL peers (SQL).
 
 Absent from the reference (its row windows aggregate per window, not per
 row — SURVEY.md §2.1); standard in training-data pipelines (context-length
@@ -102,7 +105,7 @@ def rolling_agg(
             "is required")
     rows_p = rows_f = None
     if window_rows is not None:
-        if isinstance(window_rows, tuple):
+        if isinstance(window_rows, (tuple, list)):
             rows_p, rows_f = (int(window_rows[0]), int(window_rows[1]))
             if rows_p < 0 or rows_f < 0:
                 raise ValueError("window_rows bounds must be >= 0")

@@ -465,12 +465,18 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, *,
     as the brute/LSH paths. Recall/work trade is nprobe/nlist (pytest
     asserts recall ≥ 0.9 vs brute force on the gate corpus).
     """
+    if nlist < 1 or nprobe < 1:
+        raise ValueError("nlist and nprobe must be >= 1")
     chunks, total = [], 0
     for b in emb_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        if b.num_rows == 0:
+            continue
         chunks.append(_emb_matrix(b, emb_col))
         total += len(chunks[-1])
         if total >= train_size:
             break
+    if not chunks:
+        raise ValueError("cannot train the IVF quantizer on an empty corpus")
     train = np.concatenate(chunks)[:train_size]
     cents = _kmeans_spherical(train, nlist, iters=iters, seed=seed)
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
