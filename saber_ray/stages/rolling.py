@@ -38,7 +38,7 @@ import pyarrow.compute as pc
 
 from saber_ray.core.segments import key_change_mask, seg_searchsorted
 
-_OPS = ("sum", "avg", "count", "min", "max")
+_OPS = ("sum", "avg", "count", "min", "max", "first_value", "last_value")
 
 
 def _rmq(vf: np.ndarray, low: np.ndarray, hi: np.ndarray,
@@ -144,7 +144,7 @@ def rolling_agg(
                 return pa.int64() if int_in else pa.float64()
             if op == "avg":
                 return pa.float64()
-            return vtype                      # min/max keep the source type
+            return vtype        # min/max/first_value/last_value keep source
 
         schema = pa.schema(
             [(k, g.schema.field(k).type) for k in sort_keys + order_by + keep]
@@ -233,6 +233,13 @@ def rolling_agg(
         for alias, op in aggs.items():
             if op == "count":
                 cols.append(pa.array(wcnt, type=pa.int64()))
+            elif op in ("first_value", "last_value"):
+                # SQL RESPECT NULLS: the value AT the frame boundary row
+                # (possibly NULL) — a dtype-preserving Arrow gather, no
+                # wcnt nullify (a NULL boundary value stays NULL even in
+                # frames that hold other valid values)
+                pos = low if op == "first_value" else hi - 1
+                cols.append(vcol.take(pa.array(pos)))
             elif op == "sum":
                 cols.append(nullify(pa.array(wsum, type=out_type("sum"))))
             elif op == "avg":

@@ -219,3 +219,43 @@ def test_rolling_range_following_only(ray_session):
         rd.from_arrow(t).repartition(2), "g", "o", "v",
         range_following=10, aggs={"rsum": "sum"})))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rolling_first_last_value(ray_session):
+    """FIRST_VALUE / LAST_VALUE over two-sided ROWS and RANGE frames vs
+    DuckDB — RESPECT NULLS (a NULL boundary row yields NULL)."""
+    rng = np.random.default_rng(31)
+    n = 1200
+    g = np.array(["a", "b", "c"], dtype=object)[rng.integers(0, 3, n)]
+    # UNIQUE order values: FIRST/LAST_VALUE among RANGE peers is
+    # implementation-defined in SQL (tie order), so ties are excluded
+    o = rng.permutation(n * 3)[:n]
+    v = rng.integers(-50, 50, n).astype(object)
+    v[rng.random(n) < 0.25] = None
+    t = pa.table({"g": pa.array(g, pa.string()),
+                  "o": pa.array(o, pa.int64()),
+                  "v": pa.array(v, pa.int64()),
+                  "rid": pa.array(np.arange(n), pa.int64())})
+    con = duckdb.connect()
+    con.register("t", t)
+    want = canon(con.sql(
+        "SELECT g, rid, FIRST_VALUE(v) OVER w AS fv, "
+        "LAST_VALUE(v) OVER w AS lv FROM t WINDOW w AS "
+        "(PARTITION BY g ORDER BY rid "
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)").df())
+    got = canon(to_pandas(rolling_agg(
+        rd.from_arrow(t).repartition(4), "g", "rid", "v",
+        window_rows=(2, 2),
+        aggs={"fv": "first_value", "lv": "last_value"})))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    want2 = canon(con.sql(
+        "SELECT g, o, rid, FIRST_VALUE(v) OVER w AS fv, "
+        "LAST_VALUE(v) OVER w AS lv FROM t WINDOW w AS "
+        "(PARTITION BY g ORDER BY o "
+        "RANGE BETWEEN 10 PRECEDING AND 5 FOLLOWING)").df())
+    got2 = canon(to_pandas(rolling_agg(
+        rd.from_arrow(t).repartition(3), "g", "o", "v",
+        range_preceding=10, range_following=5, keep=["rid"],
+        aggs={"fv": "first_value", "lv": "last_value"})))
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
