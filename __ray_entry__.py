@@ -803,6 +803,14 @@ def _q_ann_ivf(sf):
     return ann_topk_ivf(emb, q, k=10, nlist=16, nprobe=6)
 
 
+def _q_profile_docs(sf):
+    """Per-column dataset profile (rows/nulls/distinct/min/max/mean) —
+    value-oracled in pytest (test_stats.py builds the per-column DuckDB
+    twin); here for the rows-only record."""
+    from saber_ray.stages.stats import profile
+    return profile(read_table(sf, "documents"))
+
+
 def _q_transcripts_identity(sf):
     """The input_hint invariant as a gate query: per-turn text equality under
     stable (conv_id, turn_idx) ordering — the full transcript stream
@@ -1150,6 +1158,7 @@ def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprint": _q_simhash,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
+        "profile_docs": _q_profile_docs,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     }
 

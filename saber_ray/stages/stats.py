@@ -405,3 +405,155 @@ def _grouped_quantiles_sketch(ds, keys: list, col: str,
         .sort(sort_keys) \
         .map_batches(final, batch_format="pyarrow", zero_copy_batch=True) \
         .map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# dataset profiling
+# ---------------------------------------------------------------------------
+
+def profile(ds, columns: Sequence[str] | None = None, *,
+            kmv_k: int = 4096, round_decimals: int = 6):
+    """One summary row per column: ``column, n_rows, n_nulls, n_distinct,
+    min_str, max_str, mean`` — the pre-training data-quality profile.
+
+    Distributed shape: each block emits ONE partial row per column
+    (counts, typed min/max, int64/float64 sums, and the column's KMV
+    hash sketch as a list<uint64>); a tree fan-in (repartition(1))
+    merges #blocks × #columns tiny rows — no shuffle, the data never
+    leaves its scan tasks.
+
+    - ``n_distinct`` is the KMV estimate — EXACT while a column's
+      distinct count < ``kmv_k`` (modulo 64-bit hash collisions,
+      ~n²/2⁶⁴), ±1/√k relative beyond. Size kmv_k to the exactness
+      domain you need.
+    - ``min_str`` / ``max_str`` compare in the SOURCE type (int64 stays
+      exact past 2^53; strings lexicographic) and stringify only at
+      finalize. ``mean`` is NULL for non-numeric columns; integer sums
+      accumulate in int64.
+    """
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = list(columns) if columns else t.column_names
+        rows = {"column": [], "n_rows": [], "n_nulls": [],
+                "min_int": [], "max_int": [], "min_float": [],
+                "max_float": [], "min_str": [], "max_str": [],
+                "sum_int": [], "sum_float": [], "kmv": []}
+        for c in cols:
+            col = t[c]
+            typ = col.type
+            n = len(col)
+            nulls = col.null_count
+            valid = col.drop_null()
+            vi = xa = fi = fa = si = sa = None
+            sint = sflt = None
+            if n > nulls:
+                if pa.types.is_integer(typ):
+                    arr = valid.to_numpy(zero_copy_only=False).astype(np.int64)
+                    vi, xa = int(arr.min()), int(arr.max())
+                    sint = int(arr.sum())
+                    h = _value_hashes(arr)
+                elif pa.types.is_floating(typ):
+                    arr = valid.to_numpy(zero_copy_only=False).astype(np.float64)
+                    fi, fa = float(arr.min()), float(arr.max())
+                    sflt = float(arr.sum())
+                    h = _value_hashes(arr)
+                else:
+                    arr = np.asarray(valid.to_pylist(), dtype=object)
+                    si, sa = min(arr), max(arr)
+                    h = _value_hashes(arr)
+            else:
+                h = np.empty(0, dtype=np.uint64)
+            kmv = KmvSketch(kmv_k)
+            kmv.add_hashes(np.unique(h))
+            rows["column"].append(c)
+            rows["n_rows"].append(n)
+            rows["n_nulls"].append(nulls)
+            rows["min_int"].append(vi)
+            rows["max_int"].append(xa)
+            rows["min_float"].append(fi)
+            rows["max_float"].append(fa)
+            rows["min_str"].append(si)
+            rows["max_str"].append(sa)
+            rows["sum_int"].append(sint)
+            rows["sum_float"].append(sflt)
+            rows["kmv"].append(kmv.hashes)
+        return pa.table({
+            "column": pa.array(rows["column"], pa.string()),
+            "n_rows": pa.array(rows["n_rows"], pa.int64()),
+            "n_nulls": pa.array(rows["n_nulls"], pa.int64()),
+            "min_int": pa.array(rows["min_int"], pa.int64()),
+            "max_int": pa.array(rows["max_int"], pa.int64()),
+            "min_float": pa.array(rows["min_float"], pa.float64()),
+            "max_float": pa.array(rows["max_float"], pa.float64()),
+            "min_str": pa.array(rows["min_str"], pa.string()),
+            "max_str": pa.array(rows["max_str"], pa.string()),
+            "sum_int": pa.array(rows["sum_int"], pa.int64()),
+            "sum_float": pa.array(rows["sum_float"], pa.float64()),
+            "kmv": pa.array(list(rows["kmv"]), pa.list_(pa.uint64())),
+        })
+
+    def fin(t: pa.Table) -> pa.Table:
+        from saber_ray.core.aggregates import round_oracle_np
+        # plain-Python merge of the tiny partial table (#blocks × #cols
+        # rows): to_pandas would stage nullable int64 through float64 and
+        # corrupt min/max/sum beyond 2^53 (the repo's recurring bug class)
+        rows = t.to_pylist()
+        by_col: dict = {}
+        for r in rows:
+            by_col.setdefault(r["column"], []).append(r)
+        out = {"column": [], "n_rows": [], "n_nulls": [], "n_distinct": [],
+               "min_str": [], "max_str": [], "mean": []}
+
+        def vals(g, key):
+            return [r[key] for r in g if r[key] is not None]
+
+        for c in sorted(by_col):
+            g = by_col[c]
+            n = sum(r["n_rows"] for r in g)
+            nulls = sum(r["n_nulls"] for r in g)
+            kmv = KmvSketch(kmv_k)
+            for r in g:
+                kmv.add_hashes(np.asarray(r["kmv"], dtype=np.uint64))
+            mn = mx = None
+            if vals(g, "min_int"):
+                mn, mx = str(min(vals(g, "min_int"))), \
+                    str(max(vals(g, "max_int")))
+            elif vals(g, "min_float"):
+                mn, mx = str(min(vals(g, "min_float"))), \
+                    str(max(vals(g, "max_float")))
+            elif vals(g, "min_str"):
+                mn, mx = min(vals(g, "min_str")), max(vals(g, "max_str"))
+            mean = None
+            if n > nulls:
+                if vals(g, "sum_int"):
+                    # float(exact int sum) FIRST, then divide — mirrors
+                    # SQL CAST(SUM(...) AS DOUBLE) / COUNT(...)
+                    mean = float(sum(vals(g, "sum_int"))) / (n - nulls)
+                elif vals(g, "sum_float"):
+                    mean = float(np.sum(np.asarray(
+                        vals(g, "sum_float"), dtype=np.float64))) / (n - nulls)
+                if mean is not None:
+                    mean = float(round_oracle_np(np.array([mean]),
+                                                 round_decimals)[0])
+            out["column"].append(c)
+            out["n_rows"].append(n)
+            out["n_nulls"].append(nulls)
+            out["n_distinct"].append(kmv.estimate())
+            out["min_str"].append(mn)
+            out["max_str"].append(mx)
+            out["mean"].append(mean)
+        return pa.table({
+            "column": pa.array(out["column"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_nulls": pa.array(out["n_nulls"], pa.int64()),
+            "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+            "min_str": pa.array(out["min_str"], pa.string()),
+            "max_str": pa.array(out["max_str"], pa.string()),
+            "mean": pa.array(out["mean"], pa.float64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .repartition(1) \
+        .map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)

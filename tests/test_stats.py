@@ -166,3 +166,64 @@ def test_grouped_quantiles_interpolate_validation(ray_session):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_profile_vs_duckdb(ray_session, sf_dir):
+    """Dataset profile over documents vs a per-column DuckDB twin —
+    exact at gate scale (distincts < kmv_k ⇒ KMV is exact)."""
+    import duckdb
+    import pandas as pd
+    from saber_ray.sources.parquet import read_table
+    from saber_ray.stages.stats import profile
+    from tests.oracle_util import to_pandas
+
+    docs = read_table(sf_dir, "documents")
+    got = to_pandas(profile(docs)).sort_values("column") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    cols = con.execute("SELECT * FROM documents LIMIT 0").df().columns
+    parts = []
+    for c in cols:
+        parts.append(
+            f'SELECT \'{c}\' AS "column", COUNT(*) AS n_rows, '
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+            f"COUNT(DISTINCT {c}) AS n_distinct, "
+            f"CAST(MIN({c}) AS VARCHAR) AS min_str, "
+            f"CAST(MAX({c}) AS VARCHAR) AS max_str FROM documents")
+    want = con.execute(" UNION ALL ".join(parts) + ' ORDER BY "column"').df()
+    pd.testing.assert_frame_equal(
+        got[["column", "n_rows", "n_nulls", "n_distinct", "min_str",
+             "max_str"]], want, check_dtype=False)
+    # numeric means vs SQL (int columns: exact int64 sum / count)
+    m = con.execute(
+        "SELECT ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars), 6) "
+        "AS mean FROM documents").fetchone()[0]
+    assert got.set_index("column").loc["n_chars", "mean"] == m
+
+
+def test_profile_typed_minmax_and_nulls(ray_session):
+    """int64 > 2^53 stays exact through min/max; all-NULL column profiles
+    as 0 distinct with NULL min/max/mean; mean is NULL for strings."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from saber_ray.stages.stats import profile
+
+    big = 2 ** 60 + 7
+    t = pa.table({
+        "i": pa.array([1, None, 3, big, -5, 3], pa.int64()),
+        "s": pa.array(["b", "a", None, "zz", "a", "m"], pa.string()),
+        "z": pa.array([None] * 6, pa.float64()),
+    })
+    g = profile(rd.from_arrow(t).repartition(3)).to_pandas() \
+        .set_index("column")
+    assert g.loc["i", "max_str"] == str(big)
+    assert g.loc["i", "n_distinct"] == 4 and g.loc["i", "n_nulls"] == 1
+    assert g.loc["i", "mean"] == (1 + 3 + big - 5 + 3) / 5
+    assert g.loc["s", "min_str"] == "a" and g.loc["s", "max_str"] == "zz"
+    assert pd.isna(g.loc["s", "mean"])
+    assert g.loc["z", "n_distinct"] == 0
+    assert pd.isna(g.loc["z", "min_str"]) and pd.isna(g.loc["z", "mean"])
