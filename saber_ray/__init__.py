@@ -34,6 +34,11 @@ from saber_ray.stages.rank import rank_window
 from saber_ray.stages.sample import hash_sample, bottom_k_sample, \
     stratified_sample
 from saber_ray.stages.heavy_hitters import heavy_hitters
+from saber_ray.stages.grouping import grouping_sets, rollup, cube
+from saber_ray.stages.curation import (repetition_stats, redact_pii,
+                                       decontaminate,
+                                       build_shingle_blocklist)
+from saber_ray.stages.stats import grouped_quantiles, profile
 
 __all__ = [
     "col", "lit", "Expr", "Window", "AggSpec",
@@ -44,6 +49,9 @@ __all__ = [
     "windowed_join", "hash_join", "broadcast_join", "topk",
     "grouped_topk", "rolling_agg", "shift", "rank_window",
     "hash_sample", "bottom_k_sample", "stratified_sample", "heavy_hitters",
+    "grouping_sets", "rollup", "cube",
+    "repetition_stats", "redact_pii", "decontaminate",
+    "build_shingle_blocklist", "grouped_quantiles", "profile",
 ]
 
 __version__ = "0.1.0"
