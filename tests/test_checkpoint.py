@@ -109,3 +109,52 @@ def test_job_entry_resumable(tmp_path):
     assert s2["emitted_rows"] == s1["emitted_rows"]
     assert s2["epoch"] == s1["epoch"] + 1
     assert s2["wall_sec"] < s1["wall_sec"]      # resume skipped all partitions
+
+
+def test_curation_job_end_to_end_and_resume(ray_session, sf_dir, tmp_path):
+    """jobs/run_curation.py: curated output is complete across buckets
+    (union of bucket outputs = the same pipeline run unpartitioned), no
+    doc appears twice, and a second run skips every completed bucket."""
+    import ray
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.run_curation import build_curation
+    from saber_ray.sources.parquet import read_table
+    from saber_ray.stages.curation import build_shingle_blocklist
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def held_out(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 17 == 0))
+
+    bl_ref = ray.put(build_shingle_blocklist(
+        docs.map_batches(held_out, batch_format="pyarrow",
+                         zero_copy_batch=True), "text", n=3))
+
+    out = str(tmp_path / "curated")
+    parts = [(f"bucket{i}", i) for i in range(3)]
+    m1 = run_partitioned(
+        lambda b: build_curation(sf_dir, b, 3, bl_ref), parts, out)
+    assert len(m1["partitions"]) == 3
+    got = pq.read_table(glob.glob(os.path.join(out, "part=*/*.parquet"))
+                        ).to_pandas().sort_values("doc_id")
+    assert len(got) > 0
+    assert got["doc_id"].is_unique            # dedup held across buckets
+    assert (got["n_ws_tokens"] > 0).all()     # token stats present
+
+    # one-bucket run over the whole corpus must produce the same doc set
+    whole = run_partitioned(
+        lambda b: build_curation(sf_dir, 0, 1, bl_ref),
+        [("all", 0)], str(tmp_path / "whole"))
+    ref = pq.read_table(glob.glob(
+        str(tmp_path / "whole" / "part=*/*.parquet"))).to_pandas()
+    assert set(ref["doc_id"]) == set(got["doc_id"])
+
+    # resume: nothing re-runs (manifest rows/epoch untouched per bucket)
+    m2 = run_partitioned(
+        lambda b: (_ for _ in ()).throw(AssertionError("must not rebuild")),
+        parts, out)
+    assert m2["partitions"] == m1["partitions"]
