@@ -24,6 +24,8 @@ Environment:
   RAY_GRAFT_CPUS      num_cpus for ray.init (default 32)
   SABER_BENCH_TURNS   override synthetic turn count
   SABER_BENCH_SEQUENTIAL=1   time queries one at a time
+  --curation          curation-stage throughput over synthetic documents
+                      (SABER_BENCH_DOCS overrides the corpus size)
   RAY_GRAFT_SCALE_LO / _HI   scaling pair (default 6 / 24)
 """
 
@@ -327,11 +329,91 @@ def run_scaling() -> dict:
     }
 
 
+_DOCS_BY_SF = {"sf0.001": 10_000, "sf0.01": 100_000, "sf0.1": 1_000_000}
+
+
+def generate_documents(out_dir: str, n_docs: int, *, words_per_doc: int = 32,
+                       vocab: int = 1000, dup_frac: float = 0.01,
+                       seed: int = 7) -> str:
+    """Deterministic synthetic document corpus for the curation bench:
+    vectorized word sampling (no per-doc Python), ~dup_frac exact
+    duplicates so dedup has real work, a sprinkle of PII-shaped spans so
+    redaction has real matches. Cached on disk keyed by size."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(out_dir, f"documents-{n_docs}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    lex = np.array([f"w{i:04d}" for i in range(vocab)], dtype=object)
+    grid = lex[rng.integers(0, vocab, (n_docs, words_per_doc))]
+    text = grid[:, 0]
+    for j in range(1, words_per_doc):          # 31 vectorized concats
+        text = text + " " + grid[:, j]
+    pii = rng.random(n_docs) < 0.05
+    text = np.where(pii, text + " mail bot@example.com ph 555-123-4567",
+                    text)
+    ndup = int(n_docs * dup_frac)
+    if ndup:
+        text[rng.choice(n_docs, ndup, replace=False)] = text[0]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "text": pa.array(text, pa.string())}), path)
+    return path
+
+
+def run_curation() -> dict:
+    """Curation-stage throughput: dedup → quality → lang-id → repetition
+    → PII redaction → token stats over a synthetic corpus, docs/sec."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from saber_ray.stages.curation import redact_pii, repetition_stats
+    from saber_ray.stages.dedup import exact_dedup
+    from saber_ray.stages.text import lang_id, quality_score, token_stats
+
+    tier = os.path.basename(os.path.normpath(SF_DIR))
+    n_docs = int(os.environ.get("SABER_BENCH_DOCS",
+                                _DOCS_BY_SF.get(tier, 1_000_000)))
+    path = generate_documents("/tmp/saber_ray_bench", n_docs)
+
+    def pipeline():
+        ds = rd.read_parquet(path, override_num_blocks=2 * NUM_CPUS)
+        return token_stats(redact_pii(repetition_stats(
+            quality_score(lang_id(exact_dedup(ds)))))).count()
+
+    pipeline()                                   # untimed warmup
+    runs = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        rows = pipeline()
+        runs.append(round(time.monotonic() - t0, 3))
+    best = min(runs)
+    ray.shutdown()
+    return {
+        "metric": "curation pipeline wall time (dedup->quality->lang->"
+                  "repetition->pii->tokens) over synthetic documents",
+        "value": best, "unit": "sec", "all_runs_sec": runs,
+        "n_docs": n_docs, "rows_out": rows,
+        "docs_per_sec": int(n_docs / best),
+        "sf": SF_DIR, "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         result = run_scaling()
     elif "--skew" in sys.argv:
         result = run_skew()
+    elif "--curation" in sys.argv:
+        result = run_curation()
     else:
         result = run_suite()
     print(json.dumps(result))

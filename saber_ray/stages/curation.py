@@ -131,12 +131,15 @@ def repetition_stats(ds, text_col: str = "text", *, ngram: int = 2,
         codes = codes.astype(np.int64)
         n_rows, vocab = len(t), len(uniq)
         n = np.bincount(owners, minlength=n_rows)          # >= 1 per row
-        nd = _distinct_per_owner(owners, codes, n_rows, vocab)
-        # top token count per row: counts of unique (owner, token) pairs
+        # ONE unique pass over packed (owner, token) serves both distinct
+        # counts and the top-token count (a second np.unique would re-sort
+        # the same 10^7-element key array per batch)
         pair = owners * np.int64(max(vocab, 1)) + codes
         upair, ucnt = np.unique(pair, return_counts=True)
+        uown = (upair // max(vocab, 1)).astype(np.int64)
+        nd = np.bincount(uown, minlength=n_rows)
         top = np.zeros(n_rows, dtype=np.int64)
-        np.maximum.at(top, (upair // max(vocab, 1)).astype(np.int64), ucnt)
+        np.maximum.at(top, uown, ucnt)
         # k-gram duplicates
         gcodes, gpos = _gram_codes(codes, owners, ngram)
         gown = owners[gpos]
@@ -287,15 +290,31 @@ class _Decontaminator:
         return df
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _decontaminator(blocklist_ref, text_col: str, n: int) -> _Decontaminator:
+    return _Decontaminator(blocklist_ref, text_col, n)
+
+
 def decontaminate(ds, blocklist, text_col: str = "text", *, n: int = 3,
-                  concurrency=(1, 4)):
+                  concurrency=None):
     """Append ``n_contaminated`` (#distinct shingles shared with the
     blocklist) and ``contaminated`` per document.
 
     ``blocklist`` is a frozenset or an ObjectRef to one (``ray.put`` it
-    once for cluster-wide reuse — it is read once per ACTOR, not per
-    batch). No shuffle; the corpus streams through.
+    once for cluster-wide reuse). Default (concurrency=None) runs as
+    plain tasks with the blocklist resolved ONCE per worker process
+    (lru_cache) — parallelism scales to every core; pass
+    concurrency=(lo, hi) to pin an actor pool instead. No shuffle; the
+    corpus streams through.
     """
+    if concurrency is None:
+        return ds.map_batches(
+            lambda df, _r=blocklist, _c=text_col, _n=n:
+                _decontaminator(_r, _c, _n)(df),
+            batch_format="pandas")
     return ds.map_batches(
         _Decontaminator, batch_format="pandas", concurrency=concurrency,
         num_cpus=0.5,

@@ -100,7 +100,29 @@ class QualityScorer:
         return df
 
 
-def quality_score(ds, text_col: str = "text", *, concurrency=(1, 4)):
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _quality_scorer(text_col: str) -> "QualityScorer":
+    return QualityScorer(text_col)
+
+
+@lru_cache(maxsize=None)
+def _lang_scorer(text_col: str) -> "LangId":
+    return LangId(text_col)
+
+
+def quality_score(ds, text_col: str = "text", *, concurrency=None):
+    """Default (concurrency=None) runs as plain TASKS — the scorer state
+    (two compiled regexes + a frozenset) is built once per worker process
+    via lru_cache, and parallelism scales to every core instead of an
+    actor-pool cap. Pass concurrency=(lo, hi) to pin an actor pool (the
+    shape reserved for genuinely expensive setup, e.g. model loads)."""
+    if concurrency is None:
+        return ds.map_batches(
+            lambda df, _c=text_col: _quality_scorer(_c)(df),
+            batch_format="pandas")
     return ds.map_batches(QualityScorer, batch_format="pandas",
                           concurrency=concurrency, num_cpus=0.5,
                           fn_constructor_kwargs={"text_col": text_col})
@@ -136,7 +158,12 @@ class LangId:
         return df
 
 
-def lang_id(ds, text_col: str = "text", *, concurrency=(1, 4)):
+def lang_id(ds, text_col: str = "text", *, concurrency=None):
+    """Task-based by default — see quality_score for the rationale."""
+    if concurrency is None:
+        return ds.map_batches(
+            lambda df, _c=text_col: _lang_scorer(_c)(df),
+            batch_format="pandas")
     return ds.map_batches(LangId, batch_format="pandas",
                           concurrency=concurrency, num_cpus=0.5,
                           fn_constructor_kwargs={"text_col": text_col})
