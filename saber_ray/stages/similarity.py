@@ -31,6 +31,30 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _cached_scorer(cls, kwargs_items):
+    return cls(**dict(kwargs_items))
+
+
+def _apply_scorer(ds, cls, kwargs: dict, concurrency):
+    """Run a scorer stage. Default (concurrency=None) = plain TASKS with
+    the scorer built once per worker process (lru_cache — constructor
+    kwargs are hashable: ObjectRefs + scalars), so parallelism scales to
+    every core instead of an actor-pool cap. concurrency=(lo, hi) pins an
+    actor pool (for genuinely expensive per-actor setup)."""
+    if concurrency is None:
+        items = tuple(sorted(kwargs.items()))
+        return ds.map_batches(
+            lambda t, _c=cls, _k=items: _cached_scorer(_c, _k)(t),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(cls, batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=concurrency, num_cpus=0.5,
+                          fn_constructor_kwargs=kwargs)
+
+
 def _pairs_schema(id_col: str):
     import pyarrow as pa
     return pa.schema([("query_id", pa.int64()), (id_col, pa.int64()),
@@ -76,17 +100,15 @@ def _topk_merge(k: int, id_col: str, round_decimals: Optional[int]):
 def ann_topk_bruteforce(emb_ds, queries: np.ndarray, k: int = 10, *,
                         id_col: str = "vec_id", emb_col: str = "embedding",
                         round_decimals: Optional[int] = 6,
-                        concurrency=(1, 4)):
+                        concurrency=None):
     """Exact cosine top-k per query row of ``queries`` (q×d).
 
     → Dataset (query_id, vec_id, score, rank) with deterministic ties
     (score desc, then id asc)."""
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
-    partials = emb_ds.map_batches(
-        _BruteForceScorer, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency, num_cpus=0.5,
-        fn_constructor_kwargs=dict(q_ref=q_ref, k=k, id_col=id_col,
-                                   emb_col=emb_col))
+    partials = _apply_scorer(
+        emb_ds, _BruteForceScorer,
+        dict(q_ref=q_ref, k=k, id_col=id_col, emb_col=emb_col), concurrency)
     return partials.groupby("query_id").map_groups(
         _topk_merge(k, id_col, round_decimals), batch_format="pandas")
 
@@ -183,7 +205,7 @@ class _NearDupScorer:
 def embedding_near_dup_pairs(emb_ds, *, threshold: float = 0.95,
                              id_col: str = "vec_id", emb_col: str = "embedding",
                              round_decimals: Optional[int] = 6,
-                             concurrency=(1, 8), method: str = "auto",
+                             concurrency=None, method: str = "auto",
                              lsh_kwargs: Optional[dict] = None,
                              max_exact_rows: int = 200_000):
     """Cosine near-duplicate pairs (a < b, score ≥ threshold).
@@ -206,13 +228,11 @@ def embedding_near_dup_pairs(emb_ds, *, threshold: float = 0.95,
         ray.get(emb_ds.select_columns([id_col, emb_col]).to_arrow_refs()))
     mat_ref = ray.put(_emb_matrix(flat, emb_col))
     ids_ref = ray.put(_col_np(flat, id_col))
-    return emb_ds.map_batches(
-        _NearDupScorer, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency, num_cpus=0.5,
-        fn_constructor_kwargs=dict(mat_ref=mat_ref, ids_ref=ids_ref,
-                                   threshold=threshold, id_col=id_col,
-                                   emb_col=emb_col,
-                                   round_decimals=round_decimals))
+    return _apply_scorer(
+        emb_ds, _NearDupScorer,
+        dict(mat_ref=mat_ref, ids_ref=ids_ref, threshold=threshold,
+             id_col=id_col, emb_col=emb_col, round_decimals=round_decimals),
+        concurrency)
 
 
 def _emb_matrix(t, emb_col: str) -> np.ndarray:
@@ -365,7 +385,7 @@ def embedding_near_dup_pairs_lsh(emb_ds, *, threshold: float = 0.95,
 def ann_topk_lsh(emb_ds, queries: np.ndarray, k: int = 10, *, dim: int,
                  nbits: int = 6, probe_hamming: int = 1, seed: int = 42,
                  id_col: str = "vec_id", emb_col: str = "embedding",
-                 round_decimals: Optional[int] = 6, concurrency=(1, 4)):
+                 round_decimals: Optional[int] = 6, concurrency=None):
     """Approximate cosine top-k via random-hyperplane LSH.
 
     ``probe_hamming`` trades recall for work: fraction of corpus scored ≈
@@ -374,12 +394,10 @@ def ann_topk_lsh(emb_ds, queries: np.ndarray, k: int = 10, *, dim: int,
     planes = rng.standard_normal((nbits, dim))
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
     p_ref = ray.put(planes)
-    partials = emb_ds.map_batches(
-        _LshScorer, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency, num_cpus=0.5,
-        fn_constructor_kwargs=dict(q_ref=q_ref, planes_ref=p_ref, k=k,
-                                   id_col=id_col, emb_col=emb_col,
-                                   probe_hamming=probe_hamming))
+    partials = _apply_scorer(
+        emb_ds, _LshScorer,
+        dict(q_ref=q_ref, planes_ref=p_ref, k=k, id_col=id_col,
+             emb_col=emb_col, probe_hamming=probe_hamming), concurrency)
     return partials.groupby("query_id").map_groups(
         _topk_merge(k, id_col, round_decimals), batch_format="pandas")
 
@@ -452,7 +470,7 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, *,
                  nlist: int = 16, nprobe: int = 4, train_size: int = 20_000,
                  iters: int = 10, seed: int = 42, id_col: str = "vec_id",
                  emb_col: str = "embedding",
-                 round_decimals: Optional[int] = 6, concurrency=(1, 4)):
+                 round_decimals: Optional[int] = 6, concurrency=None):
     """Approximate cosine top-k via an IVF index (coarse k-means
     quantizer + per-query nprobe list probing).
 
@@ -481,11 +499,9 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, *,
     cents = _kmeans_spherical(train, nlist, iters=iters, seed=seed)
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
     c_ref = ray.put(cents)
-    partials = emb_ds.map_batches(
-        _IvfScorer, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency, num_cpus=0.5,
-        fn_constructor_kwargs=dict(q_ref=q_ref, cent_ref=c_ref, k=k,
-                                   nprobe=nprobe, id_col=id_col,
-                                   emb_col=emb_col))
+    partials = _apply_scorer(
+        emb_ds, _IvfScorer,
+        dict(q_ref=q_ref, cent_ref=c_ref, k=k, nprobe=nprobe,
+             id_col=id_col, emb_col=emb_col), concurrency)
     return partials.groupby("query_id").map_groups(
         _topk_merge(k, id_col, round_decimals), batch_format="pandas")

@@ -214,8 +214,19 @@ class WinnowingFingerprint:
         return df
 
 
+@lru_cache(maxsize=None)
+def _winnow_scorer(text_col: str, k: int, window: int) -> "WinnowingFingerprint":
+    return WinnowingFingerprint(text_col, k, window)
+
+
 def winnowing_fingerprint(ds, text_col: str = "text", k: int = 8, window: int = 4,
-                          *, concurrency=(1, 4)):
+                          *, concurrency=None):
+    """Task-based by default — see quality_score for the rationale."""
+    if concurrency is None:
+        return ds.map_batches(
+            lambda df, _c=text_col, _k=k, _w=window:
+                _winnow_scorer(_c, _k, _w)(df),
+            batch_format="pandas")
     return ds.map_batches(WinnowingFingerprint, batch_format="pandas",
                           concurrency=concurrency, num_cpus=0.5,
                           fn_constructor_kwargs={"text_col": text_col,
