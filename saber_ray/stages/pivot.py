@@ -128,3 +128,50 @@ def pivot(ds, group_keys: Sequence[str] | str, pivot_col: str,
         window=Window.tumbling(10 ** 18), ts_col="__pv_ts", keys=group_keys,
         aggs=aggs, round_decimals=round_decimals)
     return out.drop_columns(["window_id"])
+
+
+def unpivot(ds, id_keys: Sequence[str] | str, value_cols: Sequence[str], *,
+            var_name: str = "variable", value_name: str = "value",
+            drop_null: bool = False):
+    """UNPIVOT / melt: wide → long, the inverse reshape of :func:`pivot`.
+
+    Each input row emits one output row per column in ``value_cols``:
+    ``id_keys + (variable, value)``. Value columns are cast to a common
+    Arrow type (unified via their promoted supertype) so the long
+    ``value`` column is well-typed. SQL twin: DuckDB
+    ``UNPIVOT t ON c1, c2 INTO NAME variable VALUE value`` —
+    which DROPS NULL cells; pass ``drop_null=True`` to match, default
+    keeps them (pandas ``melt`` semantics).
+
+    Embarrassingly parallel: one concat of column slices per batch, no
+    shuffle, no row loops.
+    """
+    id_keys = [id_keys] if isinstance(id_keys, str) else list(id_keys)
+    value_cols = list(value_cols)
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    clash = set(id_keys) & {var_name, value_name}
+    if clash or var_name == value_name:
+        raise ValueError(f"output name collision: {clash or var_name}")
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        vtype = t.schema.field(value_cols[0]).type
+        for c in value_cols[1:]:
+            vtype = pa.unify_schemas(
+                [pa.schema([("v", vtype)]),
+                 pa.schema([("v", t.schema.field(c).type)])],
+                promote_options="permissive").field("v").type
+        outs = []
+        for c in value_cols:
+            part = t.select(id_keys)
+            part = part.append_column(
+                var_name, pa.array([c] * t.num_rows, pa.string()))
+            part = part.append_column(value_name, t[c].cast(vtype))
+            outs.append(part)
+        out = pa.concat_tables(outs, promote_options="default")
+        if drop_null and out.num_rows:
+            out = out.filter(pc.is_valid(out[value_name]))
+        return out.combine_chunks()
+
+    return ds.map_batches(per_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -80,3 +80,40 @@ def test_pivot_discovers_values_and_null_pivot(ray_session):
     got = canon(pivot(ds, "g", "p", "v", values=["g", "x"],
                       prefix="c_").to_pandas())
     assert set(got.columns) == {"g", "c_g", "c_x"}
+
+
+def test_unpivot_vs_duckdb(ray_session):
+    """unpivot(drop_null=True) == DuckDB UNPIVOT (which drops NULL
+    cells); default keeps NULL cells (melt semantics). Mixed int/float
+    value columns unify to float64."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from saber_ray.stages.pivot import unpivot
+
+    t = pa.table({
+        "k": pa.array(["a", "b", "c"], pa.string()),
+        "x": pa.array([1, None, 3], pa.int64()),
+        "y": pa.array([0.5, 2.5, None], pa.float64()),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    got = unpivot(ds, "k", ["x", "y"], drop_null=True).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "UNPIVOT t ON x, y INTO NAME variable VALUE value").df()
+    key = ["k", "variable"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True), check_dtype=False)
+
+    kept = unpivot(ds, "k", ["x", "y"]).to_pandas()
+    assert len(kept) == 6 and kept["value"].isna().sum() == 2
+
+    # round trip: unpivot of a pivot-shaped frame preserves cell values
+    import pytest
+    with pytest.raises(ValueError):
+        unpivot(ds, "k", [])
+    with pytest.raises(ValueError):
+        unpivot(ds, "k", ["x"], var_name="k")
