@@ -693,3 +693,102 @@ def windowed_join(
     sort_cols = ["__cell"] if keyless else (on + ["__cell"] if band else on)
     return both.sort(sort_cols).map_batches(per_block, batch_format="pyarrow",
                                             zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pre-filter (shuffle-volume lever for selective joins)
+# ---------------------------------------------------------------------------
+
+def _join_key_hashes(t: pa.Table, keys: Sequence[str]) -> np.ndarray:
+    """One 64-bit hash per row over the key tuple — FNV-style column
+    mixing so multi-column keys hash identically on both sides.
+
+    Nulls are filled IN ARROW first (a null in an int64 column would
+    otherwise turn ``to_numpy`` into float64, hashing 1.0 differently
+    from the other side's int64 1) and the validity bit is mixed in so a
+    filled null never collides with a genuine default value."""
+    from saber_ray.core.aggregates import null_fill_scalar
+    from saber_ray.stages.stats import _value_hashes
+    h = None
+    for k in keys:
+        col = t[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        isnull = pc.is_null(col).to_numpy(zero_copy_only=False)
+        filled = pc.fill_null(col, null_fill_scalar(col.type)) \
+            if col.null_count else col
+        if pa.types.is_string(filled.type) \
+                or pa.types.is_large_string(filled.type):
+            vals = np.asarray(filled.to_pylist(), dtype=object)
+        else:
+            vals = filled.to_numpy(zero_copy_only=False)
+        hk = _value_hashes(vals) \
+            ^ (isnull.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        h = hk if h is None else (h * np.uint64(1099511628211)) ^ hk
+    return h
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing — h split into two halves,
+    probe i at (h1 + i*h2) mod m."""
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)          # odd → full cycle
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(m_bits)).astype(np.int64)
+
+
+def build_join_bloom(small, on: Sequence[str] | str, *,
+                     n_keys: Optional[int] = None, bits_per_key: int = 10,
+                     k: int = 7) -> dict:
+    """Bloom filter of ``small``'s join keys: per-block bitmaps OR-reduced
+    (each block ships one m/8-byte bitmap, never its rows). ~1% false
+    positives at the default 10 bits/key — false positives only let extra
+    big-side rows through to the EXACT join, never change its result.
+    Returns {"bitmap", "m_bits", "k"} ready to ``ray.put``."""
+    on = [on] if isinstance(on, str) else list(on)
+    if n_keys is None:
+        n_keys = max(int(small.count()), 1)
+    m_bits = 1 << max(16, int(np.ceil(np.log2(bits_per_key * n_keys))))
+    nbytes = m_bits // 8
+
+    def block_bitmap(t: pa.Table) -> pa.Table:
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        if t.num_rows:
+            pos = _bloom_positions(_join_key_hashes(t, on), m_bits, k)
+            np.bitwise_or.at(bm, pos.ravel() >> 3,
+                             np.uint8(1) << (pos.ravel() & 7).astype(np.uint8))
+        return pa.table({"bitmap": pa.array([bm.tobytes()], pa.binary())})
+
+    acc = np.zeros(nbytes, dtype=np.uint8)
+    for b in small.map_batches(block_bitmap, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for buf in b["bitmap"].to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint8)
+    return {"bitmap": acc, "m_bits": m_bits, "k": k}
+
+
+def bloom_prefilter(big, bloom_ref, on: Sequence[str] | str):
+    """Drop big-side rows whose join key cannot exist on the small side
+    (Bloom membership — zero false negatives, so
+    ``merge_join(bloom_prefilter(big, ref, on), small, on=on)`` equals the
+    unfiltered join for inner/semi, with shuffle volume cut to the match
+    fraction (+ ~1% false positives). ``bloom_ref`` = ``ray.put`` of
+    :func:`build_join_bloom`'s result (ships once, read per batch from
+    shared memory). NULL keys hash like values but never survive the
+    downstream exact join's NULL-never-matches rule for inner/semi."""
+    on = [on] if isinstance(on, str) else list(on)
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        bl = ray.get(bloom_ref) if isinstance(bloom_ref, ray.ObjectRef) \
+            else bloom_ref
+        bm, m_bits, k = bl["bitmap"], bl["m_bits"], bl["k"]
+        pos = _bloom_positions(_join_key_hashes(t, on), m_bits, k)
+        bits = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return t.filter(pa.array(bits.all(axis=1)))
+
+    return big.map_batches(probe, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -278,3 +278,81 @@ def test_windowed_join_band_partition_equivalent(ray_session, sf_dir):
     import pandas as pd
     assert len(base) > 0
     pd.testing.assert_frame_equal(base, banded)
+
+
+def test_bloom_prefilter_join_equivalence(ray_session):
+    """Bloom pre-filter never changes the exact join's result (zero false
+    negatives), and on a selective join it removes most of the big side
+    before the exchange."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from saber_ray.stages.join import (bloom_prefilter, build_join_bloom,
+                                       merge_join)
+
+    rng = np.random.default_rng(5)
+    n = 50_000
+    big = pa.table({
+        "k": pa.array(rng.integers(0, 100_000, n), pa.int64()),
+        "v": pa.array(rng.integers(0, 1000, n), pa.int64()),
+    })
+    keys = rng.choice(100_000, 200, replace=False)
+    small = pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "w": pa.array(np.arange(200), pa.int64()),
+    })
+    big_ds = rd.from_arrow(big).repartition(8)
+    small_ds = rd.from_arrow(small).repartition(2)
+
+    bloom = build_join_bloom(small_ds, "k")
+    ref = ray.put(bloom)
+    filtered = bloom_prefilter(big_ds, ref, "k")
+    n_kept = filtered.count()
+    match_rows = int(np.isin(big["k"].to_numpy(), keys).sum())
+    assert n_kept >= match_rows                       # no false negatives
+    assert n_kept <= match_rows + int(0.05 * n)       # selective: ≤ +5% FP
+
+    got = merge_join(bloom_prefilter(big_ds, ref, "k"), small_ds,
+                     on="k", how="inner").to_pandas()
+    want = merge_join(big_ds, small_ds, on="k", how="inner").to_pandas()
+    key = ["k", "v", "w"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[key],
+        want.sort_values(key).reset_index(drop=True)[key])
+
+
+def test_bloom_prefilter_multicol_and_nulls(ray_session):
+    """Multi-column keys hash consistently on both sides; NULL-key rows
+    may pass the bloom but the exact join still drops them (inner)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from saber_ray.stages.join import (bloom_prefilter, build_join_bloom,
+                                       merge_join)
+
+    big = pa.table({
+        "a": pa.array([1, 1, 2, None, 3], pa.int64()),
+        "b": pa.array(["x", "y", "x", "x", None], pa.string()),
+        "v": pa.array([10, 20, 30, 40, 50], pa.int64()),
+    })
+    small = pa.table({
+        "a": pa.array([1, 2], pa.int64()),
+        "b": pa.array(["x", "x"], pa.string()),
+        "w": pa.array([7, 8], pa.int64()),
+    })
+    big_ds = rd.from_arrow(big).repartition(2)
+    small_ds = rd.from_arrow(small)
+    ref = ray.put(build_join_bloom(small_ds, ["a", "b"]))
+    got = merge_join(bloom_prefilter(big_ds, ref, ["a", "b"]), small_ds,
+                     on=["a", "b"], how="inner").to_pandas()
+    want = merge_join(big_ds, small_ds, on=["a", "b"],
+                      how="inner").to_pandas()
+    key = ["a", "b", "v", "w"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[key],
+        want.sort_values(key).reset_index(drop=True)[key])
+    assert set(got["v"]) == {10, 30}
