@@ -343,7 +343,9 @@ def generate_documents(out_dir: str, n_docs: int, *, words_per_doc: int = 32,
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = os.path.join(out_dir, f"documents-{n_docs}.parquet")
+    path = os.path.join(
+        out_dir, f"documents-{n_docs}-w{words_per_doc}-v{vocab}"
+                 f"-d{dup_frac}-s{seed}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)

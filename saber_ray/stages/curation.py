@@ -293,8 +293,9 @@ class _Decontaminator:
 from functools import lru_cache
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=4)
 def _decontaminator(blocklist_ref, text_col: str, n: int) -> _Decontaminator:
+    # bounded: entries hold resolved blocklists and pin their ObjectRefs
     return _Decontaminator(blocklist_ref, text_col, n)
 
 
@@ -310,6 +311,8 @@ def decontaminate(ds, blocklist, text_col: str = "text", *, n: int = 3,
     concurrency=(lo, hi) to pin an actor pool instead. No shuffle; the
     corpus streams through.
     """
+    if isinstance(blocklist, (set, list)):
+        blocklist = frozenset(blocklist)      # lru_cache key must hash
     if concurrency is None:
         return ds.map_batches(
             lambda df, _r=blocklist, _c=text_col, _n=n:

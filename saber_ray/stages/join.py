@@ -748,6 +748,9 @@ def build_join_bloom(small, on: Sequence[str] | str, *,
     Returns {"bitmap", "m_bits", "k"} ready to ``ray.put``."""
     on = [on] if isinstance(on, str) else list(on)
     if n_keys is None:
+        # materialize once: count() would otherwise execute the upstream
+        # pipeline a first time and the bitmap pass a second time
+        small = small.materialize()
         n_keys = max(int(small.count()), 1)
     m_bits = 1 << max(16, int(np.ceil(np.log2(bits_per_key * n_keys))))
     nbytes = m_bits // 8

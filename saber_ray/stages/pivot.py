@@ -165,7 +165,7 @@ def unpivot(ds, id_keys: Sequence[str] | str, value_cols: Sequence[str], *,
         for c in value_cols:
             part = t.select(id_keys)
             part = part.append_column(
-                var_name, pa.array([c] * t.num_rows, pa.string()))
+                var_name, pa.repeat(pa.scalar(c, pa.string()), t.num_rows))
             part = part.append_column(value_name, t[c].cast(vtype))
             outs.append(part)
         out = pa.concat_tables(outs, promote_options="default")

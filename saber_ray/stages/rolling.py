@@ -78,7 +78,9 @@ def rolling_agg(
     range_following: Optional[float] = None,
     keep: Sequence[str] | None = None,
 ):
-    """``aggs``: output alias → op in {sum, avg, count, min, max}.
+    """``aggs``: output alias → op in {sum, avg, count, min, max,
+    first_value, last_value} (the last two are frame-boundary gathers
+    with SQL RESPECT NULLS semantics, dtype-preserving).
 
     Exactly one frame mode must be given:
 

@@ -34,8 +34,11 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 from functools import lru_cache
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=4)
 def _cached_scorer(cls, kwargs_items):
+    # BOUNDED: each entry may hold resolved broadcast state (e.g. a full
+    # corpus matrix) and pins its ObjectRefs — unbounded caching across
+    # calls would leak one matrix per call per worker process
     return cls(**dict(kwargs_items))
 
 

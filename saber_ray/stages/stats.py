@@ -449,9 +449,16 @@ def profile(ds, columns: Sequence[str] | None = None, *,
             sint = sflt = None
             if n > nulls:
                 if pa.types.is_integer(typ):
-                    arr = valid.to_numpy(zero_copy_only=False).astype(np.int64)
+                    # keep the SOURCE dtype (uint64 through .astype(int64)
+                    # would silently wrap values > 2^63); the int64 partial
+                    # columns then require the int64 domain — checked loudly
+                    arr = valid.to_numpy(zero_copy_only=False)
                     vi, xa = int(arr.min()), int(arr.max())
-                    sint = int(arr.sum())
+                    if not (-(2 ** 63) <= vi and xa <= 2 ** 63 - 1):
+                        raise ValueError(
+                            f"profile: column {c!r} has values outside the "
+                            "int64 domain — not supported")
+                    sint = int(arr.astype(np.int64, copy=False).sum())
                     h = _value_hashes(arr)
                 elif pa.types.is_floating(typ):
                     arr = valid.to_numpy(zero_copy_only=False).astype(np.float64)
@@ -459,7 +466,16 @@ def profile(ds, columns: Sequence[str] | None = None, *,
                     sflt = float(arr.sum())
                     h = _value_hashes(arr)
                 else:
-                    arr = np.asarray(valid.to_pylist(), dtype=object)
+                    # any other type (bool/temporal/binary/...) profiles on
+                    # its STRING form: min/max are lexicographic on that
+                    # form (chronological for ISO timestamps), distinct is
+                    # unchanged (the cast is injective for these types)
+                    try:
+                        sarr = pc.cast(valid, pa.string())
+                        arr = np.asarray(sarr.to_pylist(), dtype=object)
+                    except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+                        arr = np.asarray([str(x) for x in valid.to_pylist()],
+                                         dtype=object)
                     si, sa = min(arr), max(arr)
                     h = _value_hashes(arr)
             else:

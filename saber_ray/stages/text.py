@@ -103,12 +103,12 @@ class QualityScorer:
 from functools import lru_cache
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=8)
 def _quality_scorer(text_col: str) -> "QualityScorer":
     return QualityScorer(text_col)
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=8)
 def _lang_scorer(text_col: str) -> "LangId":
     return LangId(text_col)
 
@@ -214,7 +214,7 @@ class WinnowingFingerprint:
         return df
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=8)
 def _winnow_scorer(text_col: str, k: int, window: int) -> "WinnowingFingerprint":
     return WinnowingFingerprint(text_col, k, window)
 

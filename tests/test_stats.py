@@ -227,3 +227,31 @@ def test_profile_typed_minmax_and_nulls(ray_session):
     assert pd.isna(g.loc["s", "mean"])
     assert g.loc["z", "n_distinct"] == 0
     assert pd.isna(g.loc["z", "min_str"]) and pd.isna(g.loc["z", "mean"])
+
+
+def test_profile_temporal_bool_and_uint_guard(ray_session):
+    """Non-numeric, non-string columns (timestamp/bool) profile on their
+    string form instead of crashing; uint64 beyond int64 fails loudly
+    instead of silently wrapping."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    from saber_ray.stages.stats import profile
+
+    t = pa.table({
+        "ts": pa.array(pd.to_datetime(
+            ["2026-01-02", "2026-01-01", None]).values),
+        "flag": pa.array([True, False, True], pa.bool_()),
+    })
+    g = profile(rd.from_arrow(t).repartition(2)).to_pandas() \
+        .set_index("column")
+    assert g.loc["ts", "n_distinct"] == 2 and g.loc["ts", "n_nulls"] == 1
+    assert g.loc["ts", "min_str"].startswith("2026-01-01")
+    assert g.loc["flag", "n_distinct"] == 2
+    assert g.loc["flag", "min_str"] == "false"
+
+    big = pa.table({"u": pa.array([2 ** 63 + 5, 1], pa.uint64())})
+    with pytest.raises(Exception, match="int64 domain"):
+        profile(rd.from_arrow(big)).to_pandas()
