@@ -733,6 +733,96 @@ def _q_q3_shipping(sf):
                 ["revenue", "l_orderkey"], 10, descending=[True, False])
 
 
+_Q5_LO_US = 820454400000000          # 1996-01-01 epoch-us
+_Q5_HI_US = 852076800000000          # 1997-01-01 epoch-us
+
+
+def _q_q5_local_supplier(sf):
+    """TPC-H Q5 (local-supplier revenue): the 6-table analytics chain.
+    Region→nation resolve on the driver (tiny dims); ASIA customers and
+    suppliers BROADCAST (ray.put via broadcast_join — no shuffle for any
+    dimension); orders date-filtered before the join; ONE sort exchange
+    (lineitem ⋈ orders); the c_nationkey == s_nationkey locality
+    constraint is a vectorized post-join filter; fixed-point scale=4
+    revenue grouped by nation name."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from saber_ray.stages.join import merge_join
+
+    region = pq.read_table(os.path.join(sf, "region.parquet"))
+    nation = pq.read_table(os.path.join(sf, "nation.parquet"))
+    asia = region.filter(pc.equal(region["r_name"], "ASIA"))
+    nat = nation.filter(pc.is_in(
+        nation["n_regionkey"], value_set=asia["r_regionkey"].combine_chunks()))
+    nkeys = nat["n_nationkey"].to_numpy()
+    nnames = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    name_of = dict(zip(nkeys.tolist(), nnames.tolist()))
+
+    cust = pq.read_table(os.path.join(sf, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"],
+                                value_set=pa.array(nkeys)))
+    supp = pq.read_table(os.path.join(sf, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pc.is_in(supp["s_nationkey"],
+                                value_set=pa.array(nkeys)))
+
+    lo = pa.scalar(_Q5_LO_US, pa.int64())
+    hi = pa.scalar(_Q5_HI_US, pa.int64())
+
+    def orders_prep(t: "pa.Table") -> "pa.Table":
+        d = pc.cast(t["o_orderdate"], pa.int64())
+        m = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"]}).filter(m)
+
+    orders = read_table(sf, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_prep, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    ojoin = broadcast_join(orders, cust, on="o_custkey",
+                           right_on="c_custkey") \
+        .select_columns(["o_orderkey", "c_nationkey"])
+
+    def li_prep(t: "pa.Table") -> "pa.Table":
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"], "revenue": rev})
+
+    li = read_table(sf, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"]) \
+        .map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined = merge_join(li, ojoin, on="l_orderkey", right_on="o_orderkey",
+                        right_cols=["c_nationkey"])
+    sjoined = broadcast_join(joined, supp, on="l_suppkey",
+                             right_on="s_suppkey")
+
+    names = sorted(name_of.values())
+    codes = {k: names.index(v) for k, v in name_of.items()}
+
+    def local_only(t: "pa.Table") -> "pa.Table":
+        t = t.filter(pc.equal(t["c_nationkey"], t["s_nationkey"]))
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        nm = np.array(names, dtype=object)[
+            np.vectorize(codes.__getitem__, otypes=[np.int64])(nk)] \
+            if len(nk) else np.array([], dtype=object)
+        return pa.table({"n_name": pa.array(nm, pa.string()),
+                         "revenue": t["revenue"].combine_chunks(),
+                         "__ts": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    agg = windowed_aggregate(
+        sjoined.map_batches(local_only, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        window=Window.tumbling(10 ** 18), ts_col="__ts",
+        keys=["n_name"], aggs=[sum_("revenue", "revenue", scale=4)],
+        round_decimals=4, merge="tree")
+    return agg.drop_columns(["window_id"])
+
+
 def _q_fingerprint(sf):
     from saber_ray.stages.text import md5_fingerprint
     docs = read_table(sf, "documents", columns=["doc_id", "text"])
@@ -1104,7 +1194,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": _q_broadcast_join,
         "hash_join_agg": _q_hash_join_agg,
         "windowed_theta_join": _q_windowed_join,
-        "theta_join_keyless": _q_theta_join_keyless,
         "asof_join": _q_asof_join,
         "full_outer_join": _q_full_outer_join,
         "rollup_agg": _q_rollup_agg,
@@ -1132,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_pattern": _q_match_pattern,
         "dedup_exact": _q_dedup_exact,
         "q3_shipping_priority": _q_q3_shipping,
+        "q5_local_supplier": _q_q5_local_supplier,
         "repetition_stats": _q_repetition,
         "pii_redact": _q_pii_redact,
         "decontaminate": _q_decontaminate,
@@ -1368,14 +1458,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
             "ON p.user_id = c.user_id AND epoch_us(p.ts) >= epoch_us(c.ts)"),
-        "theta_join_keyless": (
-            "SELECT epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
-            "p.event_id AS event_id_l, c.event_id AS event_id_r, "
-            "p.value AS value_l, c.value AS value_r "
-            "FROM events p JOIN events c ON p.event_type = 'purchase' "
-            "AND c.event_type = 'click' "
-            f"AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {HOUR} "
-            f"AND epoch_us(p.ts) + {HOUR} AND p.value > c.value"),
+        "q5_local_supplier": (
+            "SELECT n_name, "
+            "ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) "
+            "AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' "
+            f"AND epoch_us(o_orderdate) >= {_Q5_LO_US} "
+            f"AND epoch_us(o_orderdate) < {_Q5_HI_US} "
+            "GROUP BY n_name"),
         "streaming_theta_keyless": (
             "SELECT epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
             "p.event_id AS event_id_l, c.event_id AS event_id_r, "

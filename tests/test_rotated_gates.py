@@ -41,6 +41,15 @@ ROTATED = {
         entry_mod._q_topk,
         "SELECT event_id, value FROM events "
         "ORDER BY value DESC, event_id LIMIT 10"),
+    "theta_join_keyless": (
+        entry_mod._q_theta_join_keyless,
+        "SELECT epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
+        "p.event_id AS event_id_l, c.event_id AS event_id_r, "
+        "p.value AS value_l, c.value AS value_r "
+        "FROM events p JOIN events c ON p.event_type = 'purchase' "
+        "AND c.event_type = 'click' "
+        f"AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {3_600_000_000} "
+        f"AND epoch_us(p.ts) + {3_600_000_000} AND p.value > c.value"),
     "semi_join": (
         entry_mod._q_semi_join,
         "SELECT c_custkey, c_mktsegment FROM customer "
