@@ -115,8 +115,13 @@ def _setop(left, right, op: str, *, distinct: bool,
 
     if cols is not None:
         return run(cols)
-    # full-row set op: column set comes from the (lazy) schema
-    return run(left.schema().names)
+    # full-row set op: column set comes from the (lazy) schema; an EMPTY
+    # dataset's schema() can be None on this Ray version — fall back to
+    # the other side (empty-side rows contribute nothing either way)
+    sch = left.schema() or right.schema()
+    if sch is None:
+        return left          # both sides empty and schemaless
+    return run(sch.names)
 
 
 def except_(left, right, *, on: Sequence[str] | None = None,

@@ -132,3 +132,23 @@ def test_setops_on_subset_and_empty_result(ray_session):
     # schema is lost on fully-empty shuffle output (documented Ray 2.49
     # quirk, setops.py module docstring) — assert emptiness only
     assert len(got) == 0
+
+
+def test_setops_empty_sides(ray_session):
+    """Full-row set ops tolerate empty inputs (an empty Dataset's
+    schema() is None on this Ray version — regression for the
+    hypothesis-found crash)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from saber_ray.stages.setops import except_, intersect
+
+    t = pa.table({"k": pa.array([1, 2, 2], pa.int64()),
+                  "s": pa.array(["a", "b", "b"], pa.string())})
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "s": pa.array([], pa.string())})
+    full, none = rd.from_arrow(t), rd.from_arrow(empty)
+    assert except_(none, full).count() == 0
+    got = except_(full, none, distinct=False).to_pandas()
+    assert len(got) == 3
+    assert intersect(full, none).count() == 0
+    assert intersect(none, none).count() == 0
