@@ -75,3 +75,55 @@ def test_grouping_sets_validation():
         grouping_sets(None, [["a", "a"]], AGGS)
     with pytest.raises(ValueError, match="duplicate grouping sets"):
         grouping_sets(None, [["a", "b"], ["b", "a"]], AGGS)
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(0, 10**6), parts=st.integers(1, 4),
+       which=st.sampled_from(["rollup", "cube", "sets"]))
+def test_grouping_sets_property(ray_session, seed, parts, which):
+    """Random tables (NULL keys, negative values) × random grouping-set
+    shapes vs DuckDB."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 120))
+    a = np.array(["x", "y", "z", None], dtype=object)[rng.integers(0, 4, n)]
+    b = rng.integers(-3, 3, n).astype(object)
+    b[rng.random(n) < 0.2] = None
+    v = np.round(rng.uniform(-100, 100, n), 2)
+    t = pa.table({"a": pa.array(a, pa.string()),
+                  "b": pa.array(b, pa.int64()),
+                  "v": pa.array(v, pa.float64())})
+    sets, sql = {
+        "rollup": (rollup("a", "b"), "ROLLUP (a, b)"),
+        "cube": (cube("a", "b"), "CUBE (a, b)"),
+        "sets": ([["b"], []], "GROUPING SETS ((b), ())"),
+    }[which]
+    ds = rd.from_arrow(t).repartition(parts)
+    got = grouping_sets(ds, sets,
+                        [cnt(alias="n"), sum_("v", alias="sv", scale=2)],
+                        round_decimals=6).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    if which == "sets":
+        # engine all_keys = [b] here, so its bitmask == GROUPING(b)
+        want = con.execute(
+            "SELECT b, GROUPING(b) AS grouping_id, COUNT(*) AS n, "
+            "ROUND(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 6) AS sv "
+            f"FROM t GROUP BY {sql}").df()
+        got = got[[c for c in got.columns if c != "a"]]
+        key = ["grouping_id", "b"]
+    else:
+        want = con.execute(
+            "SELECT a, b, GROUPING(a, b) AS grouping_id, COUNT(*) AS n, "
+            "ROUND(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 6) AS sv "
+            f"FROM t GROUP BY {sql}").df()
+        key = KEY
+    pd.testing.assert_frame_equal(
+        got.sort_values(key, na_position="first")
+           .reset_index(drop=True)[want.columns.tolist()],
+        want.sort_values(key, na_position="first").reset_index(drop=True),
+        check_dtype=False)
