@@ -801,15 +801,16 @@ def _q_q5_local_supplier(sf):
     sjoined = broadcast_join(joined, supp, on="l_suppkey",
                              right_on="s_suppkey")
 
-    names = sorted(name_of.values())
-    codes = {k: names.index(v) for k, v in name_of.items()}
+    # nationkey → name as an ARRAY lookup (nation keys are small ints):
+    # one fancy-index per batch, no per-row Python
+    lut = np.full(int(nkeys.max()) + 1, "", dtype=object)
+    lut[nkeys] = nnames
 
     def local_only(t: "pa.Table") -> "pa.Table":
         t = t.filter(pc.equal(t["c_nationkey"], t["s_nationkey"]))
         nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
-        nm = np.array(names, dtype=object)[
-            np.vectorize(codes.__getitem__, otypes=[np.int64])(nk)] \
-            if len(nk) else np.array([], dtype=object)
+        nm = lut[nk.astype(np.int64)] if len(nk) \
+            else np.array([], dtype=object)
         return pa.table({"n_name": pa.array(nm, pa.string()),
                          "revenue": t["revenue"].combine_chunks(),
                          "__ts": pa.array(np.zeros(t.num_rows, np.int64))})
