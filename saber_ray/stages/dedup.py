@@ -324,8 +324,24 @@ class MinHasher:
                              "signature": list(sig)})
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _minhasher(text_col, id_col, num_perm, shingle_words, seed):
+    return MinHasher(text_col=text_col, id_col=id_col, num_perm=num_perm,
+                     shingle_words=shingle_words, seed=seed)
+
+
 def minhash_signatures(ds, *, text_col="text", id_col="doc_id", num_perm=64,
-                       shingle_words=3, seed=42, concurrency=(1, 4)):
+                       shingle_words=3, seed=42, concurrency=None):
+    """Task-based by default (per-process cached hasher — the permutation
+    state is seeds, not data); concurrency=(lo, hi) pins an actor pool."""
+    if concurrency is None:
+        return ds.map_batches(
+            lambda df, _a=(text_col, id_col, num_perm, shingle_words, seed):
+                _minhasher(*_a)(df),
+            batch_format="pandas")
     return ds.map_batches(
         MinHasher, batch_format="pandas", concurrency=concurrency, num_cpus=0.5,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
