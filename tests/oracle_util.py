@@ -33,7 +33,14 @@ def to_pandas(result) -> pd.DataFrame:
     try:
         import ray.data as rd
         if isinstance(result, rd.Dataset):
-            result = result.to_pandas()
+            df = result.to_pandas()
+            if len(df) == 0 and len(df.columns) == 0:
+                # this Ray version's to_pandas drops columns for 0-row
+                # results even though the Dataset schema is intact
+                sch = result.schema()
+                if sch is not None:
+                    df = pd.DataFrame(columns=list(sch.names))
+            result = df
     except ImportError:
         pass
     if isinstance(result, pa.Table):
