@@ -361,9 +361,12 @@ def generate_documents(out_dir: str, n_docs: int, *, words_per_doc: int = 32,
     ndup = int(n_docs * dup_frac)
     if ndup:
         text[rng.choice(n_docs, ndup, replace=False)] = text[0]
+    # small row groups: a single-row-group file reads as ONE task and
+    # serializes the scan — the Amdahl term that capped curation scaling
     pq.write_table(pa.table({
         "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
-        "text": pa.array(text, pa.string())}), path)
+        "text": pa.array(text, pa.string())}), path,
+        row_group_size=max(n_docs // 256, 4096))
     return path
 
 
