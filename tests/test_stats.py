@@ -255,3 +255,41 @@ def test_profile_temporal_bool_and_uint_guard(ray_session):
     big = pa.table({"u": pa.array([2 ** 63 + 5, 1], pa.uint64())})
     with pytest.raises(Exception, match="int64 domain"):
         profile(rd.from_arrow(big)).to_pandas()
+
+
+def test_windowed_quantiles_composition(ray_session, sf_dir):
+    """assign_windows |> grouped_quantiles = per-sliding-window medians —
+    the compositional primitive the packaged aggregates don't cover,
+    checked vs a DuckDB window-expansion twin."""
+    from saber_ray import Window
+    from saber_ray.sources.parquet import read_table
+    from saber_ray.stages.stats import grouped_quantiles
+    from saber_ray.stages.window_agg import assign_windows
+    from tests.oracle_util import assert_matches_oracle
+
+    DAY = 86_400_000_000
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def to_us(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        return t.set_column(t.column_names.index("ts"), "ts",
+                            pc.cast(t["ts"], pa.int64()))
+
+    ev = ev.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+    w = Window.sliding(2 * DAY, DAY)
+    out = grouped_quantiles(
+        assign_windows(ev, w, ts_col="ts", window_id_alias="window_id"),
+        "window_id", "value",
+        {"p50": 0.5, "p90": 0.9}, count_alias="n")
+    assert_matches_oracle(
+        out,
+        "WITH t AS (SELECT epoch_us(ts) AS tu, value FROM events), "
+        "w AS (SELECT (tu // 86400000000) - o.i AS window_id, value "
+        "FROM t CROSS JOIN (VALUES (0),(1)) o(i) "
+        "WHERE (tu // 86400000000) - o.i >= 0) "
+        "SELECT window_id, "
+        "quantile_disc(value, 0.5) AS p50, "
+        "quantile_disc(value, 0.9) AS p90, COUNT(*) AS n "
+        "FROM w GROUP BY window_id",
+        sf_dir)
