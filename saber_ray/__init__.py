@@ -36,7 +36,7 @@ from saber_ray.stages.sample import hash_sample, bottom_k_sample, \
 from saber_ray.stages.heavy_hitters import heavy_hitters
 from saber_ray.stages.grouping import grouping_sets, rollup, cube
 from saber_ray.stages.curation import (repetition_stats, redact_pii,
-                                       decontaminate,
+                                       decontaminate, normalize_text,
                                        build_shingle_blocklist)
 from saber_ray.stages.stats import grouped_quantiles, profile
 
@@ -50,7 +50,7 @@ __all__ = [
     "grouped_topk", "rolling_agg", "shift", "rank_window",
     "hash_sample", "bottom_k_sample", "stratified_sample", "heavy_hitters",
     "grouping_sets", "rollup", "cube",
-    "repetition_stats", "redact_pii", "decontaminate",
+    "repetition_stats", "redact_pii", "decontaminate", "normalize_text",
     "build_shingle_blocklist", "grouped_quantiles", "profile",
 ]
 

@@ -323,3 +323,32 @@ def decontaminate(ds, blocklist, text_col: str = "text", *, n: int = 3,
         num_cpus=0.5,
         fn_constructor_kwargs={"blocklist_ref": blocklist,
                                "text_col": text_col, "n": n})
+
+
+def normalize_text(ds, text_col: str = "text", *, out: Optional[str] = None,
+                   lower: bool = True, collapse_ws: bool = True,
+                   strip_punct: bool = False):
+    """Standard pre-tokenization normalization: lowercase, whitespace
+    collapse (any run of whitespace → one space, ends trimmed), optional
+    punctuation stripping. Pure ``pyarrow.compute`` kernels (utf8_lower +
+    RE2 replace), NULL text stays NULL; in-place unless ``out`` names a
+    new column. Embarrassingly parallel; the RE2 patterns are shared
+    verbatim with the DuckDB twin (regexp_replace ... 'g')."""
+    dst = out or text_col
+
+    def f(t: pa.Table) -> pa.Table:
+        cur = t[text_col]
+        if lower:
+            cur = pc.utf8_lower(cur)
+        if strip_punct:
+            cur = pc.replace_substring_regex(cur, pattern=r"[^\w\s]",
+                                             replacement="")
+        if collapse_ws:
+            cur = pc.replace_substring_regex(cur, pattern=r"\s+",
+                                             replacement=" ")
+            cur = pc.utf8_trim(cur, " ")
+        if dst in t.column_names:
+            return t.set_column(t.column_names.index(dst), dst, cur)
+        return t.append_column(dst, cur)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

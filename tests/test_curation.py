@@ -117,3 +117,40 @@ def test_decontaminate_vs_reference(ray_session, seed, parts):
 def test_repetition_stats_rejects_unigram():
     with pytest.raises(ValueError):
         repetition_stats(None, "text", ngram=1)
+
+
+def test_normalize_text_vs_duckdb(ray_session, sf_dir):
+    """normalize_text == the DuckDB lower/regexp_replace/trim chain with
+    the same RE2 patterns, over the documents corpus + synthetic mess."""
+    from saber_ray.sources.parquet import read_table
+    from saber_ray.stages.curation import normalize_text
+    from tests.oracle_util import assert_matches_oracle
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mess(df):
+        out = df.copy()
+        out["text"] = ("  A " + out["text"].fillna("") +
+                       "\t Mixed,CASE!!  x\n\n")
+        return out
+
+    out = normalize_text(docs.map_batches(mess, batch_format="pandas"),
+                         "text", strip_punct=True)
+    assert_matches_oracle(
+        out,
+        "SELECT doc_id, trim(regexp_replace(regexp_replace("
+        r"lower('  A ' || COALESCE(text, '') || chr(9) || ' Mixed,CASE!!  x' "
+        r"|| chr(10) || chr(10)), '[^\w\s]', '', 'g'), '\s+', ' ', 'g'), "
+        "' ') AS text FROM documents",
+        sf_dir)
+
+
+def test_normalize_text_null_and_out_col(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from saber_ray.stages.curation import normalize_text
+    t = pa.table({"text": pa.array(["  Hi   THERE ", None], pa.string())})
+    got = normalize_text(rd.from_arrow(t), "text",
+                         out="clean").to_pandas()
+    assert got["clean"].tolist() == ["hi there", None]
+    assert got["text"].tolist() == ["  Hi   THERE ", None]
