@@ -147,6 +147,7 @@ def merge_join(
     how: str = "inner",
     right_cols: Optional[Sequence[str]] = None,
     right_suffix: str = "_r",
+    prefilter: bool = False,
 ):
     """Engine-owned distributed equi join: ONE sort co-location exchange +
     per-block vectorized pairing. ``how ∈ {inner, semi, anti, left_outer,
@@ -181,6 +182,16 @@ def merge_join(
     on = [on] if isinstance(on, str) else list(on)
     r_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on))
+    if prefilter:
+        # bloom pre-filter of the left side (build_join_bloom below): only
+        # sound when left rows need a match to be emitted — for inner/semi
+        # dropped rows could never appear (NULL keys drop either way)
+        if how not in ("inner", "semi"):
+            raise ValueError(
+                "prefilter=True is only sound for how='inner'/'semi'")
+        right = right.materialize()
+        bloom_ref = ray.put(build_join_bloom(right, r_on))
+        left = bloom_prefilter(left, bloom_ref, on)
     rnames = [c for c in (right_cols if right_cols is not None
                           else right.schema().names) if c not in r_on]
     if how in ("right_outer", "full_outer"):

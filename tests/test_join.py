@@ -356,3 +356,32 @@ def test_bloom_prefilter_multicol_and_nulls(ray_session):
         got.sort_values(key).reset_index(drop=True)[key],
         want.sort_values(key).reset_index(drop=True)[key])
     assert set(got["v"]) == {10, 30}
+
+
+def test_merge_join_prefilter_flag(ray_session):
+    """merge_join(prefilter=True) equals the plain join for inner/semi
+    and rejects outer/anti modes."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    from saber_ray.stages.join import merge_join
+
+    rng = np.random.default_rng(9)
+    l = pa.table({"k": pa.array(rng.integers(0, 1000, 5000), pa.int64()),
+                  "v": pa.array(np.arange(5000), pa.int64())})
+    r = pa.table({"k": pa.array(rng.choice(1000, 50, replace=False),
+                                pa.int64()),
+                  "w": pa.array(np.arange(50), pa.int64())})
+    lds, rds = rd.from_arrow(l).repartition(4), rd.from_arrow(r)
+    for how in ("inner", "semi"):
+        got = merge_join(lds, rds, on="k", how=how,
+                         prefilter=True).to_pandas()
+        want = merge_join(lds, rds, on="k", how=how).to_pandas()
+        cols = sorted(want.columns)
+        pd.testing.assert_frame_equal(
+            got.sort_values(cols).reset_index(drop=True)[cols],
+            want.sort_values(cols).reset_index(drop=True)[cols])
+    with pytest.raises(ValueError, match="prefilter"):
+        merge_join(lds, rds, on="k", how="left_outer", prefilter=True)
