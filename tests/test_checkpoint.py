@@ -112,33 +112,47 @@ def test_job_entry_resumable(tmp_path):
 
 
 def test_curation_job_end_to_end_and_resume(ray_session, sf_dir, tmp_path):
-    """jobs/run_curation.py: curated output is complete across buckets
-    (union of bucket outputs = the same pipeline run unpartitioned), no
-    doc appears twice, and a second run skips every completed bucket."""
+    """jobs/run_curation.py: ONE partitioning scan shards the corpus (each
+    doc exactly once — no per-bucket re-scan), curated output is complete
+    across buckets (union of bucket outputs = the same pipeline run
+    unpartitioned), no doc appears twice, and a second run skips both the
+    completed partition pass and every completed bucket."""
     import ray
-    import pyarrow as pa
     import pyarrow.parquet as pq
+    import ray.data as rd
 
-    from jobs.run_curation import build_curation
-    from saber_ray.sources.parquet import read_table
+    from jobs.run_curation import (build_curation, bucket_dirs,
+                                   heldout_dir, partition_corpus)
     from saber_ray.stages.curation import build_shingle_blocklist
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    shards = partition_corpus(sf_dir, str(tmp_path / "shards"), 3)
+    parts = bucket_dirs(shards)
+    assert 1 <= len(parts) <= 3
 
-    def held_out(t: pa.Table) -> pa.Table:
-        import numpy as np
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(ids % 17 == 0))
+    # scan-amplification guard: the shards hold each corpus doc EXACTLY
+    # once (plus the heldout copy) — per-bucket reads are disjoint slices
+    # of one scan, total shard bytes ≈ 1× corpus
+    corpus = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    shard_ids = pd.concat(
+        [pq.read_table(f, columns=["doc_id"]).to_pandas()
+         for _, d in parts
+         for f in glob.glob(os.path.join(d, "*.parquet"))],
+        ignore_index=True)["doc_id"]
+    assert sorted(shard_ids) == sorted(corpus["doc_id"].to_pylist())
+    ho = heldout_dir(shards)
+    held = pd.concat(
+        [pq.read_table(f, columns=["doc_id"]).to_pandas()
+         for f in glob.glob(os.path.join(ho, "*.parquet"))],
+        ignore_index=True)["doc_id"]
+    assert (held % 17 == 0).all()
 
     bl_ref = ray.put(build_shingle_blocklist(
-        docs.map_batches(held_out, batch_format="pyarrow",
-                         zero_copy_batch=True), "text", n=3))
+        rd.read_parquet(ho, columns=["text"]), "text", n=3))
 
     out = str(tmp_path / "curated")
-    parts = [(f"bucket{i}", i) for i in range(3)]
-    m1 = run_partitioned(
-        lambda b: build_curation(sf_dir, b, 3, bl_ref), parts, out)
-    assert len(m1["partitions"]) == 3
+    m1 = run_partitioned(lambda d: build_curation(d, bl_ref), parts, out)
+    assert len(m1["partitions"]) == len(parts)
     got = pq.read_table(glob.glob(os.path.join(out, "part=*/*.parquet"))
                         ).to_pandas().sort_values("doc_id")
     assert len(got) > 0
@@ -146,15 +160,21 @@ def test_curation_job_end_to_end_and_resume(ray_session, sf_dir, tmp_path):
     assert (got["n_ws_tokens"] > 0).all()     # token stats present
 
     # one-bucket run over the whole corpus must produce the same doc set
+    shards1 = partition_corpus(sf_dir, str(tmp_path / "shards1"), 1)
     whole = run_partitioned(
-        lambda b: build_curation(sf_dir, 0, 1, bl_ref),
-        [("all", 0)], str(tmp_path / "whole"))
+        lambda d: build_curation(d, bl_ref),
+        bucket_dirs(shards1), str(tmp_path / "whole"))
     ref = pq.read_table(glob.glob(
         str(tmp_path / "whole" / "part=*/*.parquet"))).to_pandas()
     assert set(ref["doc_id"]) == set(got["doc_id"])
 
-    # resume: nothing re-runs (manifest rows/epoch untouched per bucket)
+    # resume: the partition pass is a marker-guarded no-op...
+    import os.path as osp
+    mtime = osp.getmtime(osp.join(shards, "_PARTITIONED"))
+    assert partition_corpus(sf_dir, str(tmp_path / "shards"), 3) == shards
+    assert osp.getmtime(osp.join(shards, "_PARTITIONED")) == mtime
+    # ...and nothing re-builds (manifest rows/epoch untouched per bucket)
     m2 = run_partitioned(
-        lambda b: (_ for _ in ()).throw(AssertionError("must not rebuild")),
+        lambda d: (_ for _ in ()).throw(AssertionError("must not rebuild")),
         parts, out)
     assert m2["partitions"] == m1["partitions"]
