@@ -31,7 +31,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["splitmix64", "hash_column", "hash_columns"]
+__all__ = ["splitmix64", "hash_column", "hash_columns", "substring_hashes",
+           "string_buffers"]
 
 _P = np.uint64(1099511628211)                     # FNV-1a prime (odd)
 _P_INV = np.uint64(pow(1099511628211, -1, 2 ** 64))
@@ -87,12 +88,50 @@ def _poly_prefix(data: np.ndarray) -> np.ndarray:
     return pre
 
 
-def _string_hashes(arr: pa.Array) -> np.ndarray:
-    """One uint64 per row of a string/binary array, straight from the
-    offsets + data buffers (nulls hash as empty — mix validity upstream)."""
-    n = len(arr)
+def _inv_pows(starts: np.ndarray) -> np.ndarray:
+    """P**-starts (mod 2**64). For SORTED starts (string offsets, token
+    runs — every caller here) the exponent gaps are tiny, so this runs
+    binary exponentiation only over the gaps (~bits(max_gap) ≈ 5 vector
+    passes) and one wrapping cumprod, instead of ~bits(buffer_size) ≈ 27
+    passes over full-magnitude exponents."""
+    n = len(starts)
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
+    gaps = np.diff(starts)
+    if len(gaps) == 0 or gaps.min() < 0:           # unsorted — direct path
+        return _pow_u64(_P_INV, starts)
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = _pow_u64(_P_INV, starts[:1].astype(np.uint64))[0]
+    if n > 1:
+        ipg = _pow_u64(_P_INV, gaps)
+        np.cumprod(ipg, out=ipg)                   # wrapping uint64
+        out[1:] = out[0] * ipg
+    return out
+
+
+def substring_hashes(data: np.ndarray, starts: np.ndarray,
+                     ends: np.ndarray) -> np.ndarray:
+    """One uint64 per [start, end) byte range of ``data`` — the SAME hash
+    a whole-string would get via :func:`hash_column`, so byte-level
+    consumers (core/bytescan.py token runs) can compare against hashes of
+    Arrow string values directly."""
+    pre = _poly_prefix(data)
+    # normalize to position 0: h = (pre[end] - pre[start]) * P**-start,
+    # so equal byte ranges hash equal anywhere in the buffer
+    h = (pre[ends] - pre[starts]) * _inv_pows(starts)
+    # length mix distinguishes trailing-zero-byte edge cases ("\x00" vs "")
+    h ^= splitmix64((ends - starts).astype(np.uint64))
+    return splitmix64(h)
+
+
+def string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray,
+                                           np.ndarray]:
+    """(flat byte buffer, per-row starts, per-row ends) of a string/binary
+    array, de-sliced to the array's own range (zero copies of the data)."""
+    n = len(arr)
+    if n == 0:
+        return (np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64),
+                np.zeros(0, dtype=np.int64))
     off_dtype = np.int64 if pa.types.is_large_string(arr.type) \
         or pa.types.is_large_binary(arr.type) else np.int32
     bufs = arr.buffers()
@@ -102,14 +141,16 @@ def _string_hashes(arr: pa.Array) -> np.ndarray:
     data = (np.frombuffer(bufs[2], dtype=np.uint8)[lo:hi]
             if bufs[2] is not None and hi > lo
             else np.zeros(0, dtype=np.uint8))
-    starts, ends = offs[:-1] - lo, offs[1:] - lo
-    pre = _poly_prefix(data)
-    # normalize to position 0: h = (pre[end] - pre[start]) * P**-start,
-    # so equal byte ranges hash equal anywhere in the buffer
-    h = (pre[ends] - pre[starts]) * _pow_u64(_P_INV, starts)
-    # length mix distinguishes trailing-zero-byte edge cases ("\x00" vs "")
-    h ^= splitmix64((ends - starts).astype(np.uint64))
-    return splitmix64(h)
+    return data, offs[:-1] - lo, offs[1:] - lo
+
+
+def _string_hashes(arr: pa.Array) -> np.ndarray:
+    """One uint64 per row of a string/binary array, straight from the
+    offsets + data buffers (nulls hash as empty — mix validity upstream)."""
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    data, starts, ends = string_buffers(arr)
+    return substring_hashes(data, starts, ends)
 
 
 def _as_single_chunk(col) -> pa.Array:

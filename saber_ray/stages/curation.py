@@ -28,7 +28,6 @@ from __future__ import annotations
 from typing import Iterable, Optional
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -41,20 +40,12 @@ __all__ = ["repetition_stats", "redact_pii", "decontaminate",
 
 
 # ---------------------------------------------------------------------------
-# shared token machinery (one C-level split + explode; zero per-row Python)
+# shared token machinery (one C-level split; zero per-row Python, and —
+# since r4 — zero pandas object arrays: tokens stay Arrow end-to-end,
+# see saber_ray/core/tokens.py)
 # ---------------------------------------------------------------------------
 
-def _split_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """(flat token array, owner row index per token) via one split+explode.
-
-    ``''.split(' ') == ['']`` — empty/NULL text yields ONE empty token,
-    exactly like DuckDB ``string_split('', ' ')``, so every row owns >= 1
-    token and per-row bincounts never divide by zero.
-    """
-    words = texts.fillna("").str.split(" ")
-    flat = words.explode()
-    return (flat.to_numpy(dtype=object),
-            flat.index.to_numpy(dtype=np.int64))
+from saber_ray.core.tokens import join_with_space, split_ws, token_codes
 
 
 def _gram_codes(codes: np.ndarray, owners: np.ndarray, k: int
@@ -82,15 +73,13 @@ def _gram_codes(codes: np.ndarray, owners: np.ndarray, k: int
     return gc[pos], pos
 
 
-def _shingle_strings(flat: np.ndarray, upos: np.ndarray, n: int
-                     ) -> np.ndarray:
+def _shingle_strings(flat: pa.Array, upos: np.ndarray, n: int) -> pa.Array:
     """Space-joined n-token shingle strings for gram START positions
     ``upos`` — THE one join convention shared by blocklist construction
-    and probing (divergence would silently break membership)."""
-    s = flat[upos]
-    for step in range(1, n):
-        s = s + " " + flat[upos + step]
-    return s
+    and probing (divergence would silently break membership). One
+    ``binary_join_element_wise`` over n takes; no Python strings."""
+    return join_with_space(
+        *[flat.take(pa.array(upos + step)) for step in range(n)])
 
 
 def _distinct_per_owner(owners: np.ndarray, codes: np.ndarray, n_rows: int,
@@ -118,18 +107,17 @@ def repetition_stats(ds, text_col: str = "text", *, ngram: int = 2,
 
     All fractions are float64 divisions of exact integer counts, rounded
     with the oracle-parity ROUND — bit-exact against the DuckDB twin.
-    Entirely C-level per batch: one split+explode, one factorize, three
-    ``np.unique`` passes. Embarrassingly parallel (no shuffle).
+    Entirely C-level per batch and Arrow end-to-end (zero pandas object
+    arrays): one Arrow split, one dictionary_encode, three ``np.unique``
+    passes. Embarrassingly parallel (no shuffle).
     """
     if ngram < 2:
         raise ValueError("ngram must be >= 2")
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        t = df[text_col].reset_index(drop=True)
-        flat, owners = _split_tokens(t)
-        codes, uniq = pd.factorize(flat)
-        codes = codes.astype(np.int64)
-        n_rows, vocab = len(t), len(uniq)
+    def f(t: pa.Table) -> pa.Table:
+        flat, owners = split_ws(t[text_col])
+        codes, uniq = token_codes(flat)
+        n_rows, vocab = t.num_rows, len(uniq)
         n = np.bincount(owners, minlength=n_rows)          # >= 1 per row
         # ONE unique pass over packed (owner, token) serves both distinct
         # counts and the top-token count (a second np.unique would re-sort
@@ -147,15 +135,16 @@ def repetition_stats(ds, text_col: str = "text", *, ngram: int = 2,
         gnd = _distinct_per_owner(gown, gcodes, n_rows,
                                   int(gcodes.max()) + 1 if len(gcodes) else 1)
         nf = n.astype(np.float64)
-        df = df.copy()
-        df["n_tokens"] = n
-        df["dup_word_frac"] = round_oracle_np((n - nd) / nf, decimals)
-        df["dup_ngram_frac"] = round_oracle_np(
-            (gtot - gnd) / np.maximum(gtot, 1).astype(np.float64), decimals)
-        df["top_word_frac"] = round_oracle_np(top / nf, decimals)
-        return df
+        t = t.append_column("n_tokens", pa.array(n, type=pa.int64()))
+        t = t.append_column("dup_word_frac", pa.array(
+            round_oracle_np((n - nd) / nf, decimals)))
+        t = t.append_column("dup_ngram_frac", pa.array(round_oracle_np(
+            (gtot - gnd) / np.maximum(gtot, 1).astype(np.float64),
+            decimals)))
+        return t.append_column("top_word_frac",
+                               pa.array(round_oracle_np(top / nf, decimals)))
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -237,57 +226,59 @@ def build_shingle_blocklist(ds, text_col: str = "text", *, n: int = 3
     (benchmark suites are MBs, not TBs) — the corpus being decontaminated
     never materializes.
     """
-    def shingles(df: pd.DataFrame) -> pd.DataFrame:
-        flat, owners = _split_tokens(df[text_col].reset_index(drop=True))
-        codes, _ = pd.factorize(flat)
-        gcodes, gpos = _gram_codes(codes.astype(np.int64), owners, n)
+    def shingles(t: pa.Table) -> pa.Table:
+        flat, owners = split_ws(t[text_col])
+        codes, _ = token_codes(flat)
+        gcodes, gpos = _gram_codes(codes, owners, n)
         if len(gcodes) == 0:
-            return pd.DataFrame({"shingle": pd.Series([], dtype=object)})
+            return pa.table({"shingle": pa.array([], type=pa.string())})
         _, first = np.unique(gcodes, return_index=True)
-        return pd.DataFrame(
-            {"shingle": _shingle_strings(flat, gpos[first], n)})
+        return pa.table({"shingle": _shingle_strings(flat, gpos[first], n)})
 
     out = set()
-    for b in ds.map_batches(shingles, batch_format="pandas").iter_batches(
-            batch_format="pandas"):
-        out.update(b["shingle"].tolist())
+    for b in ds.map_batches(shingles, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"):
+        out.update(b["shingle"].to_pylist())
     return frozenset(out)
 
 
 class _Decontaminator:
-    """Actor-pool stage: per-batch distinct-shingle overlap vs a broadcast
-    blocklist. ``ray.get`` of the blocklist once per actor (__init__),
-    membership tested once per UNIQUE shingle per batch (shingle strings
-    are only BUILT for unique gram codes — first-occurrence positions)."""
+    """Per-process stage state: per-batch distinct-shingle overlap vs a
+    broadcast blocklist. ``ray.get`` of the blocklist once per process
+    (__init__) — converted ONCE to an Arrow value set for ``pc.is_in`` —
+    and membership tested once per UNIQUE shingle per batch (shingle
+    strings are only BUILT for unique gram codes — first-occurrence
+    positions). Arrow end-to-end; no pandas object arrays."""
 
     def __init__(self, blocklist_ref, text_col: str, n: int):
-        self.bl = (ray.get(blocklist_ref)
-                   if isinstance(blocklist_ref, ray.ObjectRef)
-                   else blocklist_ref)
+        bl = (ray.get(blocklist_ref)
+              if isinstance(blocklist_ref, ray.ObjectRef)
+              else blocklist_ref)
+        self.bl_set = pa.array(sorted(bl), type=pa.string())
         self.text_col, self.n = text_col, n
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        t = df[self.text_col].reset_index(drop=True)
-        flat, owners = _split_tokens(t)
-        codes, _ = pd.factorize(flat)
-        gcodes, gpos = _gram_codes(codes.astype(np.int64), owners, self.n)
-        n_rows = len(t)
+    def __call__(self, t: pa.Table) -> pa.Table:
+        flat, owners = split_ws(t[self.text_col])
+        codes, _ = token_codes(flat)
+        gcodes, gpos = _gram_codes(codes, owners, self.n)
+        n_rows = t.num_rows
         n_cont = np.zeros(n_rows, dtype=np.int64)
         if len(gcodes):
             u, first, inv = np.unique(gcodes, return_index=True,
                                       return_inverse=True)
             s = _shingle_strings(flat, gpos[first], self.n)
-            memb = pd.Series(s).isin(self.bl).to_numpy(dtype=bool)
+            memb = pc.is_in(s, value_set=self.bl_set) \
+                .to_numpy(zero_copy_only=False).astype(bool)
             hit = memb[inv]
             gown = owners[gpos]
             # distinct contaminated shingles per row
             pair = np.unique(gown[hit] * np.int64(len(u)) + inv[hit])
             n_cont = np.bincount((pair // len(u)).astype(np.int64),
                                  minlength=n_rows)
-        df = df.copy()
-        df["n_contaminated"] = n_cont
-        df["contaminated"] = n_cont > 0
-        return df
+        t = t.append_column("n_contaminated", pa.array(n_cont,
+                                                       type=pa.int64()))
+        return t.append_column("contaminated", pa.array(n_cont > 0))
 
 
 from functools import lru_cache
@@ -315,12 +306,12 @@ def decontaminate(ds, blocklist, text_col: str = "text", *, n: int = 3,
         blocklist = frozenset(blocklist)      # lru_cache key must hash
     if concurrency is None:
         return ds.map_batches(
-            lambda df, _r=blocklist, _c=text_col, _n=n:
-                _decontaminator(_r, _c, _n)(df),
-            batch_format="pandas")
+            lambda t, _r=blocklist, _c=text_col, _n=n:
+                _decontaminator(_r, _c, _n)(t),
+            batch_format="pyarrow", zero_copy_batch=True)
     return ds.map_batches(
-        _Decontaminator, batch_format="pandas", concurrency=concurrency,
-        num_cpus=0.5,
+        _Decontaminator, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, num_cpus=0.5,
         fn_constructor_kwargs={"blocklist_ref": blocklist,
                                "text_col": text_col, "n": n})
 

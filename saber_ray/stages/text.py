@@ -14,7 +14,7 @@ hot paths.
 from __future__ import annotations
 
 import hashlib
-import re
+
 from typing import Optional
 
 import numpy as np
@@ -53,51 +53,83 @@ def token_stats(ds, text_col: str = "text", *, batch_size: Optional[int] = None)
     return ds.map_batches(f, **kw)
 
 
-def _explode_words(t: pd.Series, word_re) -> tuple[pd.Series, np.ndarray]:
-    """(flat token Series, owner row index per token) via one C-level
-    findall + explode — the shared vectorization for the token heuristics."""
-    words = t.str.findall(word_re)
-    flat = words.explode()
-    flat = flat[flat.notna()]
-    return flat, flat.index.to_numpy(dtype=np.int64)
-
-
 class QualityScorer:
-    """Actor-pool stage: heuristic document quality in [0,1].
+    """Per-process stage state: heuristic document quality in [0,1].
 
-    Regexes compiled once per actor (__init__), applied vectorized per batch.
-    Components: alpha ratio, punctuation ratio, mean word length sanity,
-    English-stopword hit ratio — the standard cheap pretraining filters.
+    Stopword value set built once per process (__init__); per batch
+    everything is Arrow/RE2 kernels + bincounts — the corpus text column
+    never becomes pandas object arrays (VERDICT r3 #3). Components: alpha
+    ratio, punctuation ratio, mean word length sanity, English-stopword
+    hit ratio — the standard cheap pretraining filters. RE2 on both sides:
+    pyarrow's count_substring_regex and the DuckDB oracle twin share
+    semantics exactly (the corpus is ASCII, where Python's old
+    unicode-\\w path was identical anyway).
     """
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word = re.compile(r"[a-zA-Z]+")
-        self.stop = STOPWORDS["en"]
+        self.stop = pa.array(sorted(STOPWORDS["en"]), type=pa.string())
+        from saber_ray.core.bytescan import pack_words
+        self.stop_packed, self.stop_w = pack_words(STOPWORDS["en"])
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        t = df[self.text_col].fillna("").reset_index(drop=True)
-        n = t.str.len().clip(lower=1)
-        alpha = t.str.count(r"[A-Za-z]") / n
-        punct = t.str.count(r"[^\w\s]") / n
-        # one explode, then C-level isin/bincount — no per-row Python
-        # (the previous words.map(lambda ...) ran Python per document)
-        flat, owners = _explode_words(t, self.word)
-        n_words = np.maximum(np.bincount(owners, minlength=len(t)), 1)
-        is_stop = flat.str.lower().isin(self.stop).to_numpy(dtype=bool)
-        stops = np.bincount(owners[is_stop], minlength=len(t))
-        wl_sum = np.bincount(owners, weights=flat.str.len().to_numpy(dtype=float),
-                             minlength=len(t))
-        stop_ratio = pd.Series(stops / n_words)
+    def _counts(self, txt, n_rows: int):
+        """(alpha count, punct count, n_words, stopword hits, word-length
+        sum) per row. ASCII batches take the byte-LUT fast path (one
+        gather + cumsum per class, token runs from the flat buffer,
+        packed-uint64 stopword probes — exact equality, no hashing); any
+        multi-byte batch falls back to the RE2 kernels with IDENTICAL
+        class semantics."""
+        from saber_ray.core import bytescan as bs
+        from saber_ray.core.hashing import string_buffers
+        from saber_ray.core.tokens import _single, split_regex
+        data, starts, ends = string_buffers(_single(txt))
+        if bs.all_ascii(data):
+            alpha_c = bs.count_class(data, starts, ends, bs.LUT_ALPHA)
+            punct_c = bs.count_class(data, starts, ends, bs.LUT_PUNCT)
+            rs, re_, owners = bs.token_runs(data, starts, ends,
+                                            bs.LUT_ALPHA)
+            n_words = np.maximum(np.bincount(owners, minlength=n_rows), 1)
+            packed = bs.pack_runs(bs.lower_ascii(data), rs, re_,
+                                  self.stop_w)
+            is_stop = bs.member_counts(packed, self.stop_packed)
+            stops = np.bincount(owners[is_stop], minlength=n_rows)
+            # words are alpha runs, so sum(word lengths) == alpha count
+            return alpha_c, punct_c, n_words, stops, \
+                alpha_c.astype(np.float64)
+        alpha_c = pc.count_substring_regex(txt, r"[A-Za-z]") \
+            .to_numpy(zero_copy_only=False)
+        punct_c = pc.count_substring_regex(txt, r"[^\w\s]") \
+            .to_numpy(zero_copy_only=False)
+        flat, owners = split_regex(txt, "a-zA-Z")
+        n_words = np.maximum(np.bincount(owners, minlength=n_rows), 1)
+        is_stop = pc.is_in(pc.utf8_lower(flat), value_set=self.stop) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        stops = np.bincount(owners[is_stop], minlength=n_rows)
+        wl_sum = np.bincount(
+            owners, weights=pc.utf8_length(flat)
+            .to_numpy(zero_copy_only=False).astype(np.float64),
+            minlength=n_rows)
+        return alpha_c, punct_c, n_words, stops, wl_sum
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t[self.text_col], "")
+        n_rows = t.num_rows
+        n = np.maximum(pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+                       .astype(np.float64), 1.0)
+        alpha_c, punct_c, n_words, stops, wl_sum = self._counts(txt, n_rows)
+        alpha = alpha_c / n
+        punct = punct_c / n
+        stop_ratio = stops / n_words
         mean_wl = wl_sum / n_words
         wl_ok = ((mean_wl >= 2.0) & (mean_wl <= 12.0)).astype(float)
-        score = (0.35 * alpha.to_numpy() + 0.25 * np.clip(1.0 - punct.to_numpy(), 0, 1)
-                 + 0.2 * (stop_ratio.clip(0, 1) * 4.0 / (1 + 3.0 * stop_ratio)).to_numpy()
+        score = (0.35 * alpha + 0.25 * np.clip(1.0 - punct, 0, 1)
+                 + 0.2 * (np.clip(stop_ratio, 0, 1) * 4.0
+                          / (1 + 3.0 * stop_ratio))
                  + 0.2 * wl_ok)
         from saber_ray.core.aggregates import round_oracle_np
-        df = df.copy()
-        df["quality"] = round_oracle_np(np.clip(score, 0.0, 1.0), 6)
-        return df
+        return t.append_column(
+            "quality", pa.array(round_oracle_np(np.clip(score, 0.0, 1.0),
+                                                6)))
 
 
 from functools import lru_cache
@@ -115,56 +147,87 @@ def _lang_scorer(text_col: str) -> "LangId":
 
 def quality_score(ds, text_col: str = "text", *, concurrency=None):
     """Default (concurrency=None) runs as plain TASKS — the scorer state
-    (two compiled regexes + a frozenset) is built once per worker process
-    via lru_cache, and parallelism scales to every core instead of an
+    (an Arrow stopword value set) is built once per worker process via
+    lru_cache, and parallelism scales to every core instead of an
     actor-pool cap. Pass concurrency=(lo, hi) to pin an actor pool (the
     shape reserved for genuinely expensive setup, e.g. model loads)."""
     if concurrency is None:
         return ds.map_batches(
-            lambda df, _c=text_col: _quality_scorer(_c)(df),
-            batch_format="pandas")
-    return ds.map_batches(QualityScorer, batch_format="pandas",
+            lambda t, _c=text_col: _quality_scorer(_c)(t),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(QualityScorer, batch_format="pyarrow",
+                          zero_copy_batch=True,
                           concurrency=concurrency, num_cpus=0.5,
                           fn_constructor_kwargs={"text_col": text_col})
 
 
 class LangId:
-    """Actor-pool stage: stopword-overlap language classifier.
+    """Per-process stage state: stopword-overlap language classifier.
 
     Deterministic heuristic: the language whose stopword lexicon hits the
-    most tokens wins; 'und' (undetermined) when nothing hits.
+    most tokens wins; 'und' (undetermined) when nothing hits. Arrow
+    end-to-end: one RE2 split + one ``is_in``/bincount per language —
+    same RE2 ``[\\wÀ-ÿ]+`` token class as the DuckDB oracle twin.
     """
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word = re.compile(r"[\wÀ-ÿ]+")
-        self.lex = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+        self.lex = {lang: pa.array(sorted(ws), type=pa.string())
+                    for lang, ws in STOPWORDS.items()}
+        from saber_ray.core.bytescan import pack_words
+        self.lex_packed = {}
+        self.pack_w = 1
+        for lang, ws in STOPWORDS.items():
+            vals, w = pack_words(ws)
+            self.lex_packed[lang] = vals
+            self.pack_w = max(self.pack_w, w)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        t = df[self.text_col].fillna("").str.lower().reset_index(drop=True)
-        flat, owners = _explode_words(t, self.word)
-        langs = sorted(self.lex)
-        scores = np.zeros((len(df), len(langs)), dtype=np.int64)
-        # one explode + one C-level isin/bincount per language — the old
-        # toks.map(lambda ...) ran a Python loop per (row, language)
+    def _scores(self, t: pa.Table, langs: list) -> np.ndarray:
+        """(n_rows, n_langs) stopword hit counts. ASCII batches tokenize
+        from the byte buffer ([\\wÀ-ÿ] degenerates to RE2 \\w when no
+        multi-byte chars exist) and probe packed-uint64 lexicons (exact
+        equality); otherwise the RE2 split + Arrow is_in path runs with
+        identical semantics."""
+        from saber_ray.core import bytescan as bs
+        from saber_ray.core.hashing import string_buffers
+        from saber_ray.core.tokens import _single, split_regex
+        n_rows = t.num_rows
+        scores = np.zeros((n_rows, len(langs)), dtype=np.int64)
+        raw = pc.fill_null(t[self.text_col], "")
+        data, starts, ends = string_buffers(_single(raw))
+        if bs.all_ascii(data):
+            ldata = bs.lower_ascii(data)
+            rs, re_, owners = bs.token_runs(ldata, starts, ends,
+                                            bs.LUT_WORD)
+            packed = bs.pack_runs(ldata, rs, re_, self.pack_w)
+            for j, lang in enumerate(langs):
+                hits = bs.member_counts(packed, self.lex_packed[lang])
+                scores[:, j] = np.bincount(owners[hits], minlength=n_rows)
+            return scores
+        flat, owners = split_regex(pc.utf8_lower(raw), r"\wÀ-ÿ")
         for j, lang in enumerate(langs):
-            hits = flat.isin(self.lex[lang]).to_numpy(dtype=bool)
-            scores[:, j] = np.bincount(owners[hits], minlength=len(df))
+            hits = pc.is_in(flat, value_set=self.lex[lang]) \
+                .to_numpy(zero_copy_only=False).astype(bool)
+            scores[:, j] = np.bincount(owners[hits], minlength=n_rows)
+        return scores
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        langs = sorted(self.lex)
+        scores = self._scores(t, langs)
         best = scores.argmax(axis=1)
         hit = scores.max(axis=1) > 0
         out = np.where(hit, np.array(langs, dtype=object)[best], "und")
-        df = df.copy()
-        df["lang_pred"] = out
-        return df
+        return t.append_column("lang_pred", pa.array(out, type=pa.string()))
 
 
 def lang_id(ds, text_col: str = "text", *, concurrency=None):
     """Task-based by default — see quality_score for the rationale."""
     if concurrency is None:
         return ds.map_batches(
-            lambda df, _c=text_col: _lang_scorer(_c)(df),
-            batch_format="pandas")
-    return ds.map_batches(LangId, batch_format="pandas",
+            lambda t, _c=text_col: _lang_scorer(_c)(t),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(LangId, batch_format="pyarrow",
+                          zero_copy_batch=True,
                           concurrency=concurrency, num_cpus=0.5,
                           fn_constructor_kwargs={"text_col": text_col})
 
@@ -183,7 +246,15 @@ def md5_fingerprint(ds, text_col: str = "text"):
 class WinnowingFingerprint:
     """Rolling-hash winnowing sketch (Schleimer et al., SIGMOD'03 public
     algorithm): k-gram rolling hashes, minimum per sliding window → a small
-    set of positions-independent fingerprints per document."""
+    set of positions-independent fingerprints per document.
+
+    The whole batch is sketched in one pass over the column's flat byte
+    buffer (core/bytescan.winnow_sketches) when it is pure ASCII — k
+    vector passes hash every buffer position, no per-document Python
+    (VERDICT r3 #4 closed); multi-byte batches fall back to the per-doc
+    reference kernel (``str.lower`` can change byte lengths there)."""
+
+    _BASE = np.uint64(1000003)
 
     def __init__(self, text_col: str = "text", k: int = 8, window: int = 4):
         self.text_col, self.k, self.window = text_col, k, window
@@ -194,11 +265,9 @@ class WinnowingFingerprint:
         b = np.frombuffer(s.lower().encode("utf-8", "ignore"), dtype=np.uint8)
         if len(b) < self.k:
             return []
-        base = np.uint64(1000003)
         h = np.zeros(len(b) - self.k + 1, dtype=np.uint64)
-        acc = np.zeros(len(b), dtype=np.uint64)
         # vectorized polynomial rolling hash via cumulative powers
-        powers = np.power(base, np.arange(self.k, dtype=np.uint64),
+        powers = np.power(self._BASE, np.arange(self.k, dtype=np.uint64),
                           dtype=np.uint64)
         for i in range(self.k):
             h += b[i:len(b) - self.k + 1 + i].astype(np.uint64) * powers[self.k - 1 - i]
@@ -208,10 +277,24 @@ class WinnowingFingerprint:
         mins = sliding_window_view(h, self.window).min(axis=1)
         return sorted(set(int(x) for x in np.unique(mins)))
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["winnow_fp"] = df[self.text_col].map(self._doc)
-        return df
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from saber_ray.core import bytescan as bs
+        from saber_ray.core.hashing import string_buffers
+        from saber_ray.core.tokens import _single
+        txt = pc.fill_null(t[self.text_col], "")
+        data, starts, ends = string_buffers(_single(txt))
+        if bs.all_ascii(data):
+            vals, counts = bs.winnow_sketches(
+                bs.lower_ascii(data), starts, ends, self.k, self.window,
+                self._BASE)
+            offsets = np.concatenate(([0], np.cumsum(counts)))
+            col = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(vals, type=pa.uint64()))
+        else:
+            col = pa.array([self._doc(s) for s in txt.to_pylist()],
+                           type=pa.list_(pa.uint64()))
+        return t.append_column("winnow_fp", col)
 
 
 @lru_cache(maxsize=8)
@@ -224,10 +307,11 @@ def winnowing_fingerprint(ds, text_col: str = "text", k: int = 8, window: int = 
     """Task-based by default — see quality_score for the rationale."""
     if concurrency is None:
         return ds.map_batches(
-            lambda df, _c=text_col, _k=k, _w=window:
-                _winnow_scorer(_c, _k, _w)(df),
-            batch_format="pandas")
-    return ds.map_batches(WinnowingFingerprint, batch_format="pandas",
+            lambda t, _c=text_col, _k=k, _w=window:
+                _winnow_scorer(_c, _k, _w)(t),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(WinnowingFingerprint, batch_format="pyarrow",
+                          zero_copy_batch=True,
                           concurrency=concurrency, num_cpus=0.5,
                           fn_constructor_kwargs={"text_col": text_col,
                                                  "k": k, "window": window})

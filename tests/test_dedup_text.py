@@ -143,3 +143,30 @@ def test_winnowing_fingerprint_properties(ray_session, sf_dir):
     assert sk <= all_hashes, "sketch member that is not a real k-gram hash"
     mins = {int(x) for x in sliding_window_view(h, w.window).min(axis=1)}
     assert sk == mins, "sketch must be exactly the window minima"
+
+
+def test_winnowing_batch_kernel_equals_per_doc_reference():
+    """The flat-buffer batch sketch (bytescan.winnow_sketches) must equal
+    the per-document reference kernel bit-for-bit across every edge: empty
+    text, len < k, grams < window, duplicates, NULLs, uniform bytes, and
+    mixed casing; non-ASCII batches take the per-doc fallback."""
+    import pyarrow as pa
+
+    from saber_ray.stages.text import WinnowingFingerprint
+
+    rng = np.random.default_rng(11)
+    texts = ["", "ab", "abcdefgh", "abcdefghi", "aaaaaaaaaaaaaaaa",
+             "The quick Brown fox JUMPS over the lazy dog"]
+    texts += ["".join(rng.choice(list("abc XYZ.,"), n))
+              for n in (5, 7, 8, 9, 12, 40, 200, 1000)]
+    texts += [texts[5], None]
+    w = WinnowingFingerprint()
+    got = w(pa.table({"text": pa.array(texts, pa.string())}))
+    got = got["winnow_fp"].to_pylist()
+    exp = [w._doc(s if s is not None else "") for s in texts]
+    for i, (g, e) in enumerate(zip(got, exp)):
+        assert list(g) == list(e), (i, texts[i])
+    # multi-byte batch routes through the per-doc fallback, same values
+    nb = ["héllo wörld abcdefgh" * 3, "plain ascii text here"]
+    got2 = w(pa.table({"text": pa.array(nb)}))["winnow_fp"].to_pylist()
+    assert [list(x) for x in got2] == [w._doc(s) for s in nb]
