@@ -55,16 +55,22 @@ def _factorize_keys(left: pa.Table, right: pa.Table,
     same factorization the batch per-block kernel performs). Inputs carry no
     NULL keys (dropped at ``_prep`` — SQL equi-join semantics)."""
     n_left = left.num_rows
-    if len(on) == 1:
-        both = pa.concat_tables([left.select(on), right.select(on)],
-                                promote_options="default")
-        codes = both[on[0]].combine_chunks().dictionary_encode() \
-            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    else:
-        import pandas as pd
-        both = pa.concat_tables([left.select(on), right.select(on)],
-                                promote_options="default").to_pandas()
-        codes, _ = pd.factorize(pd.MultiIndex.from_frame(both))
+    both = pa.concat_tables([left.select(on), right.select(on)],
+                            promote_options="default")
+
+    def col_codes(name: str) -> tuple[np.ndarray, int]:
+        d = both[name].combine_chunks().dictionary_encode()
+        return (d.indices.to_numpy(zero_copy_only=False)
+                .astype(np.int64), len(d.dictionary))
+
+    codes, _ = col_codes(on[0])
+    for name in on[1:]:
+        # pack (combined, next) into one int64 then re-densify — combined
+        # stays <= n rows after each step, so the product never overflows
+        # (pure Arrow+numpy; the r3 pd.MultiIndex fallback is gone)
+        nxt, card = col_codes(name)
+        _, codes = np.unique(codes * np.int64(card) + nxt,
+                             return_inverse=True)
         codes = codes.astype(np.int64)
     return codes[:n_left], codes[n_left:]
 
