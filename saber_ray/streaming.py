@@ -598,6 +598,92 @@ def backfill(job: "StreamingWindowedAggregate") -> pa.Table:
                             promote_options="default")
 
 
+def ingest_epoch_files(chunk, watermark, actors, epoch: int, *,
+                       keys: Sequence[str], ts_col: str,
+                       columns: Optional[Sequence[str]] = None,
+                       monitor=None):
+    """Read one epoch's Parquet files as row-group fragments in PARALLEL
+    Ray tasks; each task key-routes its rows and pushes every partition's
+    share straight to its state actor via ``actor.ingest.remote(epoch,
+    src, share)`` (rows never transit the driver). The shared ingest of
+    the keyed single-stream engines (session, CEP); metas stream back
+    through ``drain_ingest``. Event times land in an int64 ``__t`` column;
+    rows below ``watermark`` are counted and dead-lettered with lineage.
+
+    Returns ``(sides, late_tables, sub_series)``.
+    """
+    import ray.data as rd
+    n = len(actors)
+    frags = []
+    for f in chunk:
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            frags.append({"file": f, "rg": rg})
+    if not frags:
+        return {}, [], []
+    cols = None
+    if columns:
+        cols = sorted(set(columns) | set(keys) | {ts_col})
+    keys = list(keys)
+
+    def ingest(b: pa.Table) -> pa.Table:
+        mx, late_all, rows_all = None, 0, 0
+        parts, lates, srcs = [], [], []
+        for row in b.to_pylist():       # fragment DESCRIPTORS (tiny)
+            t = pq.ParquetFile(row["file"]).read_row_group(
+                row["rg"], columns=cols)
+            rows_all += t.num_rows
+            srcs.append(f"{row['file']}:{row['rg']}")
+            ts = t[ts_col]
+            if not pa.types.is_integer(ts.type):
+                ts = ts.cast(pa.int64())
+            tn = (ts.combine_chunks()
+                  if isinstance(ts, pa.ChunkedArray) else ts) \
+                .to_numpy(zero_copy_only=False)
+            # None (not 0) for a rowless fragment: ts 0 is valid data
+            # and must advance the watermark
+            if len(tn):
+                m = int(tn.max())
+                mx = m if mx is None else max(m, mx)
+            if watermark is not None and len(tn):
+                ok = tn >= watermark
+                nlate = int((~ok).sum())
+                if nlate:
+                    late_all += nlate
+                    lates.append(t.filter(pa.array(~ok)).append_column(
+                        "__src_file",
+                        pa.array([row["file"]] * nlate)).append_column(
+                        "__src_rg", pa.array([row["rg"]] * nlate,
+                                             type=pa.int64())))
+                    t = t.filter(pa.array(ok))
+                    tn = tn[ok]
+            if t.num_rows:
+                parts.append(t.drop_columns([ts_col]).append_column(
+                    "__t", pa.array(tn, type=pa.int64())))
+        refs = []
+        if parts:
+            t = pa.concat_tables(parts, promote_options="default")
+            part = _key_hash(t, keys, n)
+            src = "|".join(srcs)        # deterministic per block
+            refs = [actors[pid].ingest.remote(
+                        epoch, src, t.filter(pa.array(part == pid)))
+                    for pid in np.unique(part)]
+        if refs:
+            ray.get(refs)    # ONE await per task; pushes overlap
+        late_ipc = _ipc_bytes(pa.concat_tables(
+            lates, promote_options="default")) if lates else None
+        return pa.table({
+            "__max_ts": pa.array([mx], type=pa.int64()),
+            "__late": pa.array([late_all], type=pa.int64()),
+            "__rows": pa.array([rows_all], type=pa.int64()),
+            "__late_ipc": pa.array([late_ipc], type=pa.binary())})
+
+    nblocks = min(len(frags), max(4 * n, 32))
+    ds = rd.from_items(frags, override_num_blocks=max(1, nblocks)) \
+        .map_batches(ingest, batch_format="pyarrow")
+    return drain_ingest(ds, epoch=epoch, monitor=monitor)
+
+
 def drain_ingest(ds, *, epoch: int, monitor=None):
     """Consume an ingest pipeline's per-task meta batches AS THEY FINISH
     (streamed via ``iter_batches``, never a blocking ``take_all``) — the

@@ -1,0 +1,307 @@
+"""Streaming CEP: sequence-pattern matching over an unbounded stream.
+
+The canonically-streaming workload (the reference's whole premise is
+unbounded in-order streams, QueryApplication.java:51-61); the batch kernel
+lives in stages/cep.py — this is its epoch/checkpoint twin on the shared
+engine template (streaming_session.py shape: hash-partitioned state actors,
+parallel direct-push ingest, watermark-driven emission, exactly-once
+resume).
+
+Semantics: per key, ordered by event time, a match is ``len(pattern)``
+CONSECUTIVE rows where step j's predicate holds on row start+j (LEAD
+semantics — matches may overlap, every starting position reports
+independently), optionally with ``last.ts - first.ts <= within``.
+Output: keys..., ``match_start_us``, ``match_end_us``.
+
+Watermark correctness argument (why emission is exactly-once AND equal to
+the batch kernel over the whole stream):
+
+- late rows (ts < watermark at ingest) are dead-lettered, so every future
+  row has ts >= watermark. A row with ts < watermark is therefore SEALED:
+  nothing can ever sort between it and any other sealed row again.
+- a match is emitted iff ALL its rows are sealed — its row adjacencies are
+  final, so the match is exactly what the batch kernel would find.
+- retained state per key = all unsealed rows + the LAST ``len(pattern)-1``
+  sealed rows (the only sealed rows a future match can reach: a future
+  match must include a future row, which sorts after every sealed row, so
+  its start is at most ``len(pattern)-1`` positions back). An emitted
+  match's ``len(pattern)`` rows can never all fit inside that
+  ``len(pattern)-1``-row tail, so its start row is dropped — the same
+  match can never re-emit. Bounded state for unbounded streams.
+
+``non_overlapping`` is not offered here: SKIP PAST LAST ROW couples a
+match's acceptance to every earlier match of its key, which breaks the
+sealed-prefix argument (an unsealed earlier match could retroactively
+suppress a sealed one) — it stays a batch-only mode (stages/cep.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from saber_ray.streaming import _write_late, ingest_epoch_files
+from saber_ray.streaming_session import _key_codes, _same_as_prev
+
+
+class _PatternState:
+    """One hash partition of CEP state: the retained row buffer (Arrow
+    table with ``__t`` event time), processed per epoch with the SAME
+    vectorized mask-shift kernel as the batch operator — step predicates
+    evaluated once over the whole buffer, zero per-row/per-key Python."""
+
+    def __init__(self, keys: list, pattern: list, within: Optional[int],
+                 tiebreak: list):
+        self.keys = list(keys)
+        self.pattern = list(pattern)
+        self.m = len(pattern)
+        self.within = within
+        self.tiebreak = list(tiebreak)
+        self.open: Optional[pa.Table] = None
+        self.pend: list[pa.Table] = []
+        self._seen: set = set()
+
+    def ingest(self, epoch: int, src: str, t: pa.Table) -> None:
+        """Same exactly-once contract as SessionStateActor.ingest: a
+        retried task re-pushes with the same (epoch, src) and is dropped."""
+        if (epoch, src) in self._seen or t.num_rows == 0:
+            return
+        self._seen.add((epoch, src))
+        self.pend.append(t)
+
+    def _out_schema(self, t: Optional[pa.Table]) -> pa.Schema:
+        fields = []
+        for k in self.keys:
+            typ = t.schema.field(k).type if t is not None else pa.int64()
+            fields.append((k, typ))
+        fields += [("match_start_us", pa.int64()),
+                   ("match_end_us", pa.int64())]
+        return pa.schema(fields)
+
+    def process(self, watermark: Optional[int]) -> pa.Table:
+        if self.pend:
+            parts = ([self.open] if self.open is not None
+                     and self.open.num_rows else []) + self.pend
+            self.open = pa.concat_tables(parts, promote_options="default")
+            self.pend = []
+            self._seen.clear()               # epoch boundary
+        t = self.open
+        if t is None or t.num_rows == 0:
+            return self._out_schema(t).empty_table()
+        m = self.m
+        order = pc.sort_indices(t, sort_keys=[
+            (k, "ascending") for k in self.keys + ["__t"] + self.tiebreak])
+        t = t.take(order).combine_chunks()
+        n = t.num_rows
+        ts = t["__t"].to_numpy(zero_copy_only=False)
+        same = _same_as_prev(_key_codes(t, self.keys), n)
+        rid = np.cumsum(~same)               # key run id per row
+        sealed = np.ones(n, dtype=bool) if watermark is None \
+            else ts < watermark
+        starts = np.zeros(0, dtype=np.int64)
+        if n >= m:
+            ok = np.ones(n - m + 1, dtype=bool)
+            for j, pred in enumerate(self.pattern):
+                mask = pred(t)
+                if isinstance(mask, pa.ChunkedArray):
+                    mask = mask.combine_chunks()
+                mj = np.asarray(pc.fill_null(mask, False).to_numpy(
+                    zero_copy_only=False), dtype=bool)
+                ok &= mj[j:n - m + 1 + j]
+            ok &= rid[:n - m + 1] == rid[m - 1:]   # one key run
+            if self.within is not None:
+                ok &= (ts[m - 1:] - ts[:n - m + 1]) <= self.within
+            ok &= sealed[m - 1:]             # ALL rows sealed (ts sorted)
+            starts = np.flatnonzero(ok)
+        # retention: per key run, unsealed rows + last m-1 sealed rows
+        # (sealed rows are a ts-sorted prefix of each run)
+        if watermark is None:
+            self.open = None                 # end-of-stream finalize
+        else:
+            idx = np.arange(n, dtype=np.int64)
+            chg = ~same                           # run starts (chg[0]=True)
+            run_start = np.maximum.accumulate(np.where(chg, idx, 0))
+            run_heads = np.flatnonzero(chg)
+            run_lens = np.diff(np.concatenate((run_heads, [n])))
+            per_run_sealed = np.add.reduceat(sealed.astype(np.int64),
+                                             run_heads)
+            totals = np.repeat(per_run_sealed, run_lens)
+            pos = idx - run_start                 # 0-based within run
+            keep = (~sealed) | (pos >= totals - (m - 1))
+            self.open = t.filter(pa.array(keep))
+        if not len(starts):
+            return self._out_schema(t).empty_table()
+        ends_i = starts + m - 1
+        cols = [t[k].combine_chunks().take(pa.array(starts))
+                for k in self.keys]
+        cols += [pa.array(ts[starts], type=pa.int64()),
+                 pa.array(ts[ends_i], type=pa.int64())]
+        return pa.Table.from_arrays(cols, schema=self._out_schema(t))
+
+    def snapshot(self, path: str) -> None:
+        if self.open is not None and self.open.num_rows:
+            pq.write_table(self.open, path)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    def restore(self, path: str) -> None:
+        self.open = pq.read_table(path) if os.path.exists(path) else None
+
+
+PatternStateActor = ray.remote(_PatternState)
+
+
+class StreamingMatchPattern:
+    """Micro-batch streaming CEP over an ordered file stream.
+
+    Output matches the batch kernel run on the concatenated stream with
+    ``order_by=ts`` (the DuckDB LEAD() oracle twin in tests/test_cep.py):
+    keys..., match_start_us, match_end_us.
+    """
+
+    def __init__(self, out_dir: str, *,
+                 pattern: Sequence[Callable[[pa.Table], object]],
+                 keys: Sequence[str] = ("conv_id",), ts_col: str = "ts",
+                 within: Optional[int] = None,
+                 tiebreak: Sequence[str] = (),
+                 num_partitions: int = 4, allowed_lateness: int = 0,
+                 columns: Optional[Sequence[str]] = None,
+                 monitor=None):
+        if not pattern:
+            raise ValueError("pattern must have at least one step")
+        self.monitor = monitor
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.pattern = list(pattern)
+        self.keys = list(keys)
+        self.ts_col = ts_col
+        self.within = within
+        self.tiebreak = list(tiebreak)
+        self.n = num_partitions
+        self.lateness = allowed_lateness
+        self.columns = list(columns) if columns else None
+
+    @property
+    def _ckpt_path(self):
+        return os.path.join(self.out_dir, "checkpoint.json")
+
+    def _snap(self, pid, epoch):
+        return os.path.join(self.out_dir,
+                            f"cstate-p{pid:03d}-e{epoch:05d}.parquet")
+
+    def run(self, files: Sequence[str], *, epoch_size: int = 4,
+            end_of_stream: bool = True,
+            max_epochs: Optional[int] = None) -> dict:
+        files = list(files)
+        ck = {"offset": 0, "epoch": 0, "watermark": None,
+              "metrics": {"emitted_rows": 0, "late_dropped": 0}}
+        if os.path.exists(self._ckpt_path):
+            with open(self._ckpt_path) as f:
+                ck = json.load(f)
+        cols = list(dict.fromkeys(
+            (self.columns or []) + self.tiebreak)) or None
+        actors = [PatternStateActor.remote(
+            self.keys, self.pattern, self.within, self.tiebreak)
+            for _ in range(self.n)]
+        try:
+            ray.get([a.restore.remote(self._snap(i, ck["epoch"]))
+                     for i, a in enumerate(actors)])
+            epochs = 0
+            while ck["offset"] < len(files):
+                if max_epochs is not None and epochs >= max_epochs:
+                    break
+                import time
+                t0 = time.monotonic()
+                chunk = files[ck["offset"]:ck["offset"] + epoch_size]
+                wm = ck["watermark"]
+                sides, late_tables, sub = ingest_epoch_files(
+                    chunk, wm, actors, ck["epoch"], keys=self.keys,
+                    ts_col=self.ts_col, columns=cols,
+                    monitor=self.monitor)
+                _write_late(self.out_dir, ck["epoch"], late_tables)
+                s = sides.get(0, {"max_ts": None, "late": 0, "rows": 0})
+                mx, late, rows_in = s["max_ts"], s["late"], s["rows"]
+                new_wm = wm if mx is None else (
+                    (mx - self.lateness) if wm is None
+                    else max(mx - self.lateness, wm))
+                outs = ray.get([a.process.remote(new_wm) for a in actors])
+                emitted = _write(self.out_dir, ck["epoch"], outs)
+                wall = time.monotonic() - t0
+                nxt = ck["epoch"] + 1
+                ray.get([a.snapshot.remote(self._snap(i, nxt))
+                         for i, a in enumerate(actors)])
+                ck.update(offset=ck["offset"] + len(chunk), epoch=nxt,
+                          watermark=new_wm)
+                ck["metrics"]["emitted_rows"] += emitted
+                ck["metrics"]["late_dropped"] += late
+                from saber_ray.streaming import epoch_stat_row
+                ck["metrics"].setdefault("epoch_stats", []).append(
+                    epoch_stat_row(nxt - 1, wall, rows_in, emitted,
+                                   sub_epoch=sub))
+                tmp = self._ckpt_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(ck, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, self._ckpt_path)
+                for f2 in os.listdir(self.out_dir):
+                    if f2.startswith("cstate-") and f"-e{nxt:05d}." not in f2:
+                        os.remove(os.path.join(self.out_dir, f2))
+                epochs += 1
+            if end_of_stream and ck["offset"] >= len(files) \
+                    and not ck.get("finalized"):
+                outs = ray.get([a.process.remote(None) for a in actors])
+                emitted = _write(self.out_dir, ck["epoch"], outs)
+                nxt = ck["epoch"] + 1
+                ray.get([a.snapshot.remote(self._snap(i, nxt))
+                         for i, a in enumerate(actors)])
+                ck.update(epoch=nxt, finalized=True)
+                ck["metrics"]["emitted_rows"] += emitted
+                tmp = self._ckpt_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(ck, f)
+                os.replace(tmp, self._ckpt_path)
+            return ck
+        finally:
+            for a in actors:
+                ray.kill(a)
+
+    def results(self) -> pa.Table:
+        files = sorted(
+            os.path.join(self.out_dir, f) for f in os.listdir(self.out_dir)
+            if f.startswith("match-") and f.endswith(".parquet"))
+        if not files:
+            return pa.table({})
+        return pa.concat_tables([pq.read_table(f) for f in files],
+                                promote_options="default")
+
+    def late_results(self) -> pa.Table:
+        files = sorted(
+            os.path.join(self.out_dir, f) for f in os.listdir(self.out_dir)
+            if f.startswith("late-") and f.endswith(".parquet"))
+        if not files:
+            return pa.table({})
+        return pa.concat_tables([pq.read_table(f) for f in files],
+                                promote_options="default")
+
+
+def _write(out_dir: str, epoch: int, tables: list[pa.Table]) -> int:
+    tables = [t for t in tables if t.num_rows]
+    path = os.path.join(out_dir, f"match-{epoch:05d}.parquet")
+    if not tables:
+        if os.path.exists(path):
+            os.remove(path)
+        return 0
+    out = pa.concat_tables(tables, promote_options="default")
+    tmp = path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    return out.num_rows

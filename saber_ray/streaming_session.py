@@ -51,8 +51,7 @@ from saber_ray.core.aggregates import (AggSpec, ROWS, arrow_merge_aggs,
                                        arrow_partial_aggs, finalize)
 from saber_ray.core.segments import \
     segmented_running_max as _segmented_running_max
-from saber_ray.streaming import _ipc_bytes, _key_hash, _write_late, \
-    drain_ingest
+from saber_ray.streaming import _write_late, ingest_epoch_files
 
 
 def _key_codes(t: pa.Table, keys: list) -> list[np.ndarray]:
@@ -298,85 +297,15 @@ class StreamingSessionWindows:
                             f"sstate-p{pid:03d}-e{epoch:05d}.parquet")
 
     def _ingest_epoch(self, chunk: list[str], watermark, actors, epoch: int):
-        """Read the epoch's row-group fragments in PARALLEL Ray tasks; each
-        task key-routes its rows and pushes every partition's share straight
-        to its SessionStateActor (rows never transit the driver — the same
-        direct-push shape as the aggregate engine's ingest). Task metas
-        stream back through the shared ``drain_ingest`` loop: sub-epoch
+        """Parallel fragment ingest with direct actor pushes — the shared
+        keyed single-stream loop (streaming.ingest_epoch_files): sub-epoch
         monitoring series + watermark-dropped dead-letter channel.
 
         Returns ``(sides, late_tables, sub_series)`` (single stream —
         everything under side 0)."""
-        import ray.data as rd
-        frags = []
-        for f in chunk:
-            md = pq.read_metadata(f)
-            for rg in range(md.num_row_groups):
-                frags.append({"file": f, "rg": rg})
-        if not frags:
-            return {}, [], []
-        cols = None
-        if self.columns:
-            cols = sorted(set(self.columns) | set(self.keys)
-                          | {self.ts_col})
-        keys, ts_col, n = self.keys, self.ts_col, self.n
-
-        def ingest(b: pa.Table) -> pa.Table:
-            mx, late_all, rows_all = None, 0, 0
-            parts, lates, srcs = [], [], []
-            for row in b.to_pylist():       # fragment DESCRIPTORS (tiny)
-                t = pq.ParquetFile(row["file"]).read_row_group(
-                    row["rg"], columns=cols)
-                rows_all += t.num_rows
-                srcs.append(f"{row['file']}:{row['rg']}")
-                ts = t[ts_col]
-                if not pa.types.is_integer(ts.type):
-                    ts = ts.cast(pa.int64())
-                tn = (ts.combine_chunks()
-                      if isinstance(ts, pa.ChunkedArray) else ts) \
-                    .to_numpy(zero_copy_only=False)
-                # None (not 0) for a rowless fragment: ts 0 is valid data
-                # and must advance the watermark
-                if len(tn):
-                    m = int(tn.max())
-                    mx = m if mx is None else max(m, mx)
-                if watermark is not None and len(tn):
-                    ok = tn >= watermark
-                    nlate = int((~ok).sum())
-                    if nlate:
-                        late_all += nlate
-                        lates.append(t.filter(pa.array(~ok)).append_column(
-                            "__src_file",
-                            pa.array([row["file"]] * nlate)).append_column(
-                            "__src_rg", pa.array([row["rg"]] * nlate,
-                                                 type=pa.int64())))
-                        t = t.filter(pa.array(ok))
-                        tn = tn[ok]
-                if t.num_rows:
-                    parts.append(t.drop_columns([ts_col]).append_column(
-                        "__t", pa.array(tn, type=pa.int64())))
-            refs = []
-            if parts:
-                t = pa.concat_tables(parts, promote_options="default")
-                part = _key_hash(t, keys, n)
-                src = "|".join(srcs)        # deterministic per block
-                refs = [actors[pid].ingest.remote(
-                            epoch, src, t.filter(pa.array(part == pid)))
-                        for pid in np.unique(part)]
-            if refs:
-                ray.get(refs)    # ONE await per task; pushes overlap
-            late_ipc = _ipc_bytes(pa.concat_tables(
-                lates, promote_options="default")) if lates else None
-            return pa.table({
-                "__max_ts": pa.array([mx], type=pa.int64()),
-                "__late": pa.array([late_all], type=pa.int64()),
-                "__rows": pa.array([rows_all], type=pa.int64()),
-                "__late_ipc": pa.array([late_ipc], type=pa.binary())})
-
-        nblocks = min(len(frags), max(4 * self.n, 32))
-        ds = rd.from_items(frags, override_num_blocks=max(1, nblocks)) \
-            .map_batches(ingest, batch_format="pyarrow")
-        return drain_ingest(ds, epoch=epoch, monitor=self.monitor)
+        return ingest_epoch_files(
+            chunk, watermark, actors, epoch, keys=self.keys,
+            ts_col=self.ts_col, columns=self.columns, monitor=self.monitor)
 
     def run(self, files: Sequence[str], *, epoch_size: int = 4,
             end_of_stream: bool = True, max_epochs: Optional[int] = None) -> dict:
