@@ -1129,6 +1129,74 @@ def _q_streaming_sessions(sf):
     return job.results()
 
 
+def _q_streaming_match_pattern(sf):
+    """CEP over the STREAMING engine (user → assistant → user within 24 h,
+    matched per conv in event-time order): watermark-sealed emission equals
+    the batch kernel / LEAD() oracle over the whole stream — the streaming
+    twin of the match_pattern gate (VERDICT r3 #3)."""
+    import shutil
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from saber_ray.streaming_cep import StreamingMatchPattern
+
+    t = transcripts_from_events(sf).to_pandas()
+    t = t.sort_values(["ts", "conv_id", "turn_idx"],
+                      kind="mergesort")[["conv_id", "turn_idx", "role", "ts"]]
+    tbl = pa.Table.from_pandas(t, preserve_index=False)
+    work = os.path.join(
+        "/tmp/saber_ray_gate",
+        f"stream_cep-{hashlib.md5(sf.encode()).hexdigest()[:8]}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(os.path.join(work, "in"))
+    files, n = [], tbl.num_rows
+    for i in range(8):
+        part = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+        p = os.path.join(work, "in", f"f{i:03d}.parquet")
+        pq.write_table(part, p)
+        files.append(p)
+    job = StreamingMatchPattern(
+        os.path.join(work, "out"),
+        pattern=[col("role") == "user", col("role") == "assistant",
+                 col("role") == "user"],
+        keys=["conv_id"], ts_col="ts", within=24 * HOUR,
+        tiebreak=["turn_idx"], columns=["role"], num_partitions=3)
+    job.run(files, epoch_size=2)
+    return job.results()
+
+
+def _q_transcripts_from_csv(sf):
+    """The transcript derivation over a CSV twin of `events`, read by the
+    byte-range-fragment CSV source (sources/text_files.py — column-pruned,
+    line-start split rule): same DuckDB oracle as the Parquet path
+    (VERDICT r3 #5). The twin is written deterministically from the sf
+    dir's events table (ts as epoch-us int64 — CSV has no timestamp type)."""
+    import shutil
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+    from saber_ray.sources.text_files import read_csv
+    from saber_ray.sources.transcripts import transcripts_from_events_ds
+
+    work = os.path.join(
+        "/tmp/saber_ray_gate",
+        f"events_csv-{hashlib.md5(sf.encode()).hexdigest()[:8]}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    t = pq.read_table(os.path.join(sf, "events.parquet"))
+    t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                     t["ts"].cast(pa.int64()))
+    n = t.num_rows
+    for i in range(3):
+        part = t.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3)
+        pacsv.write_csv(part, os.path.join(work, f"ev{i}.csv"))
+    ds = read_csv(
+        work, columns=["event_id", "ts", "user_id", "event_type", "props"],
+        column_types={"event_id": pa.int64(), "ts": pa.int64(),
+                      "user_id": pa.int64(), "value": pa.float64()},
+        target_bytes=64 << 10)
+    return transcripts_from_events_ds(ds)
+
+
 def _q_multimodal_features(sf):
     """Multimodal pipeline with REAL codecs: synthesized PPM images / WAV
     audio / raw-video payloads → actor-pool decode (numpy/stdlib kernels,
@@ -1184,7 +1252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "projection": _q_projection,
         "tumbling_grouped_agg": _q_tumbling_grouped,
         "tumbling_global_agg": _q_tumbling_global,
-        "sliding_global_agg": _q_sliding_global,
+        "streaming_match_pattern": _q_streaming_match_pattern,
         "hopping_window_gaps": _q_hopping_window,
         "watermark_closed_windows": _q_watermark_closed,
         "sliding_grouped_agg": _q_sliding_grouped,
@@ -1196,7 +1264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_agg": _q_hash_join_agg,
         "windowed_theta_join": _q_windowed_join,
         "asof_join": _q_asof_join,
-        "full_outer_join": _q_full_outer_join,
+        "transcripts_from_csv": _q_transcripts_from_csv,
         "rollup_agg": _q_rollup_agg,
         "cm1": _q_cm1,
         "streaming_cm1": _q_streaming_cm1,
@@ -1360,8 +1428,18 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_global_agg": (
             f"SELECT epoch_us(ts) // {6 * HOUR} AS window_id, {ALL_SQL} "
             "FROM events GROUP BY 1"),
-        "sliding_global_agg": _sliding_sql(4, DAY, f"window_id, {ALL_SQL}",
-                                           "window_id"),
+        "streaming_match_pattern": _tx(f"""
+            SELECT conv_id, tu AS match_start_us, t2 AS match_end_us
+            FROM (SELECT conv_id, role, epoch_us(ts) AS tu,
+                    LEAD(role, 1) OVER
+                      (PARTITION BY conv_id ORDER BY ts, turn_idx) r1,
+                    LEAD(role, 2) OVER
+                      (PARTITION BY conv_id ORDER BY ts, turn_idx) r2,
+                    LEAD(epoch_us(ts), 2) OVER
+                      (PARTITION BY conv_id ORDER BY ts, turn_idx) t2
+                  FROM transcripts)
+            WHERE role = 'user' AND r1 = 'assistant' AND r2 = 'user'
+              AND t2 - tu <= {24 * HOUR}"""),
         "watermark_closed_windows": (
             f"WITH t AS (SELECT epoch_us(ts) // {DAY} AS window_id, value "
             "FROM events), "
@@ -1444,14 +1522,11 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
             "AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_total "
             "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"),
-        "full_outer_join": (
-            "SELECT c.c_custkey, c.c_mktsegment, o.o_custkey, o.o_orderkey, "
-            "o.o_orderpriority FROM "
-            "(SELECT c_custkey, c_mktsegment FROM customer "
-            "WHERE c_mktsegment = 'BUILDING') c FULL OUTER JOIN "
-            "(SELECT o_orderkey, o_custkey, o_orderpriority FROM orders "
-            "WHERE o_orderpriority = '1-URGENT') o "
-            "ON c.c_custkey = o.o_custkey"),
+        # transcripts_from_csv: same derivation as transcripts_identity,
+        # over the CSV twin — ts compared as epoch-us (CSV has no ts type)
+        "transcripts_from_csv": (
+            f"SELECT conv_id, turn_idx, role, text, tool, "
+            f"epoch_us(ts) AS ts FROM ({TRANSCRIPTS_SQL})"),
         "asof_join": (
             "SELECT p.user_id, epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
             "p.event_id AS event_id_l, c.event_id AS event_id_r, "

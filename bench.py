@@ -26,6 +26,10 @@ Environment:
   SABER_BENCH_SEQUENTIAL=1   time queries one at a time
   --curation          curation-stage throughput over synthetic documents
                       (SABER_BENCH_DOCS overrides the corpus size)
+  --streaming         sustained micro-batch load on the streaming engines:
+                      >= 20 epochs each of windowed aggregate + band join,
+                      sustained rows/s + p50/p95 per-epoch emit latency
+                      (SABER_STREAM_FILES overrides the file count)
   RAY_GRAFT_SCALE_LO / _HI   scaling pair (default 6 / 24)
 """
 
@@ -329,6 +333,128 @@ def run_scaling() -> dict:
     }
 
 
+def _stream_dir(n_turns: int, n_files: int) -> str:
+    """Time-ordered stream files for the streaming bench (cached): the
+    suite's synthetic transcripts sorted by ts and cut into ``n_files``
+    sequential parquet files with several row groups each (row groups =
+    intra-epoch ingest parallelism)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from saber_ray.sources.transcripts import generate_transcripts
+
+    out = os.path.join("/tmp/saber_ray_bench",
+                       f"stream-{n_turns}-{n_files}")
+    manifest = os.path.join(out, "_MANIFEST")
+    tag = f"turns={n_turns} files={n_files} v1"
+    if os.path.exists(manifest) and open(manifest).read() == tag:
+        return out
+    base = os.path.join("/tmp/saber_ray_bench", f"transcripts-{n_turns}")
+    generate_transcripts(base, n_turns=n_turns, n_files=64)
+    t = pq.read_table(base, columns=["conv_id", "role", "ts", "text"])
+    t = t.append_column("text_len", pc.cast(pc.utf8_length(t["text"]),
+                                            pa.int64()))
+    t = t.drop_columns(["text"])
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    os.makedirs(out, exist_ok=True)
+    n = t.num_rows
+    for i in range(n_files):
+        part = t.slice(i * n // n_files,
+                       (i + 1) * n // n_files - i * n // n_files)
+        pq.write_table(part, os.path.join(out, f"f{i:03d}.parquet"),
+                       row_group_size=max(part.num_rows // 8, 4096))
+    with open(manifest, "w") as f:
+        f.write(tag)
+    return out
+
+
+def _latency_stats(epoch_stats: list) -> dict:
+    """Sustained rows/s + p50/p95 per-epoch emit latency (warm epochs only:
+    epoch 0 pays actor spin-up; a latency CLIFF after warm-up would show
+    here as p95 >> p50)."""
+    import numpy as np
+    warm = epoch_stats[1:] if len(epoch_stats) > 2 else epoch_stats
+    lat = np.array([e["emit_latency_wall_ms"] for e in warm])
+    rows = sum(e["rows_in"] for e in epoch_stats)
+    wall = sum(e["wall_sec"] for e in epoch_stats)
+    return {
+        "epochs": len(epoch_stats),
+        "rows_in": int(rows),
+        "sustained_rows_per_sec": int(rows / wall) if wall else None,
+        "emit_latency_ms_p50": round(float(np.percentile(lat, 50)), 1),
+        "emit_latency_ms_p95": round(float(np.percentile(lat, 95)), 1),
+        "emit_latency_ms_max": round(float(lat.max()), 1),
+    }
+
+
+def run_streaming() -> dict:
+    """--streaming: sustained micro-batch load on the streaming engines —
+    the figure-11 analogue (reference: per-epoch latency under sustained
+    ingest). Drives StreamingWindowedAggregate and StreamingWindowedJoin
+    over the sf-tier transcript stream for >= 20 epochs each; reports
+    sustained rows/s and p50/p95 per-epoch emit latency (wall from epoch
+    start to output visible — ingest + state merge + emission + snapshot)."""
+    import shutil
+
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from saber_ray import Window, cnt, sum_
+    from saber_ray.core.windows import HOUR, MINUTE
+    from saber_ray.streaming import StreamingWindowedAggregate
+    from saber_ray.streaming_join import StreamingWindowedJoin
+
+    n_turns = _n_turns()
+    n_files = int(os.environ.get("SABER_STREAM_FILES", "40"))
+    epoch_size = 2                               # >= 20 epochs at 40 files
+    src = _stream_dir(n_turns, n_files)
+    files = sorted(os.path.join(src, f) for f in os.listdir(src)
+                   if f.endswith(".parquet"))
+    parts = max(4, NUM_CPUS // 4)
+    work = "/tmp/saber_ray_bench/streaming_run"
+
+    shutil.rmtree(work, ignore_errors=True)
+    agg = StreamingWindowedAggregate(
+        os.path.join(work, "agg"),
+        window=Window.sliding(4 * HOUR, 30 * MINUTE),
+        aggs=[sum_("text_len", "sum_len"), cnt(alias="n_turns")],
+        keys=["role"], num_partitions=parts,
+        columns=["role", "text_len", "ts"])
+    t0 = time.monotonic()
+    ck_a = agg.run(files, epoch_size=epoch_size)
+    agg_wall = time.monotonic() - t0
+    agg_stats = _latency_stats(ck_a["metrics"]["epoch_stats"])
+
+    join = StreamingWindowedJoin(
+        os.path.join(work, "join"), on="conv_id",
+        before=5 * MINUTE, after=5 * MINUTE,
+        left_cols=["conv_id", "ts", "text_len"],
+        right_cols=["conv_id", "ts", "text_len"],
+        num_partitions=parts)
+    t0 = time.monotonic()
+    ck_j = join.run(files, files, epoch_size=epoch_size)
+    join_wall = time.monotonic() - t0
+    join_stats = _latency_stats(ck_j["metrics"]["epoch_stats"])
+    ray.shutdown()
+    return {
+        "metric": ("streaming engines under sustained load: per-epoch emit "
+                   "latency p50/p95 + sustained rows/s (agg: sliding "
+                   "4h/30min by role; join: self band-join +-5min on "
+                   "conv_id)"),
+        "value": round(agg_wall + join_wall, 3), "unit": "sec",
+        "n_turns": n_turns, "n_files": n_files, "epoch_size": epoch_size,
+        "num_partitions": parts,
+        "agg": {**agg_stats, "wall_sec": round(agg_wall, 3),
+                "rows_out": ck_a["metrics"]["emitted_rows"]},
+        "join": {**join_stats, "wall_sec": round(join_wall, 3),
+                 "rows_out": ck_j["metrics"]["emitted_rows"]},
+        "sf": SF_DIR, "num_cpus": NUM_CPUS,
+    }
+
+
 _DOCS_BY_SF = {"sf0.001": 10_000, "sf0.01": 100_000, "sf0.1": 1_000_000}
 
 
@@ -419,6 +545,8 @@ if __name__ == "__main__":
         result = run_skew()
     elif "--curation" in sys.argv:
         result = run_curation()
+    elif "--streaming" in sys.argv:
+        result = run_streaming()
     else:
         result = run_suite()
     print(json.dumps(result))

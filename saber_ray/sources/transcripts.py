@@ -65,7 +65,16 @@ _TOOL_OF = {"error": "debugger", "purchase": "checkout"}
 
 
 def transcripts_from_events(sf_dir: str):
-    """Derive the transcript stream from `events` (see TRANSCRIPTS_SQL).
+    """Derive the transcript stream from the sf dir's Parquet `events`
+    table (see TRANSCRIPTS_SQL and transcripts_from_events_ds)."""
+    return transcripts_from_events_ds(rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "props"]))
+
+
+def transcripts_from_events_ds(ds):
+    """Derive the transcript stream from an events Dataset (any source —
+    Parquet, CSV, JSONL — with the events columns; see TRANSCRIPTS_SQL).
 
     Distributed per-key ordinal WITHOUT per-group dispatch (VERDICT r2 #2):
     ONE sort co-location exchange on ``user_id`` alone (Ray's sort never
@@ -75,9 +84,6 @@ def transcripts_from_events(sf_dir: str):
     and assigns ``turn_idx`` by run detection. role/tool are dictionary-level
     lookups (one Python step per DISTINCT event_type, ≤5 values)."""
     import pyarrow.compute as pc
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "user_id", "event_type", "props"])
 
     def per_block(t: pa.Table) -> pa.Table:
         n = t.num_rows

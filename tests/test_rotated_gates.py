@@ -81,6 +81,23 @@ ROTATED = {
         "SELECT ord // 500 AS window_id, COUNT(*) AS n, "
         "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) "
         "AS sum_value FROM t GROUP BY 1"),
+    # rotated out in r4 for streaming_match_pattern / transcripts_from_csv:
+    # sliding-global is the keys-less case of sliding_grouped_agg + sg1;
+    # full-outer completes a join family whose other members stay gated
+    "sliding_global_agg": (
+        entry_mod._q_sliding_global,
+        entry_mod._sliding_sql(
+            4, entry_mod.DAY, f"window_id, {entry_mod.ALL_SQL}",
+            "window_id")),
+    "full_outer_join": (
+        entry_mod._q_full_outer_join,
+        "SELECT c.c_custkey, c.c_mktsegment, o.o_custkey, o.o_orderkey, "
+        "o.o_orderpriority FROM "
+        "(SELECT c_custkey, c_mktsegment FROM customer "
+        "WHERE c_mktsegment = 'BUILDING') c FULL OUTER JOIN "
+        "(SELECT o_orderkey, o_custkey, o_orderpriority FROM orders "
+        "WHERE o_orderpriority = '1-URGENT') o "
+        "ON c.c_custkey = o.o_custkey"),
 }
 
 
