@@ -84,10 +84,14 @@ class QualityScorer:
         from saber_ray.core.tokens import _single, split_regex
         data, starts, ends = string_buffers(_single(txt))
         if bs.all_ascii(data):
-            alpha_c = bs.count_class(data, starts, ends, bs.LUT_ALPHA)
+            # ONE alpha gather shared by the count and the token runs —
+            # these kernels are memory-bound under concurrent workers
+            m_alpha = bs.LUT_ALPHA[data]
+            alpha_c = bs.count_class(data, starts, ends, bs.LUT_ALPHA,
+                                     mask=m_alpha)
             punct_c = bs.count_class(data, starts, ends, bs.LUT_PUNCT)
             rs, re_, owners = bs.token_runs(data, starts, ends,
-                                            bs.LUT_ALPHA)
+                                            bs.LUT_ALPHA, mask=m_alpha)
             n_words = np.maximum(np.bincount(owners, minlength=n_rows), 1)
             packed = bs.pack_runs(bs.lower_ascii(data), rs, re_,
                                   self.stop_w)
