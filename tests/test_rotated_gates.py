@@ -89,6 +89,22 @@ ROTATED = {
         entry_mod._sliding_sql(
             4, entry_mod.DAY, f"window_id, {entry_mod.ALL_SQL}",
             "window_id")),
+    # rotated out in r4 for streaming_shift: ROWS/RANGE frame coverage
+    # stays in test_rolling.py's DuckDB property oracles
+    "rolling_window": (
+        entry_mod._q_rolling_window,
+        entry_mod._tx(
+            "SELECT conv_id, ts, "
+            "CAST(SUM(n_chars) OVER w AS BIGINT) AS roll_chars, "
+            "AVG(n_chars) OVER w AS roll_avg, "
+            "COUNT(n_chars) OVER w AS roll_n, "
+            "MIN(n_chars) OVER w AS roll_min, "
+            "MAX(n_chars) OVER w AS roll_max "
+            "FROM (SELECT conv_id, ts, length(text) AS n_chars "
+            "      FROM transcripts) "
+            "WINDOW w AS (PARTITION BY conv_id ORDER BY epoch_us(ts) "
+            f"RANGE BETWEEN {30 * entry_mod.MINUTE} PRECEDING "
+            f"AND {10 * entry_mod.MINUTE} FOLLOWING)")),
     "full_outer_join": (
         entry_mod._q_full_outer_join,
         "SELECT c.c_custkey, c.c_mktsegment, o.o_custkey, o.o_orderkey, "
