@@ -135,131 +135,144 @@ def rolling_agg(
         return t.select(need)
 
     def per_block(g: pa.Table) -> pa.Table:
-        n = g.num_rows
-        vtype = g.schema.field(col).type
-        int_in = pa.types.is_integer(vtype)
-
-        def out_type(op):
-            if op == "count":
-                return pa.int64()
-            if op == "sum":
-                return pa.int64() if int_in else pa.float64()
-            if op == "avg":
-                return pa.float64()
-            return vtype        # min/max/first_value/last_value keep source
-
-        schema = pa.schema(
-            [(k, g.schema.field(k).type) for k in sort_keys + order_by + keep]
-            + [(a, out_type(op)) for a, op in aggs.items()])
-        if n == 0:
-            return schema.empty_table()
-        g = g.take(pc.sort_indices(
-            g, sort_keys=[(c, "ascending") for c in sort_keys + order_by])) \
-            .combine_chunks()
-        chg = key_change_mask(g, sort_keys)   # segment (key-run) boundaries
-        idx = np.arange(n, dtype=np.int64)
-        seg_start = np.maximum.accumulate(np.where(chg, idx, 0))
-        starts = np.flatnonzero(chg)
-        seg_len = np.diff(np.append(starts, n))
-        seg_end = np.repeat(starts + seg_len, seg_len)
-
-        if rows_p is not None:                # ROWS frame
-            low = np.maximum(idx - rows_p, seg_start)
-            hi = np.minimum(idx + rows_f + 1, seg_end)
-        else:                                 # RANGE frame
-            oc = g[order_by[0]].combine_chunks()
-            if pa.types.is_temporal(oc.type):
-                oc = oc.cast(pa.int64())
-            ovalid = pc.is_valid(oc).to_numpy(zero_copy_only=False)
-            # fill BEFORE to_numpy (NaN staging corrupts int64 > 2^53)
-            ovals = pc.fill_null(oc, 0).to_numpy(zero_copy_only=False)
-            # NULL order values sort last per segment: valid rows occupy
-            # [seg_start, valid_end); a NULL row's peers are [valid_end,
-            # seg_end)
-            nval = np.add.reduceat(ovalid.astype(np.int64), starts)
-            valid_end = np.repeat(starts + nval, seg_len)
-            if np.issubdtype(ovals.dtype, np.integer):
-                if range_preceding != int(range_preceding) \
-                        or range_following != int(range_following):
-                    raise ValueError(
-                        "fractional range bounds over an integer order "
-                        "column are not supported (stage through float64 "
-                        "would corrupt |v| > 2^53)")
-                q = ovals - np.int64(range_preceding)
-                qf = ovals + np.int64(range_following)
-            else:
-                q = ovals - range_preceding
-                qf = ovals + range_following
-            low = seg_searchsorted(ovals, q, seg_start, valid_end,
-                                   side="left")
-            hi = seg_searchsorted(ovals, qf, seg_start, valid_end,
-                                  side="right")   # through the last row
-                                                  # with o <= o_i + Y
-            null_ord = ~ovalid
-            low = np.where(null_ord, valid_end, low)
-            hi = np.where(null_ord, seg_end, hi)
-
-        vcol = g[col].combine_chunks()
-        valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
-        vals = pc.fill_null(vcol, 0).to_numpy(zero_copy_only=False)
-        # segmented prefix sums: frame agg = prefix[hi] - prefix[low]
-        cs = np.concatenate(([0], np.cumsum(
-            vals, dtype=np.int64 if int_in else np.float64)))
-        cv = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
-        wsum = cs[hi] - cs[low]
-        wcnt = cv[hi] - cv[low]               # valid values in the frame
-
-        mm: dict[str, np.ndarray] = {}
-        for op in {o for o in aggs.values() if o in ("min", "max")}:
-            # min/max stay in the SOURCE dtype domain: int64 sentinels for
-            # ints (a float64 round-trip corrupts |v| > 2^53), ±inf fills
-            # for floats (legit ±inf inputs must survive)
-            if int_in:
-                fill = np.iinfo(np.int64).max if op == "min" \
-                    else np.iinfo(np.int64).min
-                vf = np.where(valid, vals.astype(np.int64), fill)
-            else:
-                fill = np.inf if op == "min" else -np.inf
-                vf = np.where(valid, vals.astype(np.float64), fill)
-            mm[op] = _rmq(vf, low, hi, maximum=(op == "max"))
-
-        cols: list = [g[c].combine_chunks() for c in sort_keys + order_by + keep]
-        empty_win = wcnt == 0
-
-        def nullify(arr):
-            if empty_win.any():
-                return pc.if_else(pa.array(~empty_win), arr,
-                                  pa.scalar(None, arr.type))
-            return arr
-
-        for alias, op in aggs.items():
-            if op == "count":
-                cols.append(pa.array(wcnt, type=pa.int64()))
-            elif op in ("first_value", "last_value"):
-                # SQL RESPECT NULLS: the value AT the frame boundary row
-                # (possibly NULL) — a dtype-preserving Arrow gather, no
-                # wcnt nullify (a NULL boundary value stays NULL even in
-                # frames that hold other valid values)
-                pos = low if op == "first_value" else hi - 1
-                cols.append(vcol.take(pa.array(pos)))
-            elif op == "sum":
-                cols.append(nullify(pa.array(wsum, type=out_type("sum"))))
-            elif op == "avg":
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    av = wsum.astype(np.float64) / wcnt
-                cols.append(nullify(pa.array(
-                    np.where(wcnt > 0, av, 0.0), type=pa.float64())))
-            else:
-                # empty frames hold the fill sentinel — zero them so the
-                # narrow-type cast can't overflow; nullify() then nulls them
-                r = np.where(empty_win, 0, mm[op])
-                cols.append(nullify(pa.array(r, type=vtype)))
-        return pa.Table.from_arrays(
-            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-             for c in cols], schema=schema)
-
+        return rolling_block(
+            g, sort_keys=sort_keys, order_by=order_by, col=col, aggs=aggs,
+            rows_p=rows_p, rows_f=rows_f, range_preceding=range_preceding,
+            range_following=range_following, keep=keep)
     return ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
         .map_batches(enc, batch_format="pyarrow", zero_copy_batch=True) \
         .sort(sort_keys) \
         .map_batches(per_block, batch_format="pyarrow", zero_copy_batch=True) \
         .map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rolling_block(g: pa.Table, *, sort_keys: list, order_by: list, col: str,
+                  aggs: dict, rows_p, rows_f, range_preceding,
+                  range_following, keep: list) -> pa.Table:
+    """The per-block rolling kernel over one co-located block: sort by
+    ``sort_keys + order_by``, compute every row's frame aggregate, return
+    one output row per input row. Shared between the batch operator above
+    and the streaming twin (streaming_rolling.py), which emits the
+    watermark-sealed subset."""
+    n = g.num_rows
+    vtype = g.schema.field(col).type
+    int_in = pa.types.is_integer(vtype)
+
+    def out_type(op):
+        if op == "count":
+            return pa.int64()
+        if op == "sum":
+            return pa.int64() if int_in else pa.float64()
+        if op == "avg":
+            return pa.float64()
+        return vtype        # min/max/first_value/last_value keep source
+
+    schema = pa.schema(
+        [(k, g.schema.field(k).type) for k in sort_keys + order_by + keep]
+        + [(a, out_type(op)) for a, op in aggs.items()])
+    if n == 0:
+        return schema.empty_table()
+    g = g.take(pc.sort_indices(
+        g, sort_keys=[(c, "ascending") for c in sort_keys + order_by])) \
+        .combine_chunks()
+    chg = key_change_mask(g, sort_keys)   # segment (key-run) boundaries
+    idx = np.arange(n, dtype=np.int64)
+    seg_start = np.maximum.accumulate(np.where(chg, idx, 0))
+    starts = np.flatnonzero(chg)
+    seg_len = np.diff(np.append(starts, n))
+    seg_end = np.repeat(starts + seg_len, seg_len)
+
+    if rows_p is not None:                # ROWS frame
+        low = np.maximum(idx - rows_p, seg_start)
+        hi = np.minimum(idx + rows_f + 1, seg_end)
+    else:                                 # RANGE frame
+        oc = g[order_by[0]].combine_chunks()
+        if pa.types.is_temporal(oc.type):
+            oc = oc.cast(pa.int64())
+        ovalid = pc.is_valid(oc).to_numpy(zero_copy_only=False)
+        # fill BEFORE to_numpy (NaN staging corrupts int64 > 2^53)
+        ovals = pc.fill_null(oc, 0).to_numpy(zero_copy_only=False)
+        # NULL order values sort last per segment: valid rows occupy
+        # [seg_start, valid_end); a NULL row's peers are [valid_end,
+        # seg_end)
+        nval = np.add.reduceat(ovalid.astype(np.int64), starts)
+        valid_end = np.repeat(starts + nval, seg_len)
+        if np.issubdtype(ovals.dtype, np.integer):
+            if range_preceding != int(range_preceding) \
+                    or range_following != int(range_following):
+                raise ValueError(
+                    "fractional range bounds over an integer order "
+                    "column are not supported (stage through float64 "
+                    "would corrupt |v| > 2^53)")
+            q = ovals - np.int64(range_preceding)
+            qf = ovals + np.int64(range_following)
+        else:
+            q = ovals - range_preceding
+            qf = ovals + range_following
+        low = seg_searchsorted(ovals, q, seg_start, valid_end,
+                               side="left")
+        hi = seg_searchsorted(ovals, qf, seg_start, valid_end,
+                              side="right")   # through the last row
+                                              # with o <= o_i + Y
+        null_ord = ~ovalid
+        low = np.where(null_ord, valid_end, low)
+        hi = np.where(null_ord, seg_end, hi)
+
+    vcol = g[col].combine_chunks()
+    valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+    vals = pc.fill_null(vcol, 0).to_numpy(zero_copy_only=False)
+    # segmented prefix sums: frame agg = prefix[hi] - prefix[low]
+    cs = np.concatenate(([0], np.cumsum(
+        vals, dtype=np.int64 if int_in else np.float64)))
+    cv = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+    wsum = cs[hi] - cs[low]
+    wcnt = cv[hi] - cv[low]               # valid values in the frame
+
+    mm: dict[str, np.ndarray] = {}
+    for op in {o for o in aggs.values() if o in ("min", "max")}:
+        # min/max stay in the SOURCE dtype domain: int64 sentinels for
+        # ints (a float64 round-trip corrupts |v| > 2^53), ±inf fills
+        # for floats (legit ±inf inputs must survive)
+        if int_in:
+            fill = np.iinfo(np.int64).max if op == "min" \
+                else np.iinfo(np.int64).min
+            vf = np.where(valid, vals.astype(np.int64), fill)
+        else:
+            fill = np.inf if op == "min" else -np.inf
+            vf = np.where(valid, vals.astype(np.float64), fill)
+        mm[op] = _rmq(vf, low, hi, maximum=(op == "max"))
+
+    cols: list = [g[c].combine_chunks() for c in sort_keys + order_by + keep]
+    empty_win = wcnt == 0
+
+    def nullify(arr):
+        if empty_win.any():
+            return pc.if_else(pa.array(~empty_win), arr,
+                              pa.scalar(None, arr.type))
+        return arr
+
+    for alias, op in aggs.items():
+        if op == "count":
+            cols.append(pa.array(wcnt, type=pa.int64()))
+        elif op in ("first_value", "last_value"):
+            # SQL RESPECT NULLS: the value AT the frame boundary row
+            # (possibly NULL) — a dtype-preserving Arrow gather, no
+            # wcnt nullify (a NULL boundary value stays NULL even in
+            # frames that hold other valid values)
+            pos = low if op == "first_value" else hi - 1
+            cols.append(vcol.take(pa.array(pos)))
+        elif op == "sum":
+            cols.append(nullify(pa.array(wsum, type=out_type("sum"))))
+        elif op == "avg":
+            with np.errstate(divide="ignore", invalid="ignore"):
+                av = wsum.astype(np.float64) / wcnt
+            cols.append(nullify(pa.array(
+                np.where(wcnt > 0, av, 0.0), type=pa.float64())))
+        else:
+            # empty frames hold the fill sentinel — zero them so the
+            # narrow-type cast can't overflow; nullify() then nulls them
+            r = np.where(empty_win, 0, mm[op])
+            cols.append(nullify(pa.array(r, type=vtype)))
+    return pa.Table.from_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+         for c in cols], schema=schema)

@@ -89,6 +89,13 @@ ROTATED = {
         entry_mod._sliding_sql(
             4, entry_mod.DAY, f"window_id, {entry_mod.ALL_SQL}",
             "window_id")),
+    # rotated out in r4 for streaming_rolling: per-key row windows stay
+    # gated via row_window_global + the rotated tumbling/streaming twins
+    "row_window_agg": (
+        entry_mod._q_row_window,
+        entry_mod._tx(
+            "SELECT conv_id, CAST(turn_idx // 4 AS BIGINT) AS window_id, "
+            "COUNT(*) AS n_turns FROM transcripts GROUP BY 1, 2")),
     # rotated out in r4 for streaming_shift: ROWS/RANGE frame coverage
     # stays in test_rolling.py's DuckDB property oracles
     "rolling_window": (
