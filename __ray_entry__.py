@@ -1200,6 +1200,50 @@ def _q_streaming_shift(sf):
     return job.results()
 
 
+_BM25_QUERIES = ["the model of the data", "training pipeline quality"]
+_BM25_K = 10
+
+
+def _q_bm25_search(sf):
+    """BM25 keyword search over the documents corpus: two column-pruned
+    scans (stats partials, then in-batch scoring + per-batch top-k
+    partials with ONE fan-in merge) — no corpus-sized shuffle or
+    materialization anywhere (stages/search.py)."""
+    from saber_ray.stages.search import bm25_search
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    return bm25_search(docs, _BM25_QUERIES, k=_BM25_K)
+
+
+def _bm25_oracle() -> str:
+    from saber_ray.stages.search import tokenize_query
+    vals = ", ".join(f"({qid}, '{w}')"
+                     for qid, q in enumerate(_BM25_QUERIES)
+                     for w in tokenize_query(q))
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                 '[a-z0-9]+')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS doclen FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(doclen) AS avgdl FROM dl),
+        q(query_id, term) AS (VALUES {vals}),
+        df AS (SELECT term, COUNT(*) AS df FROM tf
+               WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+        scores AS (
+          SELECT q.query_id, tf.doc_id,
+                 ROUND(SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen
+                                         / stats.avgdl))), 6) AS score
+          FROM q JOIN tf USING (term) JOIN df USING (term)
+               JOIN dl ON tf.doc_id = dl.doc_id, stats
+          GROUP BY 1, 2)
+        SELECT query_id, doc_id, score, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rank FROM scores)
+        WHERE rank <= {_BM25_K}"""
+
+
 def _q_streaming_rolling(sf):
     """Rolling RANGE-frame aggregates over the STREAMING engine (running
     count/sum/min/max of turn lengths in a ±time band per conv): pure
@@ -1350,7 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sg3": _q_sg3,
         "ysb": _q_ysb,
         "transcripts_identity": _q_transcripts_identity,
-        "token_counts": _q_token_counts,
+        "bm25_search": _q_bm25_search,
         "w1_chained": _q_w1_chained,
         "embedding_near_dup": _q_embedding_near_dup,
         "pricing_summary": _q_pricing_summary,
@@ -1731,10 +1775,7 @@ def oracle_sql() -> dict[str, str]:
                 f"FILTER (WHERE o_orderstatus = '{s}') AS DOUBLE), 4) "
                 f"AS tot_{s}" for s in ("F", "O", "P"))
             + " FROM orders GROUP BY o_orderpriority"),
-        "token_counts": (
-            "SELECT token, COUNT(*) AS n FROM "
-            "(SELECT unnest(string_split(text, ' ')) AS token "
-            " FROM documents) GROUP BY 1 HAVING COUNT(*) >= 5"),
+        "bm25_search": _bm25_oracle(),
         "q3_shipping_priority": (
             "SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, "
             "ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "

@@ -89,6 +89,13 @@ ROTATED = {
         entry_mod._sliding_sql(
             4, entry_mod.DAY, f"window_id, {entry_mod.ALL_SQL}",
             "window_id")),
+    # rotated out in r4 for bm25_search: tokenize/unnest stay exercised by
+    # the BM25 gate's tokenizer and the inverted-index pytest oracle
+    "token_counts": (
+        entry_mod._q_token_counts,
+        "SELECT token, COUNT(*) AS n FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS token "
+        " FROM documents) GROUP BY 1 HAVING COUNT(*) >= 5"),
     # rotated out in r4 for streaming_rolling: per-key row windows stay
     # gated via row_window_global + the rotated tumbling/streaming twins
     "row_window_agg": (

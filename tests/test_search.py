@@ -1,0 +1,97 @@
+"""Inverted index + BM25 search vs full-formula DuckDB oracles."""
+
+import duckdb
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from saber_ray.stages.search import (bm25_search, build_inverted_index,
+                                     tokenize_query)
+from tests.oracle_util import canon, to_pandas
+
+QUERIES = ["the model of the data", "training pipeline quality",
+           "zz_no_such_term_zz the"]
+K, K1, B = 7, 1.2, 0.75
+
+
+def _docs(sf_dir):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+def _q_values_sql():
+    rows = []
+    for qid, q in enumerate(QUERIES):
+        for w in tokenize_query(q):
+            rows.append(f"({qid}, '{w}')")
+    return ", ".join(rows)
+
+
+def test_inverted_index_vs_duckdb(ray_session, sf_dir):
+    got = canon(to_pandas(build_inverted_index(_docs(sf_dir))))
+    want = canon(duckdb.sql(f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                 '[a-z0-9]+')) AS term
+          FROM read_parquet('{sf_dir}/documents.parquet')),
+        dl AS (SELECT doc_id, COUNT(*) AS doclen FROM tok GROUP BY 1)
+        SELECT term, tok.doc_id, COUNT(*) AS tf, ANY_VALUE(doclen) AS doclen
+        FROM tok JOIN dl ON tok.doc_id = dl.doc_id
+        GROUP BY 1, 2""").df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bm25_vs_duckdb(ray_session, sf_dir):
+    out = to_pandas(bm25_search(_docs(sf_dir), QUERIES, k=K, k1=K1, b=B))
+    got = canon(out[["query_id", "doc_id", "score", "rank"]])
+    want = canon(duckdb.sql(f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                 '[a-z0-9]+')) AS term
+          FROM read_parquet('{sf_dir}/documents.parquet')),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS doclen FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(doclen) AS avgdl FROM dl),
+        q(query_id, term) AS (VALUES {_q_values_sql()}),
+        df AS (SELECT term, COUNT(*) AS df FROM tf
+               WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+        scores AS (
+          SELECT q.query_id, tf.doc_id,
+                 ROUND(SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * ({K1} + 1)
+                       / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen
+                                          / stats.avgdl))), 6) AS score
+          FROM q JOIN tf USING (term) JOIN df USING (term)
+               JOIN dl ON tf.doc_id = dl.doc_id, stats
+          GROUP BY 1, 2)
+        SELECT query_id, doc_id, score, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rank FROM scores)
+        WHERE rank <= {K}""").df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bm25_block_invariance(ray_session, sf_dir):
+    """Identical results regardless of how the corpus is partitioned —
+    per-batch top-k partials + fan-in must be a pure optimization."""
+    outs = []
+    for nblocks in (1, 7):
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"],
+                             override_num_blocks=nblocks)
+        outs.append(canon(to_pandas(
+            bm25_search(ds, QUERIES[:2], k=K))))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_bm25_validation(ray_session, sf_dir):
+    with pytest.raises(ValueError):
+        bm25_search(_docs(sf_dir), [])
+    with pytest.raises(ValueError):
+        bm25_search(_docs(sf_dir), ["!!! ???"])
+
+
+def test_tokenize_query():
+    assert tokenize_query("The quick, QUICK fox!") == \
+        ["the", "quick", "quick", "fox"]
+    assert tokenize_query("a1-b2") == ["a1", "b2"]
