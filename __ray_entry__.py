@@ -1200,6 +1200,21 @@ def _q_streaming_shift(sf):
     return job.results()
 
 
+def _q_perplexity(sf):
+    """Perplexity filtering, the canonical pretraining quality gate: train
+    an add-one-smoothed unigram LM on half the corpus (even doc_ids — so
+    scoring exercises OOV), score EVERY document (stages/lm.py). Train is
+    one vocab-sized combiner-reduced exchange; scoring broadcasts the
+    model once and never shuffles."""
+    import pyarrow.compute as pc
+    from saber_ray.stages.lm import perplexity_score, train_unigram_lm
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    train = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)),
+        batch_format="pyarrow")
+    return perplexity_score(docs, train_unigram_lm(train))
+
+
 _BM25_QUERIES = ["the model of the data", "training pipeline quality"]
 _BM25_K = 10
 
@@ -1398,7 +1413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w1_chained": _q_w1_chained,
         "embedding_near_dup": _q_embedding_near_dup,
         "pricing_summary": _q_pricing_summary,
-        "set_except": _q_set_except,
+        "perplexity_score": _q_perplexity,
         "pivot_wide": _q_pivot_wide,
         "curation_pipeline": _q_curation_pipeline,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -1764,10 +1779,20 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(MIN(l_extendedprice), 4) AS min_price, "
             "ROUND(MAX(l_extendedprice), 4) AS max_price, "
             "COUNT(*) AS count_order FROM lineitem GROUP BY 1, 2"),
-        "set_except": (
-            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
-            "EXCEPT "
-            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"),
+        "perplexity_score": """
+            WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(
+                   lower(text), '[a-z0-9]+')) AS term FROM documents),
+            cnt AS (SELECT term, COUNT(*) AS c FROM tok
+                    WHERE doc_id % 2 = 0 GROUP BY 1),
+            stats AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM cnt)
+            SELECT d.doc_id, COUNT(tok.term) AS n_tokens,
+                   ROUND(exp(-SUM(ln((COALESCE(cnt.c, 0) + 1)
+                                     / (stats.total + stats.v + 1)))
+                             / COUNT(tok.term)), 6) AS perplexity
+            FROM documents d
+            LEFT JOIN tok ON d.doc_id = tok.doc_id
+            LEFT JOIN cnt ON tok.term = cnt.term, stats
+            GROUP BY 1""",
         "pivot_wide": (
             "SELECT o_orderpriority, "
             + ", ".join(

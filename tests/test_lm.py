@@ -1,0 +1,94 @@
+"""Unigram LM training + perplexity scoring vs full-formula DuckDB twins."""
+
+import duckdb
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from saber_ray.stages.lm import perplexity_score, train_unigram_lm
+from tests.oracle_util import canon, to_pandas
+
+TOK_SQL = ("SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+           "'[a-z0-9]+')) AS term FROM read_parquet('{p}')")
+
+
+def _docs(sf_dir, **kw):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"], **kw)
+
+
+def test_train_counts_vs_duckdb(ray_session, sf_dir):
+    lm = train_unigram_lm(_docs(sf_dir))
+    p = f"{sf_dir}/documents.parquet"
+    want = duckdb.sql(
+        f"SELECT term, COUNT(*) AS c FROM ({TOK_SQL.format(p=p)}) "
+        "GROUP BY 1").df()
+    assert lm["vocab"] == len(want)
+    assert lm["total"] == int(want["c"].sum())
+    got = pd.DataFrame({"term": list(lm["counts"]),
+                        "c": list(lm["counts"].values())})
+    pd.testing.assert_frame_equal(canon(got), canon(want),
+                                  check_dtype=False)
+
+
+def test_perplexity_vs_duckdb_with_oov(ray_session, sf_dir):
+    """Train on even doc_ids, score ALL docs — OOV tokens get the
+    add-one-smoothed zero-count probability."""
+    import pyarrow.compute as pc
+    train = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)),
+        batch_format="pyarrow")
+    lm = train_unigram_lm(train)
+    got = canon(to_pandas(perplexity_score(_docs(sf_dir), lm)))
+    p = f"{sf_dir}/documents.parquet"
+    want = canon(duckdb.sql(f"""
+        WITH tok AS ({TOK_SQL.format(p=p)}),
+        cnt AS (SELECT term, COUNT(*) AS c FROM tok
+                WHERE doc_id % 2 = 0 GROUP BY 1),
+        stats AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM cnt)
+        SELECT d.doc_id, COUNT(tok.term) AS n_tokens,
+               ROUND(exp(-SUM(ln((COALESCE(cnt.c, 0) + 1)
+                                 / (stats.total + stats.v + 1)))
+                         / COUNT(tok.term)), 6) AS perplexity
+        FROM read_parquet('{p}') d
+        LEFT JOIN tok ON d.doc_id = tok.doc_id
+        LEFT JOIN cnt ON tok.term = cnt.term, stats
+        GROUP BY 1""").df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_min_count_folds_tail_but_keeps_denominator(ray_session, sf_dir):
+    full = train_unigram_lm(_docs(sf_dir))
+    capped = train_unigram_lm(_docs(sf_dir), min_count=3)
+    assert capped["total"] == full["total"]
+    assert capped["vocab"] == full["vocab"]
+    assert set(capped["counts"]) <= set(full["counts"])
+    assert all(c >= 3 for c in capped["counts"].values())
+
+
+def test_max_vocab_keeps_most_frequent(ray_session, sf_dir):
+    full = train_unigram_lm(_docs(sf_dir))
+    cap = min(10, len(full["counts"]) - 1)
+    capped = train_unigram_lm(_docs(sf_dir), max_vocab=cap)
+    assert len(capped["counts"]) == cap
+    floor = min(capped["counts"].values())
+    dropped = [c for w, c in full["counts"].items()
+               if w not in capped["counts"]]
+    assert all(c <= floor for c in dropped)
+
+
+def test_perplexity_block_invariance(ray_session, sf_dir):
+    lm = train_unigram_lm(_docs(sf_dir))
+    outs = [canon(to_pandas(perplexity_score(
+        _docs(sf_dir, override_num_blocks=nb), lm))) for nb in (1, 7)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_empty_doc_scores_null(ray_session):
+    import pyarrow as pa
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2], "text": ["hello world", "!!! ..."]}))
+    lm = train_unigram_lm(ds)
+    df = to_pandas(perplexity_score(ds, lm)).set_index("doc_id")
+    assert df.loc[2, "n_tokens"] == 0 and pd.isna(df.loc[2, "perplexity"])
+    assert df.loc[1, "n_tokens"] == 2 and df.loc[1, "perplexity"] > 0

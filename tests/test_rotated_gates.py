@@ -89,6 +89,13 @@ ROTATED = {
         entry_mod._sliding_sql(
             4, entry_mod.DAY, f"window_id, {entry_mod.ALL_SQL}",
             "window_id")),
+    # rotated out in r4 for perplexity_score: EXCEPT/INTERSECT keep
+    # hypothesis property suites vs DuckDB (test_setops_properties)
+    "set_except": (
+        entry_mod._q_set_except,
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+        "EXCEPT "
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"),
     # rotated out in r4 for bm25_search: tokenize/unnest stay exercised by
     # the BM25 gate's tokenizer and the inverted-index pytest oracle
     "token_counts": (
