@@ -1200,6 +1200,42 @@ def _q_streaming_shift(sf):
     return job.results()
 
 
+def _q_corpus_diff(sf):
+    """Snapshot diff between two corpus versions (stages/diff.py): each
+    side reduces to (id, md5) — text never enters the exchange — then ONE
+    full-outer co-location join classifies added/removed/changed; output
+    is proportional to the churn. Version B is derived deterministically
+    from the documents table (drops %7, edits %5, adds %11 under new
+    ids)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from saber_ray.stages.diff import corpus_diff
+
+    base = read_table(sf, "documents", columns=["doc_id", "text"])
+
+    def _mod(arr, m):
+        return pc.subtract(arr, pc.multiply(
+            pc.divide(arr, pa.scalar(m, pa.int64())),
+            pa.scalar(m, pa.int64())))
+
+    def to_b(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        kept = t.filter(pc.not_equal(_mod(ids, 7), 0))
+        mod5 = pc.equal(_mod(kept["doc_id"], 5), 0)
+        text = pc.if_else(mod5, pc.binary_join_element_wise(
+            kept["text"], pa.scalar("EDITED"), " "), kept["text"])
+        kept = kept.set_column(kept.schema.get_field_index("text"),
+                               "text", text)
+        added = t.filter(pc.equal(_mod(ids, 11), 0))
+        added = added.set_column(
+            added.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(added["doc_id"], 10**7))
+        return pa.concat_tables([kept, added])
+
+    return corpus_diff(base, base.map_batches(to_b,
+                                              batch_format="pyarrow"))
+
+
 def _q_perplexity(sf):
     """Perplexity filtering, the canonical pretraining quality gate: train
     an add-one-smoothed unigram LM on half the corpus (even doc_ids — so
@@ -1392,7 +1428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "row_window_global": _q_row_window_global,
         "streaming_shift": _q_streaming_shift,
         "session_windows": _q_session,
-        "broadcast_join": _q_broadcast_join,
+        "corpus_diff": _q_corpus_diff,
         "hash_join_agg": _q_hash_join_agg,
         "windowed_theta_join": _q_windowed_join,
         "asof_join": _q_asof_join,
@@ -1632,9 +1668,21 @@ def oracle_sql() -> dict[str, str]:
                             > {30 * MINUTE} THEN 1 ELSE 0 END AS brk
                 FROM transcripts))
             GROUP BY conv_id, session_id"""),
-        "broadcast_join": (
-            "SELECT c_custkey, c_nationkey, c_mktsegment, n_name "
-            "FROM customer JOIN nation ON c_nationkey = n_nationkey"),
+        "corpus_diff": """
+            WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+            b_kept AS (SELECT doc_id,
+                              md5(CASE WHEN doc_id % 5 = 0
+                                  THEN text || ' EDITED' ELSE text END) AS h
+                       FROM documents WHERE doc_id % 7 <> 0),
+            b AS (SELECT * FROM b_kept UNION ALL
+                  SELECT doc_id + 10000000, md5(text)
+                  FROM documents WHERE doc_id % 11 = 0)
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h""",
         "hash_join_agg": (
             "SELECT o_orderpriority, "
             "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) "

@@ -237,14 +237,24 @@ def lang_id(ds, text_col: str = "text", *, concurrency=None):
 
 
 def md5_fingerprint(ds, text_col: str = "text"):
-    """Content fingerprint = md5 hex of the text (oracle: DuckDB ``md5``)."""
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["fingerprint"] = [
-            hashlib.md5(s.encode("utf-8")).hexdigest() if s is not None else None
-            for s in df[text_col]]
-        return df
-    return ds.map_batches(f, batch_format="pandas")
+    """Content fingerprint = md5 hex of the text (oracle: DuckDB ``md5``).
+    Arrow in/out — md5 itself is inherently per-value (no vector kernel
+    exists), but the strings hash straight off the Arrow buffer views and
+    the output schema stays typed (a pandas stage here would erase the
+    string type to ``object``, breaking downstream joins)."""
+    import pyarrow as pa
+
+    def f(t: "pa.Table") -> "pa.Table":
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        fp = pa.array(
+            (hashlib.md5(s.as_buffer()).hexdigest()
+             if s.is_valid else None for s in col),
+            type=pa.string(), size=t.num_rows)
+        return t.append_column("fingerprint", fp)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 class WinnowingFingerprint:

@@ -1,0 +1,72 @@
+"""corpus_diff vs a DuckDB full-outer md5 oracle."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from saber_ray.stages.diff import corpus_diff
+from tests.oracle_util import canon, to_pandas
+
+
+def _versions(sf_dir):
+    """Deterministic snapshot pair from the documents table: B drops
+    doc_id % 7 == 0, rewrites text for doc_id % 5 == 0, and adds new ids
+    (doc_id + 10**7 for doc_id % 11 == 0)."""
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def _mod(arr, m):
+        return pc.subtract(arr, pc.multiply(
+            pc.divide(arr, pa.scalar(m, pa.int64())),
+            pa.scalar(m, pa.int64())))
+
+    def to_b(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        kept = t.filter(pc.not_equal(_mod(ids, 7), 0))
+        mod5 = pc.equal(_mod(kept["doc_id"], 5), 0)
+        text = pc.if_else(mod5, pc.binary_join_element_wise(
+            kept["text"], pa.scalar("EDITED"), " "), kept["text"])
+        kept = kept.set_column(kept.schema.get_field_index("text"),
+                               "text", text)
+        added = t.filter(pc.equal(_mod(ids, 11), 0))
+        added = added.set_column(
+            added.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(added["doc_id"], 10**7))
+        return pa.concat_tables([kept, added])
+
+    return base, base.map_batches(to_b, batch_format="pyarrow")
+
+
+_ORACLE = """
+    WITH a AS (SELECT doc_id, md5(text) AS h
+               FROM read_parquet('{p}')),
+    b_kept AS (SELECT doc_id,
+                      md5(CASE WHEN doc_id % 5 = 0
+                          THEN text || ' EDITED' ELSE text END) AS h
+               FROM read_parquet('{p}') WHERE doc_id % 7 <> 0),
+    b AS (SELECT * FROM b_kept UNION ALL
+          SELECT doc_id + 10000000, md5(text)
+          FROM read_parquet('{p}') WHERE doc_id % 11 = 0)
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h"""
+
+
+def test_corpus_diff_vs_duckdb(ray_session, sf_dir):
+    a, b = _versions(sf_dir)
+    got = canon(to_pandas(corpus_diff(a, b)))
+    want = canon(duckdb.sql(
+        _ORACLE.format(p=f"{sf_dir}/documents.parquet")).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert set(got["status"]) == {"added", "removed", "changed"}
+
+
+def test_corpus_diff_identical_is_empty(ray_session, sf_dir):
+    a = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    assert corpus_diff(a, a).count() == 0

@@ -89,6 +89,13 @@ ROTATED = {
         entry_mod._sliding_sql(
             4, entry_mod.DAY, f"window_id, {entry_mod.ALL_SQL}",
             "window_id")),
+    # rotated out in r4 for corpus_diff (which exercises the full-outer
+    # exchange at corpus scale); the broadcast path stays gated via
+    # q5_local_supplier's broadcast dims and cm1's dim join
+    "broadcast_join": (
+        entry_mod._q_broadcast_join,
+        "SELECT c_custkey, c_nationkey, c_mktsegment, n_name "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey"),
     # rotated out in r4 for perplexity_score: EXCEPT/INTERSECT keep
     # hypothesis property suites vs DuckDB (test_setops_properties)
     "set_except": (
