@@ -894,6 +894,24 @@ def _q_ann_ivf(sf):
     return ann_topk_ivf(emb, q, k=10, nlist=16, nprobe=6)
 
 
+def _q_ann_pq(sf):
+    """PQ ANN: product-quantize the corpus to m uint8 codes per vector
+    (the 100 TB compression path — raw vectors never read at search
+    time), ADC shortlist, exact rerank of the shortlist (see
+    stages/similarity.ann_topk_pq)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from saber_ray.stages.similarity import ann_topk_pq, pq_encode, train_pq
+    t = pq.read_table(os.path.join(sf, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    q = np.asarray([t["embedding"][0].as_py()], dtype=np.float64)
+    emb = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    pqm = train_pq(emb, m=16, n_centroids=64, train_size=5000)
+    codes = pq_encode(emb, pqm)
+    return ann_topk_pq(codes, q, pqm, k=10, rerank_ds=emb, shortlist=60)
+
+
 def _q_profile_docs(sf):
     """Per-column dataset profile (rows/nulls/distinct/min/max/mean) —
     value-oracled in pytest (test_stats.py builds the per-column DuckDB
@@ -1485,6 +1503,7 @@ def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprint": _q_simhash,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
+        "ann_topk_pq": _q_ann_pq,
         "profile_docs": _q_profile_docs,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     }

@@ -530,3 +530,212 @@ def ann_topk_ivf(emb_ds, queries: np.ndarray, k: int = 10, *,
         dict(q_ref=q_ref, cent_ref=c_ref, k=k, nprobe=nprobe,
              id_col=id_col, emb_col=emb_col), concurrency)
     return _topk_fanin(partials, k, id_col, round_decimals)
+
+
+def _kmeans_l2(x: np.ndarray, ncent: int, *, iters: int = 10,
+               seed: int = 42) -> np.ndarray:
+    """Deterministic plain-L2 Lloyd on a sample — the PQ sub-space
+    quantizer (sub-vectors are NOT unit vectors, so spherical assignment
+    would be wrong here). Empty clusters keep their previous centroid."""
+    rng = np.random.default_rng(seed)
+    x = np.asarray(x, dtype=np.float64)
+    ncent = min(ncent, len(x))
+    c = x[rng.choice(len(x), size=ncent, replace=False)].copy()
+    for _ in range(iters):
+        # argmin ||x - c||^2 == argmax (x.c - ||c||^2/2)
+        a = (x @ c.T - 0.5 * (c * c).sum(axis=1)).argmax(axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, a, x)
+        counts = np.bincount(a, minlength=ncent)
+        newc = sums / np.maximum(counts, 1)[:, None]
+        newc[counts == 0] = c[counts == 0]
+        c = newc
+    return c
+
+
+def train_pq(emb_ds, *, m: int = 8, n_centroids: int = 256,
+             train_size: int = 20_000, iters: int = 10, seed: int = 42,
+             emb_col: str = "embedding") -> dict:
+    """Train a product quantizer: vectors are L2-normalized (cosine via
+    inner product), split into ``m`` contiguous sub-spaces, and each
+    sub-space gets its own ``n_centroids``-entry L2 codebook. Training
+    streams the first ``train_size`` rows to the driver (bounded, the
+    corpus never materializes — the IVF trainer's contract). Returns
+    ``{"codebooks": (m, n_centroids, d/m) float64, "dim": d, "m": m}``.
+
+    At 100 TB the point is COMPRESSION: a d=1024 float32 vector (4 KiB)
+    becomes m uint8 codes (m bytes, e.g. 64 B at m=64) — the encoded
+    corpus fits two orders of magnitude more vectors per node, and ADC
+    search never touches the raw vectors."""
+    if m < 1 or n_centroids < 1 or n_centroids > 256:
+        raise ValueError("need m >= 1 and 1 <= n_centroids <= 256 "
+                         "(codes are uint8)")
+    chunks, total = [], 0
+    for b in emb_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        if b.num_rows == 0:
+            continue
+        chunks.append(_emb_matrix(b, emb_col))
+        total += len(chunks[-1])
+        if total >= train_size:
+            break
+    if not chunks:
+        raise ValueError("cannot train a product quantizer on an empty "
+                         "corpus")
+    train = _normalize(np.concatenate(chunks)[:train_size])
+    d = train.shape[1]
+    if d % m:
+        raise ValueError(f"m={m} must divide the embedding dim {d}")
+    sub = d // m
+    books = np.stack([
+        _kmeans_l2(train[:, s * sub:(s + 1) * sub], n_centroids,
+                   iters=iters, seed=seed + s)
+        for s in range(m)])
+    return {"codebooks": books, "dim": d, "m": m}
+
+
+class _PqEncoder:
+    def __init__(self, book_ref, id_col: str, emb_col: str):
+        pqm = ray.get(book_ref) if isinstance(book_ref, ray.ObjectRef) \
+            else book_ref
+        self.books = pqm["codebooks"]            # (m, ncent, sub)
+        self.m, self.dim = pqm["m"], pqm["dim"]
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, t):
+        import pyarrow as pa
+        m = self.m
+        schema = pa.schema([
+            (self.id_col, t.schema.field(self.id_col).type),
+            ("pq_code", pa.list_(pa.uint8(), m))])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        x = _normalize(_emb_matrix(t, self.emb_col))
+        if x.shape[1] != self.dim:
+            raise ValueError(f"embedding dim {x.shape[1]} != trained "
+                             f"dim {self.dim}")
+        sub = self.dim // m
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for s in range(m):
+            c = self.books[s]
+            xs = x[:, s * sub:(s + 1) * sub]
+            codes[:, s] = (xs @ c.T - 0.5 * (c * c).sum(axis=1)) \
+                .argmax(axis=1).astype(np.uint8)
+        ids = t[self.id_col]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) \
+            else ids
+        return pa.Table.from_arrays(
+            [ids, pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.ravel(), type=pa.uint8()), m)],
+            schema=schema)
+
+
+def pq_encode(emb_ds, pq_model, *, id_col: str = "vec_id",
+              emb_col: str = "embedding", concurrency=None):
+    """Encode a corpus to PQ codes: (``id_col``, pq_code
+    fixed_size_list<uint8, m>) — m bytes per vector. One map_batches
+    pass; the codebooks broadcast once."""
+    book_ref = pq_model if isinstance(pq_model, ray.ObjectRef) \
+        else ray.put(pq_model)
+    return _apply_scorer(emb_ds, _PqEncoder,
+                         dict(book_ref=book_ref, id_col=id_col,
+                              emb_col=emb_col), concurrency)
+
+
+class _PqAdcScorer:
+    """Asymmetric distance computation: per query, one (m, ncent) LUT of
+    sub-space inner products; a vector's approximate cosine is the sum of
+    m LUT entries addressed by its codes — no float vector is ever read."""
+
+    def __init__(self, q_ref, book_ref, k, id_col):
+        q = _normalize(np.asarray(ray.get(q_ref), dtype=np.float64))
+        pqm = ray.get(book_ref) if isinstance(book_ref, ray.ObjectRef) \
+            else book_ref
+        books = pqm["codebooks"]                  # (m, ncent, sub)
+        m, sub = pqm["m"], pqm["dim"] // pqm["m"]
+        if q.shape[1] != pqm["dim"]:
+            raise ValueError(f"query dim {q.shape[1]} != trained "
+                             f"dim {pqm['dim']}")
+        # luts: (nq, m, ncent)
+        self.luts = np.einsum(
+            "qmd,mcd->qmc",
+            q.reshape(len(q), m, sub), books)
+        self.k, self.id_col, self.m = k, id_col, m
+
+    def __call__(self, t):
+        import pyarrow as pa
+        schema = _pairs_schema(self.id_col)
+        if t.num_rows == 0:
+            return schema.empty_table()
+        col = t["pq_code"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = np.asarray(col.flatten(), dtype=np.int64) \
+            .reshape(t.num_rows, self.m)
+        ids = _col_np(t, self.id_col)
+        nq = self.luts.shape[0]
+        rng_m = np.arange(self.m)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(nq):                      # queries, never rows
+            scores = self.luts[qi][rng_m, codes].sum(axis=1)
+            k = min(self.k, len(scores))
+            sel = np.argpartition(-scores, k - 1)[:k]
+            out_q.append(np.full(k, qi, dtype=np.int64))
+            out_id.append(ids[sel])
+            out_s.append(scores[sel])
+        return pa.table({"query_id": np.concatenate(out_q),
+                         self.id_col: np.concatenate(out_id),
+                         "score": np.concatenate(out_s)}, schema=schema)
+
+
+def ann_topk_pq(code_ds, queries: np.ndarray, pq_model, k: int = 10, *,
+                id_col: str = "vec_id", emb_col: str = "embedding",
+                rerank_ds=None, shortlist: Optional[int] = None,
+                round_decimals: Optional[int] = 6, concurrency=None):
+    """Approximate cosine top-k over a PQ-ENCODED corpus (``pq_encode``
+    output) via ADC: the per-query LUTs broadcast with the codebooks;
+    each batch is one fancy-gather + row sum over uint8 codes. Same
+    q×k-rows-per-batch fan-in as brute/LSH/IVF.
+
+    Raw-ADC accuracy is bounded by the quantization error; pass
+    ``rerank_ds`` (the raw embedding Dataset) to run the standard
+    two-stage search — ADC selects a per-query ``shortlist`` (default
+    4k) of candidates, then ONE brute-force pass EXACTLY scores only the
+    shortlisted ids (the broadcast id set prunes each batch before the
+    matmul). At scale the shortlist is a vanishing fraction of the
+    corpus, so the second stage reads raw vectors for ~q*shortlist rows'
+    worth of ids while the scan itself stays column-pruned and
+    streaming."""
+    q = np.asarray(queries, dtype=np.float64)
+    q_ref = ray.put(q)
+    book_ref = pq_model if isinstance(pq_model, ray.ObjectRef) \
+        else ray.put(pq_model)
+    kk = k if rerank_ds is None else max(int(shortlist or 4 * k), k)
+    partials = _apply_scorer(
+        code_ds, _PqAdcScorer,
+        dict(q_ref=q_ref, book_ref=book_ref, k=kk, id_col=id_col),
+        concurrency)
+    adc = _topk_fanin(partials, kk, id_col, round_decimals)
+    if rerank_ds is None:
+        return adc
+    # exact rerank: the union-of-shortlists id set broadcasts once; only
+    # member rows reach the brute scorer (q x shortlist bounded)
+    short_ids = set()
+    for b in adc.iter_batches(batch_size=None, batch_format="pyarrow"):
+        short_ids.update(b[id_col].to_pylist())
+    ids_ref = ray.put(frozenset(short_ids))
+
+    def prune(t, _ref=ids_ref):
+        import pyarrow as pa
+        members = ray.get(_ref)
+        keep = np.fromiter((v in members
+                            for v in t[id_col].to_pylist()),
+                           dtype=bool, count=t.num_rows)
+        return t.filter(pa.array(keep))
+
+    pruned = rerank_ds.map_batches(prune, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    exact = _apply_scorer(
+        pruned, _BruteForceScorer,
+        dict(q_ref=q_ref, k=k, id_col=id_col, emb_col=emb_col),
+        concurrency)
+    return _topk_fanin(exact, k, id_col, round_decimals)

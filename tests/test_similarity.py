@@ -147,3 +147,66 @@ def test_ivf_full_probe_equals_bruteforce(ray_session, sf_dir):
     key = ["query_id", "rank"]
     assert exact.sort_values(key).reset_index(drop=True).equals(
         full.sort_values(key).reset_index(drop=True))
+
+
+def test_pq_encode_shape_and_determinism(ray_session, sf_dir):
+    from saber_ray.stages.similarity import pq_encode, train_pq
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pqm = train_pq(emb, m=16, n_centroids=64, train_size=5000)
+    assert pqm["codebooks"].shape[0] == 16
+    codes = to_pandas(pq_encode(emb, pqm))
+    assert len(codes) == emb.count()
+    assert all(len(c) == 16 for c in codes["pq_code"].head(20))
+    again = to_pandas(pq_encode(emb, pqm))
+    a = codes.sort_values("vec_id").reset_index(drop=True)
+    b = again.sort_values("vec_id").reset_index(drop=True)
+    assert (a["vec_id"] == b["vec_id"]).all()
+    assert all(list(x) == list(y)
+               for x, y in zip(a["pq_code"], b["pq_code"]))
+
+
+def test_pq_adc_self_hit_and_recall(ray_session, sf_dir):
+    """Raw ADC: every query's own vector ranks first (self-similarity
+    survives quantization); recall@10 on structure-less sphere vectors is
+    bounded by code size — assert the measured-floor 0.4, and that
+    rerank=exact recovers >= 0.9 with EXACT scores."""
+    from saber_ray.stages.similarity import (ann_topk_pq, pq_encode,
+                                             train_pq)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = to_pandas(emb)
+    queries = np.stack(df["embedding"].head(10).to_numpy())
+    own_ids = df["vec_id"].head(10).to_numpy()
+    pqm = train_pq(emb, m=16, n_centroids=64, train_size=5000)
+    codes = pq_encode(emb, pqm).materialize()
+
+    adc = to_pandas(ann_topk_pq(codes, queries, pqm, k=10))
+    first = adc[adc["rank"] == 1].sort_values("query_id")
+    assert (first["vec_id"].to_numpy() == own_ids).all()
+
+    exact = to_pandas(ann_topk_bruteforce(emb, queries, k=10))
+    rr = to_pandas(ann_topk_pq(codes, queries, pqm, k=10,
+                               rerank_ds=emb, shortlist=60))
+    rec_adc, rec_rr = [], []
+    for qi in range(10):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        rec_adc.append(len(e & set(
+            adc[adc["query_id"] == qi]["vec_id"])) / 10)
+        rec_rr.append(len(e & set(
+            rr[rr["query_id"] == qi]["vec_id"])) / 10)
+    assert np.mean(rec_adc) >= 0.4, rec_adc
+    assert np.mean(rec_rr) >= 0.9, rec_rr
+    # reranked scores are EXACT cosines: equal wherever ids overlap
+    m = rr.merge(exact, on=["query_id", "vec_id"], suffixes=("_pq", "_ex"))
+    assert np.allclose(m["score_pq"], m["score_ex"])
+
+
+def test_pq_validation(ray_session, sf_dir):
+    import pytest
+    from saber_ray.stages.similarity import train_pq
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        train_pq(emb, m=0)
+    with pytest.raises(ValueError):
+        train_pq(emb, n_centroids=257)
+    with pytest.raises(ValueError):
+        train_pq(emb, m=7)        # 7 does not divide dim
