@@ -146,6 +146,19 @@ def rolling_agg(
         .map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def rolling_out_type(op: str, vtype: pa.DataType) -> pa.DataType:
+    """Output dtype of a rolling aggregate over a ``vtype`` column —
+    shared by the batch kernel's schema and the streaming twin's
+    empty-result schema."""
+    if op == "count":
+        return pa.int64()
+    if op == "sum":
+        return pa.int64() if pa.types.is_integer(vtype) else pa.float64()
+    if op == "avg":
+        return pa.float64()
+    return vtype            # min/max/first_value/last_value keep source
+
+
 def rolling_block(g: pa.Table, *, sort_keys: list, order_by: list, col: str,
                   aggs: dict, rows_p, rows_f, range_preceding,
                   range_following, keep: list) -> pa.Table:
@@ -159,13 +172,7 @@ def rolling_block(g: pa.Table, *, sort_keys: list, order_by: list, col: str,
     int_in = pa.types.is_integer(vtype)
 
     def out_type(op):
-        if op == "count":
-            return pa.int64()
-        if op == "sum":
-            return pa.int64() if int_in else pa.float64()
-        if op == "avg":
-            return pa.float64()
-        return vtype        # min/max/first_value/last_value keep source
+        return rolling_out_type(op, vtype)
 
     schema = pa.schema(
         [(k, g.schema.field(k).type) for k in sort_keys + order_by + keep]

@@ -116,6 +116,10 @@ class _StatsPass:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         parents, codes, vocab, doclen = _doc_terms(t, self.text_col)
+        # N and avgdl count only docs that PRODUCED tokens — the SQL twin
+        # derives both from the tokenized dl relation, where a token-less
+        # (empty/punctuation-only/null) document never appears
+        n_docs = int((doclen > 0).sum())
         df = np.zeros(len(self.terms), dtype=np.int64)
         if len(parents):
             tmap = np.array([self.lookup.get(w, -1)
@@ -130,7 +134,7 @@ class _StatsPass:
         return pa.table({
             "term_idx": pa.array(np.arange(len(self.terms) + 1,
                                            dtype=np.int64) - 1),
-            "df": pa.array(np.concatenate(([t.num_rows], df))),
+            "df": pa.array(np.concatenate(([n_docs], df))),
             "sumlen": pa.array(np.concatenate(
                 ([doclen.sum()], np.zeros(len(self.terms),
                                           dtype=np.int64))))})

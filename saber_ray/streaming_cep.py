@@ -37,7 +37,6 @@ suppress a sealed one) — it stays a batch-only mode (stages/cep.py).
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Callable, Optional, Sequence
 
@@ -48,7 +47,7 @@ import pyarrow.parquet as pq
 
 import ray
 
-from saber_ray.streaming import _write_late, ingest_epoch_files
+from saber_ray.streaming_keyed import KeyedStreamEngine
 from saber_ray.streaming_session import _key_codes, _same_as_prev
 
 
@@ -159,13 +158,17 @@ class _PatternState:
 PatternStateActor = ray.remote(_PatternState)
 
 
-class StreamingMatchPattern:
+class StreamingMatchPattern(KeyedStreamEngine):
     """Micro-batch streaming CEP over an ordered file stream.
 
     Output matches the batch kernel run on the concatenated stream with
     ``order_by=ts`` (the DuckDB LEAD() oracle twin in tests/test_cep.py):
-    keys..., match_start_us, match_end_us.
+    keys..., match_start_us, match_end_us. Epoch protocol lives in
+    ``streaming_keyed.KeyedStreamEngine``.
     """
+
+    _snap_prefix = "cstate-"
+    _out_prefix = "match-"
 
     def __init__(self, out_dir: str, *,
                  pattern: Sequence[Callable[[pa.Table], object]],
@@ -189,119 +192,11 @@ class StreamingMatchPattern:
         self.lateness = allowed_lateness
         self.columns = list(columns) if columns else None
 
-    @property
-    def _ckpt_path(self):
-        return os.path.join(self.out_dir, "checkpoint.json")
-
-    def _snap(self, pid, epoch):
-        return os.path.join(self.out_dir,
-                            f"cstate-p{pid:03d}-e{epoch:05d}.parquet")
-
-    def run(self, files: Sequence[str], *, epoch_size: int = 4,
-            end_of_stream: bool = True,
-            max_epochs: Optional[int] = None) -> dict:
-        files = list(files)
-        ck = {"offset": 0, "epoch": 0, "watermark": None,
-              "metrics": {"emitted_rows": 0, "late_dropped": 0}}
-        if os.path.exists(self._ckpt_path):
-            with open(self._ckpt_path) as f:
-                ck = json.load(f)
-        cols = list(dict.fromkeys(
+    def _ingest_columns(self):
+        return list(dict.fromkeys(
             (self.columns or []) + self.tiebreak)) or None
-        actors = [PatternStateActor.remote(
+
+    def _spawn_actors(self):
+        return [PatternStateActor.remote(
             self.keys, self.pattern, self.within, self.tiebreak)
             for _ in range(self.n)]
-        try:
-            ray.get([a.restore.remote(self._snap(i, ck["epoch"]))
-                     for i, a in enumerate(actors)])
-            epochs = 0
-            while ck["offset"] < len(files):
-                if max_epochs is not None and epochs >= max_epochs:
-                    break
-                import time
-                t0 = time.monotonic()
-                chunk = files[ck["offset"]:ck["offset"] + epoch_size]
-                wm = ck["watermark"]
-                sides, late_tables, sub = ingest_epoch_files(
-                    chunk, wm, actors, ck["epoch"], keys=self.keys,
-                    ts_col=self.ts_col, columns=cols,
-                    monitor=self.monitor)
-                _write_late(self.out_dir, ck["epoch"], late_tables)
-                s = sides.get(0, {"max_ts": None, "late": 0, "rows": 0})
-                mx, late, rows_in = s["max_ts"], s["late"], s["rows"]
-                new_wm = wm if mx is None else (
-                    (mx - self.lateness) if wm is None
-                    else max(mx - self.lateness, wm))
-                outs = ray.get([a.process.remote(new_wm) for a in actors])
-                emitted = _write(self.out_dir, ck["epoch"], outs)
-                wall = time.monotonic() - t0
-                nxt = ck["epoch"] + 1
-                ray.get([a.snapshot.remote(self._snap(i, nxt))
-                         for i, a in enumerate(actors)])
-                ck.update(offset=ck["offset"] + len(chunk), epoch=nxt,
-                          watermark=new_wm)
-                ck["metrics"]["emitted_rows"] += emitted
-                ck["metrics"]["late_dropped"] += late
-                from saber_ray.streaming import epoch_stat_row
-                ck["metrics"].setdefault("epoch_stats", []).append(
-                    epoch_stat_row(nxt - 1, wall, rows_in, emitted,
-                                   sub_epoch=sub))
-                tmp = self._ckpt_path + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(ck, f)
-                    f.flush()
-                    os.fsync(f.fileno())
-                os.replace(tmp, self._ckpt_path)
-                for f2 in os.listdir(self.out_dir):
-                    if f2.startswith("cstate-") and f"-e{nxt:05d}." not in f2:
-                        os.remove(os.path.join(self.out_dir, f2))
-                epochs += 1
-            if end_of_stream and ck["offset"] >= len(files) \
-                    and not ck.get("finalized"):
-                outs = ray.get([a.process.remote(None) for a in actors])
-                emitted = _write(self.out_dir, ck["epoch"], outs)
-                nxt = ck["epoch"] + 1
-                ray.get([a.snapshot.remote(self._snap(i, nxt))
-                         for i, a in enumerate(actors)])
-                ck.update(epoch=nxt, finalized=True)
-                ck["metrics"]["emitted_rows"] += emitted
-                tmp = self._ckpt_path + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(ck, f)
-                os.replace(tmp, self._ckpt_path)
-            return ck
-        finally:
-            for a in actors:
-                ray.kill(a)
-
-    def results(self) -> pa.Table:
-        files = sorted(
-            os.path.join(self.out_dir, f) for f in os.listdir(self.out_dir)
-            if f.startswith("match-") and f.endswith(".parquet"))
-        if not files:
-            return pa.table({})
-        return pa.concat_tables([pq.read_table(f) for f in files],
-                                promote_options="default")
-
-    def late_results(self) -> pa.Table:
-        files = sorted(
-            os.path.join(self.out_dir, f) for f in os.listdir(self.out_dir)
-            if f.startswith("late-") and f.endswith(".parquet"))
-        if not files:
-            return pa.table({})
-        return pa.concat_tables([pq.read_table(f) for f in files],
-                                promote_options="default")
-
-
-def _write(out_dir: str, epoch: int, tables: list[pa.Table]) -> int:
-    tables = [t for t in tables if t.num_rows]
-    path = os.path.join(out_dir, f"match-{epoch:05d}.parquet")
-    if not tables:
-        if os.path.exists(path):
-            os.remove(path)
-        return 0
-    out = pa.concat_tables(tables, promote_options="default")
-    tmp = path + ".tmp"
-    pq.write_table(out, tmp)
-    os.replace(tmp, path)
-    return out.num_rows

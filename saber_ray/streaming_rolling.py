@@ -25,7 +25,6 @@ time threshold, which makes the exactly-once argument one line:
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Optional, Sequence
 
@@ -36,7 +35,7 @@ import pyarrow.parquet as pq
 import ray
 
 from saber_ray.stages.rolling import _OPS, rolling_block
-from saber_ray.streaming import _write_late, ingest_epoch_files
+from saber_ray.streaming_keyed import KeyedStreamEngine
 
 _META_KEY = b"saber_ray.emit_below"
 
@@ -81,18 +80,10 @@ class _RollingState:
         fields = [(k, ftype(k)) for k in self.keys]
         fields.append((self.ts_out, pa.int64()))
         fields += [(c, ftype(c)) for c in self.keep]
+        from saber_ray.stages.rolling import rolling_out_type
         vt = ftype(self.col)
-        int_in = pa.types.is_integer(vt)
-
-        def out_type(op):
-            if op == "count":
-                return pa.int64()
-            if op == "sum":
-                return pa.int64() if int_in else pa.float64()
-            if op == "avg":
-                return pa.float64()
-            return vt
-        fields += [(a, out_type(op)) for a, op in self.aggs.items()]
+        fields += [(a, rolling_out_type(op, vt))
+                   for a, op in self.aggs.items()]
         return pa.schema(fields).empty_table()
 
     def process(self, watermark: Optional[int]) -> pa.Table:
@@ -149,12 +140,16 @@ class _RollingState:
 RollingStateActor = ray.remote(_RollingState)
 
 
-class StreamingRolling:
+class StreamingRolling(KeyedStreamEngine):
     """Micro-batch streaming rolling RANGE aggregates over an ordered file
     stream. Output matches the batch operator (``stages/rolling.py`` range
     mode) / SQL RANGE window oracle over the concatenated stream:
     keys..., ts (int64 event time), keep..., one column per agg alias.
+    Epoch protocol lives in ``streaming_keyed.KeyedStreamEngine``.
     """
+
+    _snap_prefix = "rlstate-"
+    _out_prefix = "roll-"
 
     def __init__(self, out_dir: str, *, col: str, aggs: dict[str, str],
                  range_preceding: int = 0, range_following: int = 0,
@@ -182,122 +177,13 @@ class StreamingRolling:
         self.n = num_partitions
         self.lateness = allowed_lateness
 
-    @property
-    def _ckpt_path(self):
-        return os.path.join(self.out_dir, "checkpoint.json")
+    def _ingest_columns(self):
+        return list(dict.fromkeys(self.keep + [self.col]))
 
-    def _snap(self, pid, epoch):
-        return os.path.join(self.out_dir,
-                            f"rlstate-p{pid:03d}-e{epoch:05d}.parquet")
-
-    def run(self, files: Sequence[str], *, epoch_size: int = 4,
-            end_of_stream: bool = True,
-            max_epochs: Optional[int] = None) -> dict:
-        files = list(files)
-        ck = {"offset": 0, "epoch": 0, "watermark": None,
-              "metrics": {"emitted_rows": 0, "late_dropped": 0}}
-        if os.path.exists(self._ckpt_path):
-            with open(self._ckpt_path) as f:
-                ck = json.load(f)
+    def _spawn_actors(self):
         # ingest replaces ts_col with the int64 ``__t`` column — remap a
         # value column that aggregates the event time itself
         col = "__t" if self.col == self.ts_col else self.col
-        cols = list(dict.fromkeys(self.keep + [self.col]))
-        actors = [RollingStateActor.remote(
+        return [RollingStateActor.remote(
             self.keys, col, self.aggs, self.p, self.f, self.keep,
             self.ts_col) for _ in range(self.n)]
-        try:
-            ray.get([a.restore.remote(self._snap(i, ck["epoch"]))
-                     for i, a in enumerate(actors)])
-            epochs = 0
-            while ck["offset"] < len(files):
-                if max_epochs is not None and epochs >= max_epochs:
-                    break
-                import time
-                t0 = time.monotonic()
-                chunk = files[ck["offset"]:ck["offset"] + epoch_size]
-                wm = ck["watermark"]
-                sides, late_tables, sub = ingest_epoch_files(
-                    chunk, wm, actors, ck["epoch"], keys=self.keys,
-                    ts_col=self.ts_col, columns=cols,
-                    monitor=self.monitor)
-                _write_late(self.out_dir, ck["epoch"], late_tables)
-                s = sides.get(0, {"max_ts": None, "late": 0, "rows": 0})
-                mx, late, rows_in = s["max_ts"], s["late"], s["rows"]
-                new_wm = wm if mx is None else (
-                    (mx - self.lateness) if wm is None
-                    else max(mx - self.lateness, wm))
-                outs = ray.get([a.process.remote(new_wm) for a in actors])
-                emitted = _write(self.out_dir, ck["epoch"], outs)
-                wall = time.monotonic() - t0
-                nxt = ck["epoch"] + 1
-                ray.get([a.snapshot.remote(self._snap(i, nxt))
-                         for i, a in enumerate(actors)])
-                ck.update(offset=ck["offset"] + len(chunk), epoch=nxt,
-                          watermark=new_wm)
-                ck["metrics"]["emitted_rows"] += emitted
-                ck["metrics"]["late_dropped"] += late
-                from saber_ray.streaming import epoch_stat_row
-                ck["metrics"].setdefault("epoch_stats", []).append(
-                    epoch_stat_row(nxt - 1, wall, rows_in, emitted,
-                                   sub_epoch=sub))
-                tmp = self._ckpt_path + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(ck, f)
-                    f.flush()
-                    os.fsync(f.fileno())
-                os.replace(tmp, self._ckpt_path)
-                for f2 in os.listdir(self.out_dir):
-                    if f2.startswith("rlstate-") \
-                            and f"-e{nxt:05d}." not in f2:
-                        os.remove(os.path.join(self.out_dir, f2))
-                epochs += 1
-            if end_of_stream and ck["offset"] >= len(files) \
-                    and not ck.get("finalized"):
-                outs = ray.get([a.process.remote(None) for a in actors])
-                emitted = _write(self.out_dir, ck["epoch"], outs)
-                nxt = ck["epoch"] + 1
-                ray.get([a.snapshot.remote(self._snap(i, nxt))
-                         for i, a in enumerate(actors)])
-                ck.update(epoch=nxt, finalized=True)
-                ck["metrics"]["emitted_rows"] += emitted
-                tmp = self._ckpt_path + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(ck, f)
-                os.replace(tmp, self._ckpt_path)
-            return ck
-        finally:
-            for a in actors:
-                ray.kill(a)
-
-    def results(self) -> pa.Table:
-        files = sorted(
-            os.path.join(self.out_dir, f) for f in os.listdir(self.out_dir)
-            if f.startswith("roll-") and f.endswith(".parquet"))
-        if not files:
-            return pa.table({})
-        return pa.concat_tables([pq.read_table(f) for f in files],
-                                promote_options="default")
-
-    def late_results(self) -> pa.Table:
-        files = sorted(
-            os.path.join(self.out_dir, f) for f in os.listdir(self.out_dir)
-            if f.startswith("late-") and f.endswith(".parquet"))
-        if not files:
-            return pa.table({})
-        return pa.concat_tables([pq.read_table(f) for f in files],
-                                promote_options="default")
-
-
-def _write(out_dir: str, epoch: int, tables: list[pa.Table]) -> int:
-    tables = [t for t in tables if t.num_rows]
-    path = os.path.join(out_dir, f"roll-{epoch:05d}.parquet")
-    if not tables:
-        if os.path.exists(path):
-            os.remove(path)
-        return 0
-    out = pa.concat_tables(tables, promote_options="default")
-    tmp = path + ".tmp"
-    pq.write_table(out, tmp)
-    os.replace(tmp, path)
-    return out.num_rows

@@ -35,7 +35,6 @@ the batch kernel):
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Optional, Sequence
 
@@ -46,7 +45,7 @@ import pyarrow.parquet as pq
 
 import ray
 
-from saber_ray.streaming import _write_late, ingest_epoch_files
+from saber_ray.streaming_keyed import KeyedStreamEngine
 from saber_ray.streaming_session import _key_codes, _same_as_prev
 
 
@@ -134,11 +133,15 @@ class _ShiftState:
             self.open = None
         else:
             final = ctx | emit
-            # first non-final index per run, broadcast to rows
+            # first non-final index per run (capped at the RUN's end — a
+            # fully-final run must keep ITS last max_back rows as context,
+            # not rows at the end of the whole buffer), broadcast to rows
             nf_idx = np.where(final, n, idx)
             run_heads = np.flatnonzero(chg)
             run_lens = np.diff(np.append(run_heads, n))
-            b = np.repeat(np.minimum.reduceat(nf_idx, run_heads), run_lens)
+            b_run = np.minimum(np.minimum.reduceat(nf_idx, run_heads),
+                               run_heads + run_lens)
+            b = np.repeat(b_run, run_lens)
             keep_mask = idx >= np.maximum(b - self.max_back, run_start)
             kept = t.filter(pa.array(keep_mask))
             kept = kept.set_column(
@@ -181,14 +184,19 @@ class _ShiftState:
 ShiftStateActor = ray.remote(_ShiftState)
 
 
-class StreamingShift:
+class StreamingShift(KeyedStreamEngine):
     """Micro-batch streaming LAG/LEAD over an ordered file stream.
 
     Output matches the batch kernel (``stages/shift.py``) run on the
     concatenated stream with ``order_by=[ts]+tiebreak`` — the DuckDB
     LAG()/LEAD() window-function oracle: keys..., ts (int64 event time),
-    tiebreak..., keep..., one column per spec alias.
+    tiebreak..., keep..., one column per spec alias. Epoch protocol
+    (ingest/watermark/snapshot/exactly-once resume) lives in
+    ``streaming_keyed.KeyedStreamEngine``.
     """
+
+    _snap_prefix = "shstate-"
+    _out_prefix = "shift-"
 
     def __init__(self, out_dir: str, *,
                  specs: dict[str, tuple[str, int]],
@@ -214,125 +222,15 @@ class StreamingShift:
         self.n = num_partitions
         self.lateness = allowed_lateness
 
-    @property
-    def _ckpt_path(self):
-        return os.path.join(self.out_dir, "checkpoint.json")
-
-    def _snap(self, pid, epoch):
-        return os.path.join(self.out_dir,
-                            f"shstate-p{pid:03d}-e{epoch:05d}.parquet")
-
-    def run(self, files: Sequence[str], *, epoch_size: int = 4,
-            end_of_stream: bool = True,
-            max_epochs: Optional[int] = None) -> dict:
-        files = list(files)
-        ck = {"offset": 0, "epoch": 0, "watermark": None,
-              "metrics": {"emitted_rows": 0, "late_dropped": 0}}
-        if os.path.exists(self._ckpt_path):
-            with open(self._ckpt_path) as f:
-                ck = json.load(f)
+    def _ingest_columns(self):
         src_cols = [c for c, _ in self.specs.values()]
-        cols = list(dict.fromkeys(
-            self.tiebreak + self.keep + src_cols))
+        return list(dict.fromkeys(self.tiebreak + self.keep + src_cols))
+
+    def _spawn_actors(self):
         # ingest replaces ts_col with the int64 ``__t`` column — remap
         # specs that shift the event-time column itself
         actor_specs = {a: ("__t" if c == self.ts_col else c, off)
                        for a, (c, off) in self.specs.items()}
-        actors = [ShiftStateActor.remote(
+        return [ShiftStateActor.remote(
             self.keys, actor_specs, self.tiebreak, self.keep, self.ts_col)
             for _ in range(self.n)]
-        try:
-            ray.get([a.restore.remote(self._snap(i, ck["epoch"]))
-                     for i, a in enumerate(actors)])
-            epochs = 0
-            while ck["offset"] < len(files):
-                if max_epochs is not None and epochs >= max_epochs:
-                    break
-                import time
-                t0 = time.monotonic()
-                chunk = files[ck["offset"]:ck["offset"] + epoch_size]
-                wm = ck["watermark"]
-                sides, late_tables, sub = ingest_epoch_files(
-                    chunk, wm, actors, ck["epoch"], keys=self.keys,
-                    ts_col=self.ts_col, columns=cols,
-                    monitor=self.monitor)
-                _write_late(self.out_dir, ck["epoch"], late_tables)
-                s = sides.get(0, {"max_ts": None, "late": 0, "rows": 0})
-                mx, late, rows_in = s["max_ts"], s["late"], s["rows"]
-                new_wm = wm if mx is None else (
-                    (mx - self.lateness) if wm is None
-                    else max(mx - self.lateness, wm))
-                outs = ray.get([a.process.remote(new_wm) for a in actors])
-                emitted = _write(self.out_dir, ck["epoch"], outs)
-                wall = time.monotonic() - t0
-                nxt = ck["epoch"] + 1
-                ray.get([a.snapshot.remote(self._snap(i, nxt))
-                         for i, a in enumerate(actors)])
-                ck.update(offset=ck["offset"] + len(chunk), epoch=nxt,
-                          watermark=new_wm)
-                ck["metrics"]["emitted_rows"] += emitted
-                ck["metrics"]["late_dropped"] += late
-                from saber_ray.streaming import epoch_stat_row
-                ck["metrics"].setdefault("epoch_stats", []).append(
-                    epoch_stat_row(nxt - 1, wall, rows_in, emitted,
-                                   sub_epoch=sub))
-                tmp = self._ckpt_path + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(ck, f)
-                    f.flush()
-                    os.fsync(f.fileno())
-                os.replace(tmp, self._ckpt_path)
-                for f2 in os.listdir(self.out_dir):
-                    if f2.startswith("shstate-") \
-                            and f"-e{nxt:05d}." not in f2:
-                        os.remove(os.path.join(self.out_dir, f2))
-                epochs += 1
-            if end_of_stream and ck["offset"] >= len(files) \
-                    and not ck.get("finalized"):
-                outs = ray.get([a.process.remote(None) for a in actors])
-                emitted = _write(self.out_dir, ck["epoch"], outs)
-                nxt = ck["epoch"] + 1
-                ray.get([a.snapshot.remote(self._snap(i, nxt))
-                         for i, a in enumerate(actors)])
-                ck.update(epoch=nxt, finalized=True)
-                ck["metrics"]["emitted_rows"] += emitted
-                tmp = self._ckpt_path + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(ck, f)
-                os.replace(tmp, self._ckpt_path)
-            return ck
-        finally:
-            for a in actors:
-                ray.kill(a)
-
-    def results(self) -> pa.Table:
-        files = sorted(
-            os.path.join(self.out_dir, f) for f in os.listdir(self.out_dir)
-            if f.startswith("shift-") and f.endswith(".parquet"))
-        if not files:
-            return pa.table({})
-        return pa.concat_tables([pq.read_table(f) for f in files],
-                                promote_options="default")
-
-    def late_results(self) -> pa.Table:
-        files = sorted(
-            os.path.join(self.out_dir, f) for f in os.listdir(self.out_dir)
-            if f.startswith("late-") and f.endswith(".parquet"))
-        if not files:
-            return pa.table({})
-        return pa.concat_tables([pq.read_table(f) for f in files],
-                                promote_options="default")
-
-
-def _write(out_dir: str, epoch: int, tables: list[pa.Table]) -> int:
-    tables = [t for t in tables if t.num_rows]
-    path = os.path.join(out_dir, f"shift-{epoch:05d}.parquet")
-    if not tables:
-        if os.path.exists(path):
-            os.remove(path)
-        return 0
-    out = pa.concat_tables(tables, promote_options="default")
-    tmp = path + ".tmp"
-    pq.write_table(out, tmp)
-    os.replace(tmp, path)
-    return out.num_rows

@@ -95,3 +95,20 @@ def test_tokenize_query():
     assert tokenize_query("The quick, QUICK fox!") == \
         ["the", "quick", "quick", "fox"]
     assert tokenize_query("a1-b2") == ["a1", "b2"]
+
+
+def test_bm25_tokenless_docs_excluded_from_stats(ray_session, sf_dir):
+    """Regression (found by review): docs that produce no tokens (empty /
+    punctuation-only / NULL text) must not count in N or avgdl — the SQL
+    twin derives both from the tokenized dl relation."""
+    import pyarrow as pa
+    base = duckdb.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')").arrow()
+    extra = pa.table({"doc_id": pa.array([10**6, 10**6 + 1], pa.int64()),
+                      "text": pa.array(["!!! ...", None], pa.string())})
+    noisy = rd.from_arrow(pa.concat_tables(
+        [base.cast(extra.schema), extra]))
+    got = canon(to_pandas(bm25_search(noisy, QUERIES[:1], k=5)))
+    want = canon(to_pandas(bm25_search(_docs(sf_dir), QUERIES[:1], k=5)))
+    pd.testing.assert_frame_equal(got, want)

@@ -140,3 +140,28 @@ def test_streaming_shift_validation(tmp_path):
         StreamingShift(str(tmp_path / "o"), specs={})
     with pytest.raises(ValueError):
         StreamingShift(str(tmp_path / "o"), specs={"x": ("ts", 0)})
+
+
+def test_streaming_shift_lag_only_context_survives(ray_session, tmp_path):
+    """Regression (found by review): a LAG-only spec lets a key run become
+    FULLY final mid-stream; retention must keep that run's own last
+    max_back rows as context — not rows at the end of the sorted buffer —
+    so a later row of the same key still sees its true LAG source."""
+    import pyarrow as pa
+
+    f1 = str(tmp_path / "f1.parquet")
+    f2 = str(tmp_path / "f2.parquet")
+    # epoch 1: run A sealed entirely (watermark -> 5 via key B), run B after
+    pq.write_table(pa.table({
+        "k": ["A", "A", "B"], "ts": [1, 2, 5], "v": [10, 20, 99]}), f1)
+    # epoch 2: A returns — its LAG source is v=20 from the sealed run
+    pq.write_table(pa.table({
+        "k": ["A", "B"], "ts": [1000, 1001], "v": [30, 98]}), f2)
+    job = StreamingShift(str(tmp_path / "out"),
+                         specs={"prev_v": ("v", 1)}, keys=["k"],
+                         ts_col="ts", num_partitions=1)
+    job.run([f1, f2], epoch_size=1)
+    df = to_pandas(job.results()).set_index(["k", "ts"]).sort_index()
+    assert df.loc[("A", 1000), "prev_v"] == 20
+    assert pd.isna(df.loc[("A", 1), "prev_v"])   # true run start
+    assert df.loc[("B", 1001), "prev_v"] == 99
