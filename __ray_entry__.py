@@ -912,6 +912,23 @@ def _q_ann_pq(sf):
     return ann_topk_pq(codes, q, pqm, k=10, rerank_ds=emb, shortlist=60)
 
 
+def _q_ngram_counts(sf):
+    """Corpus bigram vocabulary (stages/lm.ngram_counts): per-batch packed
+    window counts, one n-gram-vocab-sized exchange. Value oracle (LEAD
+    over tokenized positions) in tests/test_lm.py."""
+    from saber_ray.stages.lm import ngram_counts
+    return ngram_counts(read_table(sf, "documents", columns=["text"]), n=2)
+
+
+def _q_collocations(sf):
+    """PMI collocation mining (stages/lm.collocations): unigram + bigram
+    exchanges, driver-side PMI on the min_count survivors. Full-formula
+    value oracle in tests/test_lm.py."""
+    from saber_ray.stages.lm import collocations
+    return collocations(read_table(sf, "documents", columns=["text"]),
+                        min_count=5)
+
+
 def _q_profile_docs(sf):
     """Per-column dataset profile (rows/nulls/distinct/min/max/mean) —
     value-oracled in pytest (test_stats.py builds the per-column DuckDB
@@ -1504,6 +1521,10 @@ def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_pq": _q_ann_pq,
+        # full DuckDB value oracles for these two live in tests/test_lm.py
+        # (the 50-gate window is at capacity; coverage is NOT weaker here)
+        "ngram_counts": _q_ngram_counts,
+        "collocations": _q_collocations,
         "profile_docs": _q_profile_docs,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     }

@@ -132,3 +132,127 @@ def perplexity_score(ds, lm, *, text_col: str = "text",
         ds, _PerplexityScorer,
         {"lm_ref": lm_ref, "text_col": text_col, "id_col": id_col,
          "round_decimals": int(round_decimals)}, None)
+
+
+def ngram_counts(ds, *, n: int = 2, text_col: str = "text",
+                 min_count: int = 1):
+    """Corpus n-gram vocabulary: one row per distinct word n-gram —
+    (``gram`` space-joined, ``count``). Adjacent tokens within a document
+    (the tokenizer's order); n-grams never cross documents. Per-batch
+    partial counts → ONE n-gram-vocab-sized combiner-reduced exchange
+    (the corpus itself never shuffles). SQL twin: LEAD() over tokenized
+    positions. Powers contamination lookups, novelty scoring, and the
+    collocation miner below."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        parents, codes, vocab, _ = _doc_terms(t, text_col)
+        if len(codes) < n:
+            return empty
+        # windows of n consecutive tokens with one parent (same doc)
+        ok = np.ones(len(codes) - n + 1, dtype=bool)
+        for j in range(1, n):
+            ok &= parents[j:len(parents) - n + 1 + j] == \
+                parents[:len(parents) - n + 1]
+        starts = np.flatnonzero(ok)
+        if not len(starts):
+            return empty
+        v = len(vocab)
+        toks = vocab.to_pylist()
+        if v ** n < 2 ** 62:
+            # pack each window's codes into one int64 key
+            key = np.zeros(len(starts), dtype=np.int64)
+            for j in range(n):
+                key = key * v + codes[starts + j]
+            uniq, cnt = np.unique(key, return_counts=True)
+            rows = np.empty((len(uniq), n), dtype=np.int64)
+            u = uniq.copy()
+            for j in range(n - 1, -1, -1):
+                rows[:, j] = u % v
+                u //= v
+        else:
+            # batch vocab too large to pack: unique over code rows
+            mat = codes[starts[:, None] + np.arange(n)]
+            rows, cnt = np.unique(mat, axis=0, return_counts=True)
+        grams = [" ".join(toks[c] for c in r) for r in rows]
+        return pa.table({"gram": pa.array(grams, pa.string()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby("gram").sum("c")
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = t.rename_columns(["gram", "count"])
+        if min_count > 1:
+            import pyarrow.compute as pc
+            out = out.filter(pc.greater_equal(out["count"], min_count))
+        return out
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def collocations(ds, *, text_col: str = "text", min_count: int = 5,
+                 round_decimals: int = 6):
+    """Bigram collocation mining by pointwise mutual information:
+    (w1, w2, count, pmi) for every adjacent word pair with count >=
+    ``min_count``, pmi = ln( (c12/T2) / ((c1/T1)(c2/T1)) ) with T1 =
+    total tokens, T2 = total bigrams. Two vocab-sized exchanges (unigram
+    + bigram counts), everything else per-batch. The classic phrase/
+    boilerplate detector for corpus curation."""
+    import pyarrow.compute as pc
+
+    uni: dict[str, int] = {}
+    t1 = 0
+    lm = train_unigram_lm(ds, text_col=text_col)
+    uni, t1 = lm["counts"], lm["total"]
+    big = ngram_counts(ds, n=2, text_col=text_col, min_count=min_count)
+    t2 = 0
+    parts = []
+    for b in big.iter_batches(batch_size=None, batch_format="pyarrow"):
+        parts.append(b)
+    # T2 must count ALL bigrams, not only the min_count survivors —
+    # recompute cheaply from unigram/doc stats: sum over docs of
+    # (len - 1) = total tokens - number of docs with >= 1 token
+    from saber_ray.stages.search import _doc_terms as _dt  # noqa: F401
+
+    def _docstat(t: pa.Table) -> pa.Table:
+        _, _, _, doclen = _doc_terms(t, text_col)
+        return pa.table({
+            "pairs": pa.array([int(np.maximum(doclen - 1, 0).sum())],
+                              pa.int64())})
+    for b in ds.map_batches(_docstat, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_size=None, batch_format="pyarrow"):
+        t2 += int(b["pairs"].to_numpy(zero_copy_only=False).sum())
+    if t2 == 0:
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string()),
+                         "count": pa.array([], pa.int64()),
+                         "pmi": pa.array([], pa.float64())})
+    from saber_ray.core.aggregates import round_oracle_np
+    out_w1, out_w2, out_c, out_p = [], [], [], []
+    for b in parts:
+        grams = b["gram"].to_pylist()
+        cnt = b["count"].to_numpy(zero_copy_only=False)
+        w1s, w2s = zip(*(g.split(" ", 1) for g in grams)) if grams \
+            else ((), ())
+        c1 = np.array([uni[w] for w in w1s], dtype=np.float64) \
+            if grams else np.zeros(0)
+        c2 = np.array([uni[w] for w in w2s], dtype=np.float64) \
+            if grams else np.zeros(0)
+        pmi = np.log((cnt / t2) / ((c1 / t1) * (c2 / t1))) if grams \
+            else np.zeros(0)
+        out_w1.extend(w1s)
+        out_w2.extend(w2s)
+        out_c.append(cnt)
+        out_p.append(round_oracle_np(pmi, round_decimals))
+    cat_c = np.concatenate(out_c) if out_c else np.zeros(0, np.int64)
+    cat_p = np.concatenate(out_p) if out_p else np.zeros(0)
+    return pa.table({"w1": pa.array(out_w1, pa.string()),
+                     "w2": pa.array(out_w2, pa.string()),
+                     "count": pa.array(cat_c, pa.int64()),
+                     "pmi": pa.array(cat_p, pa.float64())})

@@ -92,3 +92,63 @@ def test_empty_doc_scores_null(ray_session):
     df = to_pandas(perplexity_score(ds, lm)).set_index("doc_id")
     assert df.loc[2, "n_tokens"] == 0 and pd.isna(df.loc[2, "perplexity"])
     assert df.loc[1, "n_tokens"] == 2 and df.loc[1, "perplexity"] > 0
+
+
+TOK_POS_SQL = """
+    SELECT doc_id, t.term, t.pos FROM (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+             generate_subscripts(
+                 regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+      FROM read_parquet('{p}')) t"""
+
+
+def test_ngram_counts_vs_duckdb(ray_session, sf_dir):
+    """Bigram + trigram vocabularies vs a LEAD()-over-positions oracle."""
+    from saber_ray.stages.lm import ngram_counts
+    p = f"{sf_dir}/documents.parquet"
+    for n in (2, 3):
+        got = canon(to_pandas(ngram_counts(_docs(sf_dir), n=n)))
+        leads = " || ' ' || ".join(
+            ["term"] + [f"LEAD(term, {j}) OVER w" for j in range(1, n)])
+        guard = f"LEAD(term, {n - 1}) OVER w IS NOT NULL"
+        want = canon(duckdb.sql(f"""
+            WITH tok AS ({TOK_POS_SQL.format(p=p)}),
+            grams AS (SELECT {leads} AS gram,
+                             {guard} AS full_gram
+                      FROM tok
+                      WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+            SELECT gram, COUNT(*) AS count FROM grams
+            WHERE full_gram GROUP BY 1""").df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ngram_block_invariance(ray_session, sf_dir):
+    from saber_ray.stages.lm import ngram_counts
+    outs = [canon(to_pandas(ngram_counts(
+        _docs(sf_dir, override_num_blocks=nb), n=2))) for nb in (1, 5)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_collocations_vs_duckdb(ray_session, sf_dir):
+    """PMI collocations vs the full formula in SQL."""
+    from saber_ray.stages.lm import collocations
+    p = f"{sf_dir}/documents.parquet"
+    got = canon(to_pandas(collocations(_docs(sf_dir), min_count=5)))
+    want = canon(duckdb.sql(f"""
+        WITH tok AS ({TOK_POS_SQL.format(p=p)}),
+        uni AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+        t1 AS (SELECT SUM(c) AS total FROM uni),
+        pairs AS (SELECT term AS w1, LEAD(term) OVER w AS w2 FROM tok
+                  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs
+                WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        t2 AS (SELECT SUM(c12) AS total FROM big)
+        SELECT big.w1, big.w2, big.c12 AS count,
+               ROUND(ln((big.c12 / t2.total)
+                        / ((u1.c / t1.total) * (u2.c / t1.total))), 6)
+               AS pmi
+        FROM big JOIN uni u1 ON big.w1 = u1.term
+                 JOIN uni u2 ON big.w2 = u2.term, t1, t2
+        WHERE big.c12 >= 5""").df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
