@@ -36,7 +36,6 @@ with source lineage, as in streaming.py.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Optional, Sequence
 
@@ -51,7 +50,7 @@ from saber_ray.core.aggregates import (AggSpec, ROWS, arrow_merge_aggs,
                                        arrow_partial_aggs, finalize)
 from saber_ray.core.segments import \
     segmented_running_max as _segmented_running_max
-from saber_ray.streaming import _write_late, ingest_epoch_files
+from saber_ray.streaming_keyed import KeyedStreamEngine
 
 
 def _key_codes(t: pa.Table, keys: list) -> list[np.ndarray]:
@@ -179,12 +178,11 @@ class _SessionState:
                       __start_min="__start", __last_max="__last")
         return self._grouped(atoms, gid, starts, spec, rename)
 
-    def process(self, new_rows: Optional[pa.Table],
-                watermark: Optional[int]) -> pa.Table:
+    def process(self, watermark: Optional[int]) -> pa.Table:
+        new_rows = None
         if self.pend:
-            parts = self.pend + ([new_rows] if new_rows is not None
-                                 and new_rows.num_rows else [])
-            new_rows = pa.concat_tables(parts, promote_options="default")
+            new_rows = pa.concat_tables(self.pend,
+                                        promote_options="default")
             self.pend = []
             self._seen.clear()               # epoch boundary
         if new_rows is not None and new_rows.num_rows:
@@ -263,12 +261,16 @@ class _SessionState:
 SessionStateActor = ray.remote(_SessionState)
 
 
-class StreamingSessionWindows:
+class StreamingSessionWindows(KeyedStreamEngine):
     """Micro-batch streaming sessionization over an ordered file stream.
 
     Output schema matches ``stages.session.session_windows`` (the batch
     oracle): keys..., session_id, session_start_us, session_end_us, aggs.
+    Epoch protocol lives in ``streaming_keyed.KeyedStreamEngine``.
     """
+
+    _snap_prefix = "sstate-"
+    _out_prefix = "sess-"
 
     def __init__(self, out_dir: str, *, gap: int, aggs: Sequence[AggSpec],
                  keys: Sequence[str] = ("conv_id",), ts_col: str = "ts",
@@ -288,131 +290,12 @@ class StreamingSessionWindows:
         self.lateness = allowed_lateness
         self.columns = list(columns) if columns else None
 
-    @property
-    def _ckpt_path(self):
-        return os.path.join(self.out_dir, "checkpoint.json")
+    def _ingest_columns(self):
+        return self.columns
 
-    def _snap(self, pid, epoch):
-        return os.path.join(self.out_dir,
-                            f"sstate-p{pid:03d}-e{epoch:05d}.parquet")
-
-    def _ingest_epoch(self, chunk: list[str], watermark, actors, epoch: int):
-        """Parallel fragment ingest with direct actor pushes — the shared
-        keyed single-stream loop (streaming.ingest_epoch_files): sub-epoch
-        monitoring series + watermark-dropped dead-letter channel.
-
-        Returns ``(sides, late_tables, sub_series)`` (single stream —
-        everything under side 0)."""
-        return ingest_epoch_files(
-            chunk, watermark, actors, epoch, keys=self.keys,
-            ts_col=self.ts_col, columns=self.columns, monitor=self.monitor)
-
-    def run(self, files: Sequence[str], *, epoch_size: int = 4,
-            end_of_stream: bool = True, max_epochs: Optional[int] = None) -> dict:
-        files = list(files)
-        ck = {"offset": 0, "epoch": 0, "watermark": None,
-              "metrics": {"emitted_rows": 0, "late_dropped": 0}}
-        if os.path.exists(self._ckpt_path):
-            with open(self._ckpt_path) as f:
-                ck = json.load(f)
-        actors = [SessionStateActor.remote(
+    def _spawn_actors(self):
+        return [SessionStateActor.remote(
             self.keys, self.gap,
-            [dict(op=a.op, column=a.column, alias=a.alias, scale=a.scale) for a in self.aggs])
+            [dict(op=a.op, column=a.column, alias=a.alias, scale=a.scale)
+             for a in self.aggs])
             for _ in range(self.n)]
-        try:
-            ray.get([a.restore.remote(self._snap(i, ck["epoch"]))
-                     for i, a in enumerate(actors)])
-            epochs = 0
-            while ck["offset"] < len(files):
-                if max_epochs is not None and epochs >= max_epochs:
-                    break
-                import time
-                t0 = time.monotonic()
-                chunk = files[ck["offset"]:ck["offset"] + epoch_size]
-                wm = ck["watermark"]
-                sides, late_tables, sub = self._ingest_epoch(
-                    chunk, wm, actors, ck["epoch"])
-                _write_late(self.out_dir, ck["epoch"], late_tables)
-                s = sides.get(0, {"max_ts": None, "late": 0, "rows": 0})
-                mx, late, rows_in = s["max_ts"], s["late"], s["rows"]
-                # wm==0 is a valid frontier; only None means unset (and a
-                # negative-ts stream must not be floored at 0)
-                new_wm = wm if mx is None else (
-                    (mx - self.lateness) if wm is None
-                    else max(mx - self.lateness, wm))
-                outs = ray.get([a.process.remote(None, new_wm)
-                                for a in actors])
-                emitted = _write(self.out_dir, ck["epoch"], outs)
-                wall = time.monotonic() - t0
-                nxt = ck["epoch"] + 1
-                ray.get([a.snapshot.remote(self._snap(i, nxt))
-                         for i, a in enumerate(actors)])
-                ck.update(offset=ck["offset"] + len(chunk), epoch=nxt,
-                          watermark=new_wm)
-                ck["metrics"]["emitted_rows"] += emitted
-                ck["metrics"]["late_dropped"] += late
-                from saber_ray.streaming import epoch_stat_row
-                ck["metrics"].setdefault("epoch_stats", []).append(
-                    epoch_stat_row(nxt - 1, wall, rows_in, emitted,
-                                   sub_epoch=sub))
-                tmp = self._ckpt_path + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(ck, f)
-                    f.flush()
-                    os.fsync(f.fileno())
-                os.replace(tmp, self._ckpt_path)
-                for f2 in os.listdir(self.out_dir):
-                    if f2.startswith("sstate-") and f"-e{nxt:05d}." not in f2:
-                        os.remove(os.path.join(self.out_dir, f2))
-                epochs += 1
-            if end_of_stream and ck["offset"] >= len(files) \
-                    and not ck.get("finalized"):
-                outs = ray.get([a.process.remote(None, None) for a in actors])
-                emitted = _write(self.out_dir, ck["epoch"], outs)
-                nxt = ck["epoch"] + 1
-                ray.get([a.snapshot.remote(self._snap(i, nxt))
-                         for i, a in enumerate(actors)])
-                ck.update(epoch=nxt, finalized=True)
-                ck["metrics"]["emitted_rows"] += emitted
-                tmp = self._ckpt_path + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(ck, f)
-                os.replace(tmp, self._ckpt_path)
-            return ck
-        finally:
-            for a in actors:
-                ray.kill(a)
-
-    def results(self) -> pa.Table:
-        files = sorted(
-            os.path.join(self.out_dir, f) for f in os.listdir(self.out_dir)
-            if f.startswith("sess-") and f.endswith(".parquet"))
-        if not files:
-            return pa.table({})
-        return pa.concat_tables([pq.read_table(f) for f in files],
-                                promote_options="default")
-
-    def late_results(self) -> pa.Table:
-        """All dead-lettered (watermark-dropped) rows with lineage columns
-        (__epoch, __src_file, __src_rg) — the backfill input."""
-        files = sorted(
-            os.path.join(self.out_dir, f) for f in os.listdir(self.out_dir)
-            if f.startswith("late-") and f.endswith(".parquet"))
-        if not files:
-            return pa.table({})
-        return pa.concat_tables([pq.read_table(f) for f in files],
-                                promote_options="default")
-
-
-def _write(out_dir: str, epoch: int, tables: list[pa.Table]) -> int:
-    tables = [t for t in tables if t.num_rows]
-    path = os.path.join(out_dir, f"sess-{epoch:05d}.parquet")
-    if not tables:
-        if os.path.exists(path):
-            os.remove(path)
-        return 0
-    out = pa.concat_tables(tables, promote_options="default")
-    tmp = path + ".tmp"
-    pq.write_table(out, tmp)
-    os.replace(tmp, path)
-    return out.num_rows

@@ -118,7 +118,8 @@ def test_session_state_float_keys_no_crash():
         {"op": "cnt", "column": None, "alias": "n"}])
     rows = pa.table({"k": pa.array([1.5, 1.5, 2.25], pa.float64()),
                      "__t": pa.array([0, 5, 3], pa.int64())})
-    out = st.process(rows, watermark=1000)
+    st.ingest(0, "x", rows)
+    out = st.process(watermark=1000)
     got = {(r["k"], r["n"]) for r in out.to_pylist()}
     assert got == {(1.5, 2), (2.25, 1)}
 
