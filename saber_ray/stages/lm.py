@@ -42,6 +42,31 @@ import ray
 from saber_ray.stages.search import _doc_terms
 
 
+def _string_count_exchange(parts, key: str, cnt: str):
+    """Sum per-batch partial counts per STRING key: one sort exchange on
+    the key's int64 hash + a block-local pyarrow group_by (hash-equal
+    rows co-locate per Ray's sort boundary invariant; colliding keys are
+    separated inside the block). Ray's own ``groupby(str_key)`` sorts on
+    the strings themselves — measured 15× slower at a 1 M-entry bigram
+    vocabulary (180 s → 12 s at 25 M partial rows)."""
+    from saber_ray.core.hashing import hash_column
+
+    def add_h(t: pa.Table) -> pa.Table:
+        return t.append_column("__h", pa.array(
+            hash_column(t[key]).astype(np.int64)))
+
+    def blockagg(t: pa.Table) -> pa.Table:
+        out = pa.table({key: t[key], cnt: t[cnt]}).group_by(
+            [key], use_threads=False).aggregate([(cnt, "sum")])
+        return out.rename_columns([key, cnt])
+
+    return parts.map_batches(add_h, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .sort("__h") \
+        .map_batches(blockagg, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+
 def train_unigram_lm(ds, *, text_col: str = "text", min_count: int = 1,
                      max_vocab: Optional[int] = None) -> dict:
     """Train on a corpus: returns ``{"counts": {token: count}, "total":
@@ -59,16 +84,13 @@ def train_unigram_lm(ds, *, text_col: str = "text", min_count: int = 1,
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
-    # tokens are never null (empty pieces are filtered), so the plain
-    # Dataset groupby is safe; it shuffles per-batch PARTIAL counts —
-    # vocab-sized, not corpus-sized
-    agg = parts.groupby("token").sum("n")
+    agg = _string_count_exchange(parts, "token", "n")
     counts: dict[str, int] = {}
     total = 0
     vocab_size = 0
     for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
         toks = b["token"].to_pylist()
-        ns = b["sum(n)"].to_numpy(zero_copy_only=False)
+        ns = b["n"].to_numpy(zero_copy_only=False)
         vocab_size += len(toks)
         total += int(ns.sum())
         for w, c in zip(toks, ns):
@@ -161,7 +183,6 @@ def ngram_counts(ds, *, n: int = 2, text_col: str = "text",
         if not len(starts):
             return empty
         v = len(vocab)
-        toks = vocab.to_pylist()
         if v ** n < 2 ** 62:
             # pack each window's codes into one int64 key
             key = np.zeros(len(starts), dtype=np.int64)
@@ -177,12 +198,18 @@ def ngram_counts(ds, *, n: int = 2, text_col: str = "text",
             # batch vocab too large to pack: unique over code rows
             mat = codes[starts[:, None] + np.arange(n)]
             rows, cnt = np.unique(mat, axis=0, return_counts=True)
-        grams = [" ".join(toks[c] for c in r) for r in rows]
-        return pa.table({"gram": pa.array(grams, pa.string()),
+        # gram strings via Arrow gathers + one vectorized join — a Python
+        # per-gram join here dominated the whole pipeline at 1 M docs
+        import pyarrow.compute as pc
+        cols = [vocab.take(pa.array(rows[:, j])) for j in range(n)]
+        grams = cols[0] if n == 1 else \
+            pc.binary_join_element_wise(*cols, " ")
+        return pa.table({"gram": grams,
                          "c": pa.array(cnt.astype(np.int64))})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True).groupby("gram").sum("c")
+    agg = _string_count_exchange(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "gram", "c")
 
     def finish(t: pa.Table) -> pa.Table:
         out = t.rename_columns(["gram", "count"])
