@@ -26,6 +26,8 @@ Environment:
   SABER_BENCH_SEQUENTIAL=1   time queries one at a time
   --curation          curation-stage throughput over synthetic documents
                       (SABER_BENCH_DOCS overrides the corpus size)
+  --text              retrieval/LM ops throughput (inverted index, BM25,
+                      LM train, perplexity, bigram vocabulary)
   --streaming         sustained micro-batch load on the streaming engines:
                       >= 20 epochs each of windowed aggregate + band join,
                       sustained rows/s + p50/p95 per-epoch emit latency
@@ -556,6 +558,54 @@ def run_curation() -> dict:
     }
 
 
+def run_text() -> dict:
+    """--text: throughput of the retrieval / language-model ops over the
+    curation bench corpus — inverted index, BM25 search, unigram-LM
+    train, perplexity scoring, bigram vocabulary (docs/sec each)."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from saber_ray.stages.lm import (ngram_counts, perplexity_score,
+                                     train_unigram_lm)
+    from saber_ray.stages.search import bm25_search, build_inverted_index
+
+    tier = os.path.basename(os.path.normpath(SF_DIR))
+    n_docs = int(os.environ.get("SABER_BENCH_DOCS",
+                                _DOCS_BY_SF.get(tier, 1_000_000)))
+    path = generate_documents("/tmp/saber_ray_bench", n_docs)
+
+    def ds():
+        return rd.read_parquet(path, override_num_blocks=2 * NUM_CPUS)
+
+    times = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        times[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    timed("inverted_index", lambda: build_inverted_index(ds()).count())
+    timed("bm25_search", lambda: bm25_search(
+        ds(), ["w0001 w0002 w0003", "w0500 w0900"], k=10).count())
+    lm = timed("train_lm", lambda: train_unigram_lm(ds()))
+    timed("perplexity", lambda: perplexity_score(ds(), lm).count())
+    timed("bigram_vocab", lambda: ngram_counts(ds(), n=2).count())
+    ray.shutdown()
+    return {
+        "metric": "retrieval/LM ops wall time over synthetic documents "
+                  "(inverted index, BM25, LM train, perplexity, bigrams)",
+        "value": round(sum(times.values()), 3), "unit": "sec",
+        "ops_sec": times, "n_docs": n_docs,
+        "docs_per_sec": {k: int(n_docs / v) for k, v in times.items()},
+        "sf": SF_DIR, "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         result = run_scaling()
@@ -565,6 +615,8 @@ if __name__ == "__main__":
         result = run_curation()
     elif "--streaming" in sys.argv:
         result = run_streaming()
+    elif "--text" in sys.argv:
+        result = run_text()
     else:
         result = run_suite()
     print(json.dumps(result))
