@@ -1302,6 +1302,18 @@ def _q_corpus_diff(sf):
                                               batch_format="pyarrow"))
 
 
+def _q_json_extract(sf):
+    """Typed field extraction from the events JSON payload column
+    (stages/jsoncol.py): the whole batch re-assembles into one NDJSON
+    buffer parsed by pyarrow's C++ JSON reader — no per-row json.loads."""
+    import pyarrow as pa
+    from saber_ray.stages.jsoncol import json_extract
+    ds = read_table(sf, "events",
+                    columns=["event_id", "event_type", "props"])
+    return json_extract(ds, "props", {"k": ("k", pa.int64())},
+                        keep=["event_id", "event_type"])
+
+
 def _q_perplexity(sf):
     """Perplexity filtering, the canonical pretraining quality gate: train
     an add-one-smoothed unigram LM on half the corpus (even doc_ids — so
@@ -1531,7 +1543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "json_extract": _q_json_extract,
     }
 
 
@@ -1629,33 +1641,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_sql(),
         "quality_score": _quality_sql(),
-        "ngram_jaccard_pairs": (r"""
-            WITH d AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(
-                                   lower(COALESCE(text, '')), '\s+'),
-                                 w -> w <> '') AS ws
-              FROM documents WHERE doc_id < 30),
-            s AS (
-              SELECT doc_id,
-                CASE WHEN len(ws) = 0 THEN []
-                     WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-                     ELSE list_transform(range(1, len(ws) - 1),
-                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-                END AS sh
-              FROM d),
-            p AS (
-              SELECT l.doc_id AS a, r.doc_id AS b,
-                     list_distinct(l.sh) AS sa, list_distinct(r.sh) AS sb
-              FROM s l JOIN s r ON l.doc_id < r.doc_id)
-            SELECT a, b,
-              ROUND(CASE
-                WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 1.0
-                ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-                     / len(list_distinct(list_concat(sa, sb))) END, 6)
-                AS jaccard
-            FROM p"""),
-        "selection": (
+                "selection": (
             "SELECT event_id, event_type, value FROM events "
             "WHERE value > 100.0 AND event_type <> 'error'"),
         "projection": (
@@ -1921,6 +1907,9 @@ def oracle_sql() -> dict[str, str]:
                 f"AS tot_{s}" for s in ("F", "O", "P"))
             + " FROM orders GROUP BY o_orderpriority"),
         "bm25_search": _bm25_oracle(),
+        "json_extract": (
+            "SELECT event_id, event_type, "
+            "CAST(props->>'k' AS BIGINT) AS k FROM events"),
         "q3_shipping_priority": (
             "SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, "
             "ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "

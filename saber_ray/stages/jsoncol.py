@@ -1,0 +1,97 @@
+"""JSON column extraction: typed scalar fields out of a JSON-string column.
+
+Log pipelines carry semi-structured payloads as JSON strings (the
+``events.props`` column); filtering or aggregating on a field first needs
+it extracted as a typed column. pyarrow.compute has no JSON kernel, so a
+naive implementation falls back to ``json.loads`` per row — a Python loop
+on the hot path. Instead each batch's column is re-assembled into one
+NDJSON buffer (a single vectorized ``binary_join_element_wise``) and
+parsed by ``pyarrow.json.read_json`` — the C++ block parser — giving one
+struct row per input row in order.
+
+Constraint (validated per batch): every non-null value must be a
+single-line JSON object — legal JSON never contains a RAW newline inside
+a string (escaped ``\\n`` is fine), so any newline in the column means
+pretty-printed/invalid input and raises rather than silently misaligning
+rows. NULL/empty inputs yield NULL outputs for every field.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def json_extract(ds, col: str, fields: dict[str, tuple[str, pa.DataType]],
+                 *, keep: Optional[Sequence[str]] = None,
+                 strict: bool = True):
+    """Extract top-level fields from JSON-string column ``col``.
+
+    ``fields``: output alias → (json key, Arrow type). Missing keys and
+    JSON nulls become NULL; values are cast to the requested type
+    (``strict=False`` turns uncastable values into NULL instead of
+    raising). Output: ``keep`` columns (default: all others) + one column
+    per alias.
+    """
+    if not fields:
+        raise ValueError("fields must name at least one extraction")
+
+    import pyarrow.json as pajson
+
+    def f(t: pa.Table) -> pa.Table:
+        cols = list(keep) if keep is not None else \
+            [c for c in t.column_names if c != col]
+        names = cols + list(fields)
+        if len(set(names)) != len(names):
+            raise ValueError(f"json_extract output collision: {names}")
+        out_fields = [(c, t.schema.field(c).type) for c in cols] \
+            + [(a, typ) for a, (_, typ) in fields.items()]
+        schema = pa.schema(out_fields)
+        n = t.num_rows
+        if n == 0:
+            return schema.empty_table()
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        valid = pc.and_(pc.is_valid(c), pc.not_equal(
+            pc.fill_null(c, ""), ""))
+        filled = pc.if_else(valid, c, pa.scalar("{}"))
+        if pc.any(pc.match_substring(filled, "\n")).as_py():
+            raise ValueError(
+                f"{col!r} contains raw newlines — not single-line JSON "
+                "(legal JSON escapes newlines inside strings)")
+        # ONE vectorized append of "\n" per value; the resulting array's
+        # DATA buffer is then already the contiguous NDJSON byte stream
+        withnl = pc.binary_join_element_wise(filled, pa.scalar("\n"), "")
+        arr = withnl.combine_chunks() if isinstance(
+            withnl, pa.ChunkedArray) else withnl
+        if arr.offset:
+            arr = pa.concat_arrays([arr])        # re-base the offsets
+        nbytes = int(pc.sum(pc.binary_length(arr)).as_py())
+        buf = arr.buffers()[2].slice(0, nbytes)
+        parsed = pajson.read_json(pa.BufferReader(buf))
+        if parsed.num_rows != n:
+            raise ValueError(
+                f"{col!r}: parsed {parsed.num_rows} JSON rows from {n} "
+                "input rows — values are not one JSON object per row")
+        arrays = [t[c2] for c2 in cols]
+        invalid = pc.invert(valid)
+        any_invalid = pc.any(invalid).as_py()
+        for alias, (key, typ) in fields.items():
+            if key in parsed.column_names:
+                v = parsed[key]
+                v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) \
+                    else v
+                v = v.cast(typ) if strict else pc.cast(v, typ, safe=False)
+                if any_invalid:
+                    v = pc.if_else(invalid, pa.scalar(None, typ), v)
+            else:
+                v = pa.nulls(n, typ)
+            arrays.append(v)
+        return pa.Table.from_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in arrays], schema=schema)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

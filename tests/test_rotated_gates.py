@@ -89,6 +89,35 @@ ROTATED = {
         entry_mod._sliding_sql(
             4, entry_mod.DAY, f"window_id, {entry_mod.ALL_SQL}",
             "window_id")),
+    # rotated out in r4 for json_extract; the dedup verify kernel keeps
+    # its composition role in the minhash/simhash pytest suites
+    "ngram_jaccard_pairs": (
+        entry_mod._q_ngram_jaccard, r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                                   lower(COALESCE(text, '')), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents WHERE doc_id < 30),
+            s AS (
+              SELECT doc_id,
+                CASE WHEN len(ws) = 0 THEN []
+                     WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                     ELSE list_transform(range(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                END AS sh
+              FROM d),
+            p AS (
+              SELECT l.doc_id AS a, r.doc_id AS b,
+                     list_distinct(l.sh) AS sa, list_distinct(r.sh) AS sb
+              FROM s l JOIN s r ON l.doc_id < r.doc_id)
+            SELECT a, b,
+              ROUND(CASE
+                WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 1.0
+                ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sa, sb))) END, 6)
+                AS jaccard
+            FROM p"""),
     # rotated out in r4 for corpus_diff (which exercises the full-outer
     # exchange at corpus scale); the broadcast path stays gated via
     # q5_local_supplier's broadcast dims and cm1's dim join
