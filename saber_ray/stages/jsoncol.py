@@ -52,9 +52,9 @@ def json_extract(ds, col: str, fields: dict[str, tuple[str, pa.DataType]],
         n = t.num_rows
         if n == 0:
             return schema.empty_table()
-        c = t[col]
-        if isinstance(c, pa.ChunkedArray):
-            c = c.combine_chunks()
+        from saber_ray.core.aggregates import compact_array
+        c = compact_array(t[col])   # de-slice BEFORE if_else (pyarrow
+        #                             16.1 sliced-string-offset quirk)
         valid = pc.and_(pc.is_valid(c), pc.not_equal(
             pc.fill_null(c, ""), ""))
         filled = pc.if_else(valid, c, pa.scalar("{}"))
@@ -65,12 +65,12 @@ def json_extract(ds, col: str, fields: dict[str, tuple[str, pa.DataType]],
         # ONE vectorized append of "\n" per value; the resulting array's
         # DATA buffer is then already the contiguous NDJSON byte stream
         withnl = pc.binary_join_element_wise(filled, pa.scalar("\n"), "")
-        arr = withnl.combine_chunks() if isinstance(
-            withnl, pa.ChunkedArray) else withnl
-        if arr.offset:
-            arr = pa.concat_arrays([arr])        # re-base the offsets
+        arr = compact_array(withnl)              # re-base the offsets
+        import numpy as np
+        off0 = int(np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                                 count=1)[0])
         nbytes = int(pc.sum(pc.binary_length(arr)).as_py())
-        buf = arr.buffers()[2].slice(0, nbytes)
+        buf = arr.buffers()[2].slice(off0, nbytes)
         parsed = pajson.read_json(pa.BufferReader(buf))
         if parsed.num_rows != n:
             raise ValueError(

@@ -227,34 +227,23 @@ def collocations(ds, *, text_col: str = "text", min_count: int = 5,
     """Bigram collocation mining by pointwise mutual information:
     (w1, w2, count, pmi) for every adjacent word pair with count >=
     ``min_count``, pmi = ln( (c12/T2) / ((c1/T1)(c2/T1)) ) with T1 =
-    total tokens, T2 = total bigrams. Two vocab-sized exchanges (unigram
-    + bigram counts), everything else per-batch. The classic phrase/
+    total tokens, T2 = total bigrams. Two corpus scans total (the unigram
+    and bigram exchanges), everything else per-batch. The classic phrase/
     boilerplate detector for corpus curation."""
-    import pyarrow.compute as pc
-
-    uni: dict[str, int] = {}
-    t1 = 0
     lm = train_unigram_lm(ds, text_col=text_col)
     uni, t1 = lm["counts"], lm["total"]
-    big = ngram_counts(ds, n=2, text_col=text_col, min_count=min_count)
+    # T2 must count ALL bigrams, not only the min_count survivors — so
+    # stream the UNFILTERED vocabulary and apply min_count here, summing
+    # every gram's count on the way past (no extra corpus scan)
+    big = ngram_counts(ds, n=2, text_col=text_col, min_count=1)
     t2 = 0
     parts = []
+    import pyarrow.compute as pc
     for b in big.iter_batches(batch_size=None, batch_format="pyarrow"):
-        parts.append(b)
-    # T2 must count ALL bigrams, not only the min_count survivors —
-    # recompute cheaply from unigram/doc stats: sum over docs of
-    # (len - 1) = total tokens - number of docs with >= 1 token
-    from saber_ray.stages.search import _doc_terms as _dt  # noqa: F401
-
-    def _docstat(t: pa.Table) -> pa.Table:
-        _, _, _, doclen = _doc_terms(t, text_col)
-        return pa.table({
-            "pairs": pa.array([int(np.maximum(doclen - 1, 0).sum())],
-                              pa.int64())})
-    for b in ds.map_batches(_docstat, batch_format="pyarrow",
-                            zero_copy_batch=True).iter_batches(
-                                batch_size=None, batch_format="pyarrow"):
-        t2 += int(b["pairs"].to_numpy(zero_copy_only=False).sum())
+        t2 += int(pc.sum(b["count"]).as_py() or 0)
+        kept = b.filter(pc.greater_equal(b["count"], min_count))
+        if kept.num_rows:
+            parts.append(kept)
     if t2 == 0:
         return pa.table({"w1": pa.array([], pa.string()),
                          "w2": pa.array([], pa.string()),

@@ -100,7 +100,10 @@ class _HHState:
             schema=schema)
 
     def snapshot(self, path: str) -> None:
-        if self.summary is not None and self.summary.num_rows:
+        # an EMPTY summary still snapshots: compression can remove every
+        # row (tied counts at tiny capacity) while the accumulated cut —
+        # the error bound — must survive a kill+resume
+        if self.summary is not None:
             pq.write_table(self.summary.replace_schema_metadata(
                 {_CUT_META: str(self.cut).encode()}), path)
         elif os.path.exists(path):
@@ -154,13 +157,33 @@ class StreamingHeavyHitters(KeyedStreamEngine):
         return [HHStateActor.remote(self.col, self.capacity)
                 for _ in range(self.n)]
 
+    def _gc_snaps(self, keep_epoch: int) -> None:
+        super()._gc_snaps(keep_epoch)
+        # superseded view snapshots are dead the moment the next one is
+        # committed — keep only the epoch just written (keep_epoch - 1)
+        for f in os.listdir(self.out_dir):
+            if f.startswith(self._out_prefix) and f.endswith(".parquet") \
+                    and f < f"{self._out_prefix}{keep_epoch - 1:05d}":
+                os.remove(os.path.join(self.out_dir, f))
+
     def results(self) -> pa.Table:
-        files = sorted(
-            f for f in os.listdir(self.out_dir)
-            if f.startswith(self._out_prefix) and f.endswith(".parquet"))
-        if not files:
-            return pa.table({})
-        t = pq.read_table(os.path.join(self.out_dir, files[-1]))
+        import json
+        empty = pa.table({"value": pa.array([], pa.string()),
+                          "est_count": pa.array([], pa.int64()),
+                          "max_undercount": pa.array([], pa.int64())})
+        if not os.path.exists(self._ckpt_path):
+            return empty
+        with open(self._ckpt_path) as fh:
+            epoch = int(json.load(fh)["epoch"])
+        # the CURRENT view is exactly the last committed epoch's file; its
+        # absence means that view is EMPTY (the writer deletes empty
+        # snapshots) — falling back to an older file would report stale
+        # counts for values the state no longer tracks
+        path = os.path.join(
+            self.out_dir, f"{self._out_prefix}{epoch - 1:05d}.parquet")
+        if epoch <= 0 or not os.path.exists(path):
+            return empty
+        t = pq.read_table(path)
         order = pc.sort_indices(t, sort_keys=[
             ("est_count", "descending"), ("value", "ascending")])
         t = t.take(order)

@@ -103,3 +103,43 @@ def test_hh_matches_batch_operator(ray_session, hh_stream, tmp_path):
 def test_hh_validation(tmp_path):
     with pytest.raises(ValueError):
         StreamingHeavyHitters(str(tmp_path / "o"), col="x", capacity=0)
+
+
+def test_hh_cut_survives_empty_summary_resume(ray_session, tmp_path):
+    """Regression (found by review): compression can empty a partition's
+    summary while its accumulated cut — the error bound — must survive a
+    kill+resume; and results() must report the CURRENT (possibly empty)
+    view, never a stale earlier epoch."""
+    f1 = str(tmp_path / "f1.parquet")
+    f2 = str(tmp_path / "f2.parquet")
+    pq.write_table(pa.table({"v": ["x", "y"], "ts": [1, 2]}), f1)
+    pq.write_table(pa.table({"v": ["z", "z", "x"], "ts": [3, 4, 5]}), f2)
+    out = str(tmp_path / "out")
+    j1 = StreamingHeavyHitters(out, col="v", capacity=1, num_partitions=1)
+    j1.run([f1, f2], epoch_size=1, max_epochs=1)
+    # epoch 0: counts {x:1, y:1}, capacity 1 -> cut=1, summary EMPTY
+    mid = to_pandas(j1.results())
+    assert len(mid) == 0                    # current view is empty, not stale
+    j2 = StreamingHeavyHitters(out, col="v", capacity=1, num_partitions=1)
+    j2.run([f1, f2], epoch_size=1)          # resume
+    resumed = to_pandas(j2.results())
+    j3 = StreamingHeavyHitters(str(tmp_path / "b"), col="v", capacity=1,
+                               num_partitions=1)
+    j3.run([f1, f2], epoch_size=1)          # uninterrupted
+    pd.testing.assert_frame_equal(canon(resumed),
+                                  canon(to_pandas(j3.results())))
+    # the bound must cover true('x') = 2
+    true = {"x": 2, "y": 1, "z": 2}
+    for _, r in resumed.iterrows():
+        tr = true[r["value"]]
+        assert r["est_count"] <= tr <= r["est_count"] + r["max_undercount"]
+
+
+def test_hh_superseded_views_are_gced(ray_session, hh_stream, tmp_path):
+    import os
+    out = str(tmp_path / "out")
+    job = StreamingHeavyHitters(out, col="role", capacity=64,
+                                num_partitions=2)
+    job.run(hh_stream, epoch_size=2)
+    views = [f for f in os.listdir(out) if f.startswith("hhview-")]
+    assert len(views) == 1                  # only the current view remains
