@@ -169,3 +169,70 @@ def _write_epoch(out_dir: str, prefix: str, epoch: int,
     pq.write_table(out, tmp)
     os.replace(tmp, path)
     return out.num_rows
+
+
+def backfill_keys(job: KeyedStreamEngine, files, batch_op, *,
+                  columns=None) -> pa.Table:
+    """Correct a FINALIZED keyed streaming job's output for
+    watermark-dropped rows — the keyed-engine consumer of the dead-letter
+    channel (the aggregate engine's ``streaming.backfill`` analogue,
+    where the selective unit is the KEY instead of the window).
+
+    A late row only ever affects its own key's rows (every keyed engine
+    partitions state and output by key), so: affected keys come from
+    ``late_results()``; ONE column-pruned re-read of the stream keeps
+    only rows hashing into that key set (a vectorized membership test —
+    a hash collision merely recomputes one extra key, which is
+    idempotent); ``batch_op`` — the operator's BATCH twin — recomputes
+    those keys' complete output; emitted rows of unaffected keys pass
+    through untouched. At scale late data is rare, so the re-read is a
+    sliver and the recompute touches a handful of keys.
+
+    ``batch_op(ds)`` must return the streaming output schema (timestamp
+    columns are auto-cast to the int64 epoch-us the engines emit).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from saber_ray.core.hashing import hash_columns
+
+    emitted = job.results()
+    late = job.late_results()
+    if late.num_rows == 0:
+        return emitted
+    with open(job._ckpt_path) as f:
+        if not json.load(f).get("finalized"):
+            raise ValueError(
+                "backfill requires a finalized run (end_of_stream=True): "
+                "open state would be recomputed from a partial stream")
+    keys = list(job.keys)
+    affected = np.unique(hash_columns(late, keys))
+    aff_ref = ray.put(affected)
+
+    def prune(t: pa.Table, _ref=aff_ref) -> pa.Table:
+        members = ray.get(_ref)
+        keep = np.isin(hash_columns(t, keys), members)
+        return t.filter(pa.array(keep))
+
+    cols = None
+    if columns is not None:
+        cols = sorted(set(columns) | set(keys) | {job.ts_col})
+    src = rd.read_parquet(list(files), columns=cols)
+    corrected = batch_op(src.map_batches(
+        prune, batch_format="pyarrow", zero_copy_batch=True))
+    ct = pa.concat_tables([ray.get(r) for r in corrected.to_arrow_refs()],
+                          promote_options="default")
+    # align dtypes with the streaming output (engines emit int64 epoch-us)
+    for i, f in enumerate(ct.schema):
+        want = emitted.schema.field(f.name).type \
+            if f.name in emitted.column_names else f.type
+        if pa.types.is_timestamp(f.type) and pa.types.is_integer(want):
+            ct = ct.set_column(i, f.name, ct[f.name].cast(pa.int64()))
+    ct = ct.select(emitted.column_names)
+    keep = ~np.isin(hash_columns(emitted, keys), affected)
+    untouched = emitted.filter(pa.array(keep))
+    return pa.concat_tables(
+        [untouched, ct.cast(untouched.schema)],
+        promote_options="default")

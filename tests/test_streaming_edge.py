@@ -103,3 +103,79 @@ def test_rolling_null_values_and_ties(ray_session, tmp_path):
         FROM t WINDOW w AS (PARTITION BY k ORDER BY ts
           RANGE BETWEEN 2 PRECEDING AND 1 FOLLOWING)""").df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_backfill_keys_shift(ray_session, tmp_path):
+    """backfill_keys corrects a shift job whose key-A rows were partly
+    dead-lettered: the corrected output equals the whole-stream oracle."""
+    from saber_ray.stages.shift import shift as batch_shift
+    from saber_ray.streaming_keyed import backfill_keys
+
+    files = _files(tmp_path, [
+        pa.table({"k": ["a", "b"], "ts": [100, 101], "v": [1, 9]}),
+        pa.table({"k": ["a"], "ts": [5], "v": [2]}),      # late for A
+        pa.table({"k": ["a", "b"], "ts": [200, 201], "v": [3, 8]}),
+    ])
+    job = StreamingShift(str(tmp_path / "out"),
+                         specs={"prev_v": ("v", 1)}, keys=["k"],
+                         ts_col="ts", num_partitions=2)
+    ck = job.run(files, epoch_size=1)
+    assert ck["metrics"]["late_dropped"] == 1
+    streamed = to_pandas(job.results())
+    assert 5 not in set(streamed["ts"])                   # dropped
+
+    corrected = backfill_keys(
+        job, files,
+        lambda ds: batch_shift(ds, "k", ["ts"],
+                               {"prev_v": ("v", 1)}))
+    got = canon(to_pandas(corrected))
+    t = pa.concat_tables([pq.read_table(f) for f in files])  # noqa: F841
+    want = canon(duckdb.sql("""
+        SELECT k, ts, LAG(v, 1) OVER
+          (PARTITION BY k ORDER BY ts) AS prev_v FROM t""").df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_backfill_keys_rolling(ray_session, tmp_path):
+    from saber_ray.stages.rolling import rolling_agg
+    from saber_ray.streaming_keyed import backfill_keys
+
+    files = _files(tmp_path, [
+        pa.table({"k": ["a", "b"], "ts": [100, 101], "v": [1, 9]}),
+        pa.table({"k": ["b"], "ts": [4], "v": [7]}),      # late for B
+        pa.table({"k": ["a", "b"], "ts": [103, 104], "v": [3, 8]}),
+    ])
+    job = StreamingRolling(str(tmp_path / "out"), col="v",
+                           aggs={"s": "sum", "n": "count"},
+                           range_preceding=10, range_following=5,
+                           keys=["k"], ts_col="ts", num_partitions=2)
+    ck = job.run(files, epoch_size=1)
+    assert ck["metrics"]["late_dropped"] == 1
+    corrected = backfill_keys(
+        job, files,
+        lambda ds: rolling_agg(ds, "k", "ts", "v",
+                               aggs={"s": "sum", "n": "count"},
+                               range_preceding=10, range_following=5))
+    got = canon(to_pandas(corrected))
+    t = pa.concat_tables([pq.read_table(f) for f in files])  # noqa: F841
+    want = canon(duckdb.sql("""
+        SELECT k, ts, CAST(SUM(v) OVER w AS BIGINT) AS s,
+               COUNT(v) OVER w AS n
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY ts
+          RANGE BETWEEN 10 PRECEDING AND 5 FOLLOWING)""").df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_backfill_keys_requires_finalized(ray_session, tmp_path):
+    import pytest
+    from saber_ray.streaming_keyed import backfill_keys
+    files = _files(tmp_path, [
+        pa.table({"k": ["a"], "ts": [100], "v": [1]}),
+        pa.table({"k": ["a"], "ts": [5], "v": [2]}),
+    ])
+    job = StreamingShift(str(tmp_path / "out"),
+                         specs={"p": ("v", 1)}, keys=["k"],
+                         ts_col="ts", num_partitions=1)
+    job.run(files, epoch_size=1, end_of_stream=False)
+    with pytest.raises(ValueError, match="finalized"):
+        backfill_keys(job, files, lambda ds: ds)
