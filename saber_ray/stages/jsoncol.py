@@ -9,11 +9,17 @@ NDJSON buffer (a single vectorized ``binary_join_element_wise``) and
 parsed by ``pyarrow.json.read_json`` — the C++ block parser — giving one
 struct row per input row in order.
 
-Constraint (validated per batch): every non-null value must be a
-single-line JSON object — legal JSON never contains a RAW newline inside
-a string (escaped ``\\n`` is fine), so any newline in the column means
-pretty-printed/invalid input and raises rather than silently misaligning
-rows. NULL/empty inputs yield NULL outputs for every field.
+Constraints (both validated, both raise loudly):
+
+- every non-null value must be a single-line JSON object — legal JSON
+  never contains a RAW newline inside a string (escaped ``\\n`` is
+  fine), so any newline in the column means pretty-printed/invalid input
+  and raises rather than silently misaligning rows;
+- each extracted field must hold ONE JSON type across rows (nulls
+  aside) — the C++ reader types columns, and typed extraction treats a
+  sometimes-number-sometimes-string field as a data error.
+
+NULL/empty inputs yield NULL outputs for every field.
 """
 
 from __future__ import annotations
@@ -71,7 +77,16 @@ def json_extract(ds, col: str, fields: dict[str, tuple[str, pa.DataType]],
                                  count=1)[0])
         nbytes = int(pc.sum(pc.binary_length(arr)).as_py())
         buf = arr.buffers()[2].slice(off0, nbytes)
-        parsed = pajson.read_json(pa.BufferReader(buf))
+        try:
+            parsed = pajson.read_json(pa.BufferReader(buf))
+        except pa.ArrowInvalid as e:
+            # the C++ reader requires ONE JSON type per field across rows
+            # (nulls aside) — typed extraction semantics; a field that is
+            # sometimes a number and sometimes a string is a data error
+            raise ValueError(
+                f"{col!r}: inconsistent JSON field types across rows "
+                f"({e}) — each extracted field must hold one JSON type") \
+                from e
         if parsed.num_rows != n:
             raise ValueError(
                 f"{col!r}: parsed {parsed.num_rows} JSON rows from {n} "
