@@ -35,8 +35,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray
-
 TOKEN_REGEX = "[^a-z0-9]+"      # split form of extract_all('[a-z0-9]+')
 
 

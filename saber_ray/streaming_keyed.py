@@ -192,7 +192,6 @@ def backfill_keys(job: KeyedStreamEngine, files, batch_op, *,
     columns are auto-cast to the int64 epoch-us the engines emit).
     """
     import numpy as np
-    import pyarrow.compute as pc
     import ray
     import ray.data as rd
 

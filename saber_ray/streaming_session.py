@@ -46,7 +46,7 @@ import pyarrow.parquet as pq
 
 import ray
 
-from saber_ray.core.aggregates import (AggSpec, ROWS, arrow_merge_aggs,
+from saber_ray.core.aggregates import (AggSpec, arrow_merge_aggs,
                                        arrow_partial_aggs, finalize)
 from saber_ray.core.segments import \
     segmented_running_max as _segmented_running_max
