@@ -82,11 +82,15 @@ def json_extract(ds, col: str, fields: dict[str, tuple[str, pa.DataType]],
         except pa.ArrowInvalid as e:
             # the C++ reader requires ONE JSON type per field across rows
             # (nulls aside) — typed extraction semantics; a field that is
-            # sometimes a number and sometimes a string is a data error
-            raise ValueError(
-                f"{col!r}: inconsistent JSON field types across rows "
-                f"({e}) — each extracted field must hold one JSON type") \
-                from e
+            # sometimes a number and sometimes a string is a data error.
+            # Other parse failures (malformed JSON, oversized rows) keep
+            # their original message.
+            if "changed from" in str(e):
+                raise ValueError(
+                    f"{col!r}: inconsistent JSON field types across rows "
+                    f"({e}) — each extracted field must hold one JSON "
+                    "type") from e
+            raise
         if parsed.num_rows != n:
             raise ValueError(
                 f"{col!r}: parsed {parsed.num_rows} JSON rows from {n} "

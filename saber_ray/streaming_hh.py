@@ -160,15 +160,23 @@ class StreamingHeavyHitters(KeyedStreamEngine):
     def _gc_snaps(self, keep_epoch: int) -> None:
         super()._gc_snaps(keep_epoch)
         # superseded view snapshots are dead the moment the next one is
-        # committed — keep only the epoch just written (keep_epoch - 1)
+        # committed — keep only the epoch just written (keep_epoch - 1);
+        # compare PARSED epoch numbers (lexicographic filename compare
+        # silently stops collecting past the zero-pad width)
         for f in os.listdir(self.out_dir):
-            if f.startswith(self._out_prefix) and f.endswith(".parquet") \
-                    and f < f"{self._out_prefix}{keep_epoch - 1:05d}":
-                os.remove(os.path.join(self.out_dir, f))
+            if f.startswith(self._out_prefix) and f.endswith(".parquet"):
+                try:
+                    ep = int(f[len(self._out_prefix):-len(".parquet")])
+                except ValueError:
+                    continue
+                if ep < keep_epoch - 1:
+                    os.remove(os.path.join(self.out_dir, f))
 
     def results(self) -> pa.Table:
         import json
-        empty = pa.table({"value": pa.array([], pa.string()),
+        # value: null type — promotes to the real dtype under concat, so
+        # empty and non-empty polls never have conflicting schemas
+        empty = pa.table({"value": pa.nulls(0, pa.null()),
                           "est_count": pa.array([], pa.int64()),
                           "max_undercount": pa.array([], pa.int64())})
         if not os.path.exists(self._ckpt_path):

@@ -226,9 +226,13 @@ def backfill_keys(job: KeyedStreamEngine, files, batch_op, *,
     # align dtypes with the streaming output (engines emit int64 epoch-us)
     for i, f in enumerate(ct.schema):
         want = emitted.schema.field(f.name).type \
-            if f.name in emitted.column_names else f.type
+            if f.name in emitted.column_names else pa.int64()
         if pa.types.is_timestamp(f.type) and pa.types.is_integer(want):
             ct = ct.set_column(i, f.name, ct[f.name].cast(pa.int64()))
+    if emitted.num_columns == 0 or emitted.num_rows == 0:
+        # nothing was ever emitted (e.g. a CEP run with zero matches) —
+        # the recompute IS the whole corrected output
+        return ct
     ct = ct.select(emitted.column_names)
     keep = ~np.isin(hash_columns(emitted, keys), affected)
     untouched = emitted.filter(pa.array(keep))

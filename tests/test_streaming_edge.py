@@ -179,3 +179,57 @@ def test_backfill_keys_requires_finalized(ray_session, tmp_path):
     job.run(files, epoch_size=1, end_of_stream=False)
     with pytest.raises(ValueError, match="finalized"):
         backfill_keys(job, files, lambda ds: ds)
+
+
+def test_backfill_keys_empty_emitted_cep(ray_session, tmp_path):
+    """Regression (found by review): a finalized CEP run with ZERO matches
+    but dead-lettered rows must still backfill (the recompute IS the
+    output), not crash on the zero-column emitted table."""
+    from saber_ray.core.expressions import col
+    from saber_ray.stages.cep import match_pattern
+    from saber_ray.streaming_cep import StreamingMatchPattern
+    from saber_ray.streaming_keyed import backfill_keys
+
+    files = _files(tmp_path, [
+        pa.table({"k": ["a"], "role": ["user"], "ts": [100]}),
+        # late: would have completed a user->assistant match for key a
+        pa.table({"k": ["a"], "role": ["assistant"], "ts": [5]}),
+    ])
+    job = StreamingMatchPattern(
+        str(tmp_path / "out"),
+        pattern=[col("role") == "user", col("role") == "assistant"],
+        keys=["k"], ts_col="ts", columns=["role"], num_partitions=1)
+    ck = job.run(files, epoch_size=1)
+    assert ck["metrics"]["late_dropped"] == 1
+    assert job.results().num_rows == 0            # no matches emitted
+    corrected = backfill_keys(
+        job, files,
+        lambda ds: match_pattern(
+            ds, [col("role") == "user", col("role") == "assistant"],
+            keys="k", order_by=["ts"], ts_col="ts"))
+    got = to_pandas(corrected)
+    # full history for key a, ts-ordered: assistant@5 then user@100 —
+    # no user->assistant adjacency, so the corrected output is ALSO empty
+    assert len(got) == 0
+    # and a variant where the late row DOES create the match
+    v2 = tmp_path / "v2"
+    v2.mkdir()
+    files2 = _files(v2, [
+        pa.table({"k": ["a"], "role": ["assistant"], "ts": [100]}),
+        pa.table({"k": ["a"], "role": ["user"], "ts": [5]}),   # late
+    ])
+    job2 = StreamingMatchPattern(
+        str(tmp_path / "out2"),
+        pattern=[col("role") == "user", col("role") == "assistant"],
+        keys=["k"], ts_col="ts", columns=["role"], num_partitions=1)
+    job2.run(files2, epoch_size=1)
+    assert job2.results().num_rows == 0
+    corrected2 = backfill_keys(
+        job2, files2,
+        lambda ds: match_pattern(
+            ds, [col("role") == "user", col("role") == "assistant"],
+            keys="k", order_by=["ts"], ts_col="ts"))
+    got2 = to_pandas(corrected2)
+    assert len(got2) == 1
+    assert got2.iloc[0]["match_start_us"] == 5
+    assert got2.iloc[0]["match_end_us"] == 100
