@@ -1,6 +1,7 @@
 """Inverted index + BM25 search vs full-formula DuckDB oracles."""
 
 import duckdb
+import pyarrow as pa
 import pandas as pd
 import pytest
 import ray.data as rd
@@ -112,3 +113,22 @@ def test_bm25_tokenless_docs_excluded_from_stats(ray_session, sf_dir):
     got = canon(to_pandas(bm25_search(noisy, QUERIES[:1], k=5)))
     want = canon(to_pandas(bm25_search(_docs(sf_dir), QUERIES[:1], k=5)))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_tokenizer_unicode_parity_with_duckdb(ray_session):
+    """pc.utf8_lower + [^a-z0-9]+ split must equal DuckDB's
+    lower + regexp_extract_all on unicode edge cases (Turkish İ,
+    ligatures, titlecase digraphs, Cyrillic) — the tokenizer parity every
+    text gate rests on."""
+    cases = ["Hello WORLD", "İstanbul", "STRASSE ß", "ﬁle FILE",
+             "Ångström", "МОСКВА x9", "ǅungla", "a1-B2_c3"]
+    t = pa.table({"doc_id": list(range(len(cases))),  # noqa: F841
+                  "text": cases})
+    got = canon(to_pandas(build_inverted_index(rd.from_arrow(t))))
+    want = canon(duckdb.sql("""
+        WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(
+               lower(text), '[a-z0-9]+')) AS term FROM t),
+        dl AS (SELECT doc_id, COUNT(*) AS doclen FROM tok GROUP BY 1)
+        SELECT term, tok.doc_id, COUNT(*) AS tf, ANY_VALUE(doclen) AS doclen
+        FROM tok JOIN dl ON tok.doc_id = dl.doc_id GROUP BY 1, 2""").df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
