@@ -214,7 +214,9 @@ def bm25_search(ds, queries: Sequence[str], *, k: int = 10,
                 round_decimals: Optional[int] = 6):
     """BM25 top-``k`` documents per query string. Returns a Dataset of
     (query_id, ``id_col``, score, rank) — query_id is the position in
-    ``queries``. idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the standard
+    ``queries``. BM25 is the public Okapi ranking function (Robertson &
+    Zaragoza, "The Probabilistic Relevance Framework: BM25 and Beyond",
+    FnTIR 2009); idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the standard
     non-negative Lucene/ATIRE form). Intended for a bounded broadcast
     query set (the stats pass ships O(#query terms) rows per batch);
     score a large query TABLE by joining against

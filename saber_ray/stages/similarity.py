@@ -556,7 +556,9 @@ def _kmeans_l2(x: np.ndarray, ncent: int, *, iters: int = 10,
 def train_pq(emb_ds, *, m: int = 8, n_centroids: int = 256,
              train_size: int = 20_000, iters: int = 10, seed: int = 42,
              emb_col: str = "embedding") -> dict:
-    """Train a product quantizer: vectors are L2-normalized (cosine via
+    """Train a product quantizer (Jegou, Douze & Schmid, "Product
+    Quantization for Nearest Neighbor Search", IEEE TPAMI 2011 — the
+    public algorithm): vectors are L2-normalized (cosine via
     inner product), split into ``m`` contiguous sub-spaces, and each
     sub-space gets its own ``n_centroids``-entry L2 codebook. Training
     streams the first ``train_size`` rows to the driver (bounded, the
