@@ -960,6 +960,37 @@ def _q_streaming_hh(sf):
     return job.results()
 
 
+def _q_streaming_distinct(sf):
+    """Continuously-maintained distinct-count view over the streaming
+    engine (streaming_distinct.py — per-partition KMV sketches, exact
+    below capacity). COUNT(DISTINCT) twin in
+    tests/test_streaming_distinct.py."""
+    import shutil
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from saber_ray.streaming_distinct import StreamingDistinct
+
+    t = transcripts_from_events(sf).to_pandas()
+    t = t.sort_values(["ts", "conv_id", "turn_idx"],
+                      kind="mergesort")[["conv_id", "ts"]]
+    tbl = pa.Table.from_pandas(t, preserve_index=False)
+    work = os.path.join(
+        "/tmp/saber_ray_gate",
+        f"stream_dist-{hashlib.md5(sf.encode()).hexdigest()[:8]}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(os.path.join(work, "in"))
+    files, n = [], tbl.num_rows
+    for i in range(8):
+        part = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+        p = os.path.join(work, "in", f"f{i:03d}.parquet")
+        pq.write_table(part, p)
+        files.append(p)
+    job = StreamingDistinct(os.path.join(work, "out"), col="conv_id",
+                            kmv_k=100_000, num_partitions=3)
+    job.run(files, epoch_size=2)
+    return job.results()
+
+
 def _q_profile_docs(sf):
     """Per-column dataset profile (rows/nulls/distinct/min/max/mean) —
     value-oracled in pytest (test_stats.py builds the per-column DuckDB
@@ -1569,6 +1600,7 @@ def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": _q_ngram_counts,
         "collocations": _q_collocations,
         "streaming_heavy_hitters": _q_streaming_hh,
+        "streaming_distinct": _q_streaming_distinct,
         "profile_docs": _q_profile_docs,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     }

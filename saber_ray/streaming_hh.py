@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 import ray
 
 from saber_ray.stages.heavy_hitters import _counts, _cut
-from saber_ray.streaming_keyed import KeyedStreamEngine
+from saber_ray.streaming_keyed import SnapshotViewEngine
 
 _CUT_META = b"saber_ray.hh_cut"
 
@@ -122,7 +122,7 @@ class _HHState:
 HHStateActor = ray.remote(_HHState)
 
 
-class StreamingHeavyHitters(KeyedStreamEngine):
+class StreamingHeavyHitters(SnapshotViewEngine):
     """Continuously-maintained approximate top-k frequent values of
     ``col`` over an ordered file stream. ``results()`` is the CURRENT
     view: (value, est_count, max_undercount) sorted by est_count desc
@@ -157,41 +157,14 @@ class StreamingHeavyHitters(KeyedStreamEngine):
         return [HHStateActor.remote(self.col, self.capacity)
                 for _ in range(self.n)]
 
-    def _gc_snaps(self, keep_epoch: int) -> None:
-        super()._gc_snaps(keep_epoch)
-        # superseded view snapshots are dead the moment the next one is
-        # committed — keep only the epoch just written (keep_epoch - 1);
-        # compare PARSED epoch numbers (lexicographic filename compare
-        # silently stops collecting past the zero-pad width)
-        for f in os.listdir(self.out_dir):
-            if f.startswith(self._out_prefix) and f.endswith(".parquet"):
-                try:
-                    ep = int(f[len(self._out_prefix):-len(".parquet")])
-                except ValueError:
-                    continue
-                if ep < keep_epoch - 1:
-                    os.remove(os.path.join(self.out_dir, f))
-
-    def results(self) -> pa.Table:
-        import json
+    def _empty_view(self) -> pa.Table:
         # value: null type — promotes to the real dtype under concat, so
         # empty and non-empty polls never have conflicting schemas
-        empty = pa.table({"value": pa.nulls(0, pa.null()),
-                          "est_count": pa.array([], pa.int64()),
-                          "max_undercount": pa.array([], pa.int64())})
-        if not os.path.exists(self._ckpt_path):
-            return empty
-        with open(self._ckpt_path) as fh:
-            epoch = int(json.load(fh)["epoch"])
-        # the CURRENT view is exactly the last committed epoch's file; its
-        # absence means that view is EMPTY (the writer deletes empty
-        # snapshots) — falling back to an older file would report stale
-        # counts for values the state no longer tracks
-        path = os.path.join(
-            self.out_dir, f"{self._out_prefix}{epoch - 1:05d}.parquet")
-        if epoch <= 0 or not os.path.exists(path):
-            return empty
-        t = pq.read_table(path)
+        return pa.table({"value": pa.nulls(0, pa.null()),
+                         "est_count": pa.array([], pa.int64()),
+                         "max_undercount": pa.array([], pa.int64())})
+
+    def _finalize_view(self, t: pa.Table) -> pa.Table:
         order = pc.sort_indices(t, sort_keys=[
             ("est_count", "descending"), ("value", "ascending")])
         t = t.take(order)

@@ -239,3 +239,45 @@ def backfill_keys(job: KeyedStreamEngine, files, batch_op, *,
     return pa.concat_tables(
         [untouched, ct.cast(untouched.schema)],
         promote_options="default")
+
+
+class SnapshotViewEngine(KeyedStreamEngine):
+    """Base for MATERIALIZED-VIEW engines (heavy hitters, distinct
+    counts): every epoch emits the CURRENT state snapshot, superseding —
+    not appending to — the previous one. ``results()`` resolves exactly
+    the last committed epoch from the checkpoint (an absent file means
+    the current view is genuinely empty — falling back to an older file
+    would report stale state), superseded view files are GC'd with the
+    state snapshots, and subclasses shape the final table via
+    ``_finalize_view`` / ``_empty_view``."""
+
+    def _finalize_view(self, t: pa.Table) -> pa.Table:
+        return t
+
+    def _empty_view(self) -> pa.Table:
+        return pa.table({})
+
+    def _gc_snaps(self, keep_epoch: int) -> None:
+        super()._gc_snaps(keep_epoch)
+        # superseded view snapshots are dead once the next one commits —
+        # keep only the epoch just written (keep_epoch - 1); compare
+        # PARSED epochs (lexicographic compare breaks past the pad width)
+        for f in os.listdir(self.out_dir):
+            if f.startswith(self._out_prefix) and f.endswith(".parquet"):
+                try:
+                    ep = int(f[len(self._out_prefix):-len(".parquet")])
+                except ValueError:
+                    continue
+                if ep < keep_epoch - 1:
+                    os.remove(os.path.join(self.out_dir, f))
+
+    def results(self) -> pa.Table:
+        if not os.path.exists(self._ckpt_path):
+            return self._empty_view()
+        with open(self._ckpt_path) as fh:
+            epoch = int(json.load(fh)["epoch"])
+        path = os.path.join(
+            self.out_dir, f"{self._out_prefix}{epoch - 1:05d}.parquet")
+        if epoch <= 0 or not os.path.exists(path):
+            return self._empty_view()
+        return self._finalize_view(pq.read_table(path))
