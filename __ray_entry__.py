@@ -298,6 +298,17 @@ def _q_asof_join(sf):
                                "event_id_r", "value_l", "value_r"])
 
 
+def _q_chunk_documents(sf):
+    """Token-budgeted document chunking with overlap (stages/chunk.py) —
+    the preprocessing step in front of context-limited training/RAG: one
+    map_batches pass, per-chunk token ranges by offset arithmetic, ONE
+    gather + vectorized join; value-exact vs the DuckDB list-slice
+    twin."""
+    from saber_ray.stages.chunk import chunk_documents
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    return chunk_documents(docs, max_tokens=64, overlap=16)
+
+
 def _q_pricing_summary(sf):
     """TPC-H Q1-shaped pricing summary through the engine's own aggregate:
     a tumbling window spanning all of time degenerates to plain GROUP BY,
@@ -1531,7 +1542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_global_agg": _q_tumbling_global,
         "streaming_match_pattern": _q_streaming_match_pattern,
         "hopping_window_gaps": _q_hopping_window,
-        "watermark_closed_windows": _q_watermark_closed,
+        "chunk_documents": _q_chunk_documents,
         "sliding_grouped_agg": _q_sliding_grouped,
         "streaming_rolling": _q_streaming_rolling,
         "row_window_global": _q_row_window_global,
@@ -1698,15 +1709,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM transcripts)
             WHERE role = 'user' AND r1 = 'assistant' AND r2 = 'user'
               AND t2 - tu <= {24 * HOUR}"""),
-        "watermark_closed_windows": (
-            f"WITH t AS (SELECT epoch_us(ts) // {DAY} AS window_id, value "
-            "FROM events), "
-            "wm AS (SELECT MAX(epoch_us(ts)) - 259200000000 AS w FROM events) "
-            f"SELECT window_id, window_id * {DAY} AS window_start_us, "
-            "COUNT(*) AS n, "
-            "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) "
-            "AS sum_value FROM t, wm "
-            f"WHERE (window_id + 1) * {DAY} <= wm.w GROUP BY 1"),
+        "chunk_documents": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(COALESCE(text, ''),
+                                 '\s+'), w -> w <> '') AS ws
+              FROM documents),
+            n AS (SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) > 0),
+            c AS (SELECT doc_id, ws, n,
+                         1 + greatest(0, CAST(ceil((n - 64) / 48.0)
+                                              AS BIGINT)) AS n_chunks
+                  FROM n)
+            SELECT doc_id, i AS chunk_idx, n_chunks,
+                   array_to_string(ws[1 + i * 48 : i * 48 + 64], ' ')
+                     AS chunk_text,
+                   least(64, n - i * 48) AS n_tokens
+            FROM c, range(0, 100000) r(i) WHERE i < n_chunks""",
         "hopping_window_gaps": (
             f"SELECT epoch_us(ts) // {6 * HOUR} AS window_id, COUNT(*) AS n, "
             "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) "

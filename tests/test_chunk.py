@@ -1,0 +1,93 @@
+"""chunk_documents vs a DuckDB list-slice oracle."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from saber_ray.stages.chunk import chunk_documents
+from tests.oracle_util import canon, to_pandas
+
+MAXT, OVER = 12, 4
+STRIDE = MAXT - OVER
+
+_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                         w -> w <> '') AS ws
+      FROM {src}),
+    n AS (SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) > 0),
+    c AS (SELECT doc_id, ws, n,
+                 1 + greatest(0, CAST(ceil((n - {maxt}) / {stride}.0)
+                                      AS BIGINT)) AS n_chunks
+          FROM n)
+    SELECT doc_id, i AS chunk_idx, n_chunks,
+           array_to_string(ws[1 + i * {stride} :
+                              i * {stride} + {maxt}], ' ') AS chunk_text,
+           least({maxt}, n - i * {stride}) AS n_tokens
+    FROM c, range(0, 100000) r(i) WHERE i < n_chunks"""
+
+
+def _oracle(src, maxt=MAXT, stride=STRIDE):
+    return canon(duckdb.sql(_ORACLE.format(
+        src=src, maxt=maxt, stride=stride)).df())
+
+
+def test_chunk_vs_duckdb(ray_session, sf_dir):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    got = canon(to_pandas(chunk_documents(
+        ds, max_tokens=MAXT, overlap=OVER)))
+    want = _oracle(f"read_parquet('{sf_dir}/documents.parquet')")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_chunk_edges(ray_session):
+    t = pa.table({  # noqa: F841
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["one two three", "", None, "   ",
+                 " ".join(f"w{i}" for i in range(25))]})
+    got = canon(to_pandas(chunk_documents(
+        rd.from_arrow(t), max_tokens=MAXT, overlap=OVER)))
+    want = _oracle("t")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # empty/null/whitespace-only docs emit no chunks
+    assert set(got["doc_id"]) == {1, 5}
+    # 25 tokens, max 12, stride 8 -> chunks at 0/8/16 (3, not 4): the
+    # chunk starting at 16 reaches the end, no contained tail chunk
+    assert int(got[got["doc_id"] == 5]["n_chunks"].iloc[0]) == 3
+    # overlap: chunk1 starts 4 tokens before chunk0's end
+    c5 = got[got["doc_id"] == 5].sort_values("chunk_idx")
+    t0 = c5.iloc[0]["chunk_text"].split(" ")
+    t1 = c5.iloc[1]["chunk_text"].split(" ")
+    assert t0[-OVER:] == t1[:OVER]
+
+
+def test_chunk_no_overlap_partition(ray_session):
+    """overlap=0: chunks partition the token sequence exactly."""
+    text = " ".join(f"w{i}" for i in range(30))
+    t = pa.table({"doc_id": [1], "text": [text]})
+    got = to_pandas(chunk_documents(rd.from_arrow(t), max_tokens=7)) \
+        .sort_values("chunk_idx")
+    joined = " ".join(got["chunk_text"])
+    assert joined == text
+    assert list(got["n_tokens"]) == [7, 7, 7, 7, 2]
+
+
+def test_chunk_block_invariance(ray_session, sf_dir):
+    outs = [canon(to_pandas(chunk_documents(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"],
+                        override_num_blocks=nb),
+        max_tokens=MAXT, overlap=OVER))) for nb in (1, 7)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_chunk_validation(ray_session, sf_dir):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        chunk_documents(ds, max_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(ds, max_tokens=5, overlap=5)

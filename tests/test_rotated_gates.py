@@ -89,6 +89,19 @@ ROTATED = {
         entry_mod._sliding_sql(
             4, entry_mod.DAY, f"window_id, {entry_mod.ALL_SQL}",
             "window_id")),
+    # rotated out in r4 for chunk_documents: watermark-closed emission
+    # stays gated via streaming_cm1 and the streaming engines' sealed
+    # emission rules
+    "watermark_closed_windows": (
+        entry_mod._q_watermark_closed,
+        f"WITH t AS (SELECT epoch_us(ts) // {entry_mod.DAY} AS window_id, "
+        "value FROM events), "
+        "wm AS (SELECT MAX(epoch_us(ts)) - 259200000000 AS w FROM events) "
+        f"SELECT window_id, window_id * {entry_mod.DAY} AS window_start_us, "
+        "COUNT(*) AS n, "
+        "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) "
+        "AS sum_value FROM t, wm "
+        f"WHERE (window_id + 1) * {entry_mod.DAY} <= wm.w GROUP BY 1"),
     # rotated out in r4 for json_extract; the dedup verify kernel keeps
     # its composition role in the minhash/simhash pytest suites
     "ngram_jaccard_pairs": (
