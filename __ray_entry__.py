@@ -945,27 +945,10 @@ def _q_streaming_hh(sf):
     engine (streaming_hh.py — Misra-Gries summaries per value partition,
     per-epoch snapshot emission). Exact GROUP BY twin at ample capacity
     in tests/test_streaming_hh.py."""
-    import shutil
-    import pyarrow as pa
-    import pyarrow.parquet as pq
     from saber_ray.streaming_hh import StreamingHeavyHitters
-
-    t = transcripts_from_events(sf).to_pandas()
-    t = t.sort_values(["ts", "conv_id", "turn_idx"],
-                      kind="mergesort")[["conv_id", "role", "ts"]]
-    tbl = pa.Table.from_pandas(t, preserve_index=False)
-    work = os.path.join(
-        "/tmp/saber_ray_gate",
-        f"stream_hh-{hashlib.md5(sf.encode()).hexdigest()[:8]}")
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(os.path.join(work, "in"))
-    files, n = [], tbl.num_rows
-    for i in range(8):
-        part = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
-        p = os.path.join(work, "in", f"f{i:03d}.parquet")
-        pq.write_table(part, p)
-        files.append(p)
-    job = StreamingHeavyHitters(os.path.join(work, "out"), col="conv_id",
+    files, out = _stream_gate_files(sf, ["conv_id", "role", "ts"],
+                                    "stream_hh")
+    job = StreamingHeavyHitters(out, col="conv_id",
                                 capacity=100_000, k=20, num_partitions=3)
     job.run(files, epoch_size=2)
     return job.results()
@@ -976,27 +959,9 @@ def _q_streaming_distinct(sf):
     engine (streaming_distinct.py — per-partition KMV sketches, exact
     below capacity). COUNT(DISTINCT) twin in
     tests/test_streaming_distinct.py."""
-    import shutil
-    import pyarrow as pa
-    import pyarrow.parquet as pq
     from saber_ray.streaming_distinct import StreamingDistinct
-
-    t = transcripts_from_events(sf).to_pandas()
-    t = t.sort_values(["ts", "conv_id", "turn_idx"],
-                      kind="mergesort")[["conv_id", "ts"]]
-    tbl = pa.Table.from_pandas(t, preserve_index=False)
-    work = os.path.join(
-        "/tmp/saber_ray_gate",
-        f"stream_dist-{hashlib.md5(sf.encode()).hexdigest()[:8]}")
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(os.path.join(work, "in"))
-    files, n = [], tbl.num_rows
-    for i in range(8):
-        part = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
-        p = os.path.join(work, "in", f"f{i:03d}.parquet")
-        pq.write_table(part, p)
-        files.append(p)
-    job = StreamingDistinct(os.path.join(work, "out"), col="conv_id",
+    files, out = _stream_gate_files(sf, ["conv_id", "ts"], "stream_dist")
+    job = StreamingDistinct(out, col="conv_id",
                             kmv_k=100_000, num_partitions=3)
     job.run(files, epoch_size=2)
     return job.results()
@@ -1209,29 +1174,38 @@ def _q_streaming_theta_keyless(sf):
                        "value_l", "value_r"])
 
 
-def _q_streaming_sessions(sf):
-    """Gap-timeout sessions via the streaming engine (watermark-closed),
-    equal to the batch/SQL sessionization."""
+def _stream_gate_files(sf, columns, tag):
+    """Materialize the derived transcripts as an 8-file ts-ordered stream
+    under a per-(gate, sf) workdir — the shared input shape of every
+    streaming gate. Returns (files, out_dir)."""
     import shutil
     import pyarrow as pa
     import pyarrow.parquet as pq
-    from saber_ray.streaming_session import StreamingSessionWindows
-
     t = transcripts_from_events(sf).to_pandas()
     t = t.sort_values(["ts", "conv_id", "turn_idx"],
-                      kind="mergesort")[["conv_id", "ts"]]
+                      kind="mergesort")[columns]
     tbl = pa.Table.from_pandas(t, preserve_index=False)
-    work = os.path.join("/tmp/saber_ray_gate", f"stream_sess-{hashlib.md5(sf.encode()).hexdigest()[:8]}")
+    work = os.path.join(
+        "/tmp/saber_ray_gate",
+        f"{tag}-{hashlib.md5(sf.encode()).hexdigest()[:8]}")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(os.path.join(work, "in"))
     files, n = [], tbl.num_rows
     for i in range(8):
         part = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
-        p = os.path.join(work, "in", f"f{i:03d}.parquet")
-        pq.write_table(part, p)
-        files.append(p)
+        fp = os.path.join(work, "in", f"f{i:03d}.parquet")
+        pq.write_table(part, fp)
+        files.append(fp)
+    return files, os.path.join(work, "out")
+
+
+def _q_streaming_sessions(sf):
+    """Gap-timeout sessions via the streaming engine (watermark-closed),
+    equal to the batch/SQL sessionization."""
+    from saber_ray.streaming_session import StreamingSessionWindows
+    files, out = _stream_gate_files(sf, ["conv_id", "ts"], "stream_sess")
     job = StreamingSessionWindows(
-        os.path.join(work, "out"), gap=30 * MINUTE,
+        out, gap=30 * MINUTE,
         aggs=[cnt(alias="n_turns")], keys=["conv_id"], num_partitions=3)
     job.run(files, epoch_size=2)
     return job.results()
@@ -1242,28 +1216,11 @@ def _q_streaming_match_pattern(sf):
     matched per conv in event-time order): watermark-sealed emission equals
     the batch kernel / LEAD() oracle over the whole stream — the streaming
     twin of the match_pattern gate (VERDICT r3 #3)."""
-    import shutil
-    import pyarrow as pa
-    import pyarrow.parquet as pq
     from saber_ray.streaming_cep import StreamingMatchPattern
-
-    t = transcripts_from_events(sf).to_pandas()
-    t = t.sort_values(["ts", "conv_id", "turn_idx"],
-                      kind="mergesort")[["conv_id", "turn_idx", "role", "ts"]]
-    tbl = pa.Table.from_pandas(t, preserve_index=False)
-    work = os.path.join(
-        "/tmp/saber_ray_gate",
-        f"stream_cep-{hashlib.md5(sf.encode()).hexdigest()[:8]}")
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(os.path.join(work, "in"))
-    files, n = [], tbl.num_rows
-    for i in range(8):
-        part = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
-        p = os.path.join(work, "in", f"f{i:03d}.parquet")
-        pq.write_table(part, p)
-        files.append(p)
+    files, out = _stream_gate_files(
+        sf, ["conv_id", "turn_idx", "role", "ts"], "stream_cep")
     job = StreamingMatchPattern(
-        os.path.join(work, "out"),
+        out,
         pattern=[col("role") == "user", col("role") == "assistant",
                  col("role") == "user"],
         keys=["conv_id"], ts_col="ts", within=24 * HOUR,
@@ -1278,28 +1235,11 @@ def _q_streaming_shift(sf):
     bounded per-key state equals the SQL window-function oracle over the
     whole stream — the streaming twin of stages/shift.py (VERDICT r3
     missing #1: streaming twins for the window-function family)."""
-    import shutil
-    import pyarrow as pa
-    import pyarrow.parquet as pq
     from saber_ray.streaming_shift import StreamingShift
-
-    t = transcripts_from_events(sf).to_pandas()
-    t = t.sort_values(["ts", "conv_id", "turn_idx"],
-                      kind="mergesort")[["conv_id", "turn_idx", "role", "ts"]]
-    tbl = pa.Table.from_pandas(t, preserve_index=False)
-    work = os.path.join(
-        "/tmp/saber_ray_gate",
-        f"stream_shift-{hashlib.md5(sf.encode()).hexdigest()[:8]}")
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(os.path.join(work, "in"))
-    files, n = [], tbl.num_rows
-    for i in range(8):
-        part = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
-        p = os.path.join(work, "in", f"f{i:03d}.parquet")
-        pq.write_table(part, p)
-        files.append(p)
+    files, out = _stream_gate_files(
+        sf, ["conv_id", "turn_idx", "role", "ts"], "stream_shift")
     job = StreamingShift(
-        os.path.join(work, "out"),
+        out,
         specs={"prev_ts": ("ts", 1), "prev_role": ("role", 1),
                "next_ts": ("ts", -1)},
         keys=["conv_id"], ts_col="ts", tiebreak=["turn_idx"],
@@ -1719,12 +1659,14 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT doc_id, ws, n,
                          1 + greatest(0, CAST(ceil((n - 64) / 48.0)
                                               AS BIGINT)) AS n_chunks
-                  FROM n)
+                  FROM n),
+            e AS (SELECT doc_id, ws, n, n_chunks,
+                         unnest(range(n_chunks)) AS i FROM c)
             SELECT doc_id, i AS chunk_idx, n_chunks,
                    array_to_string(ws[1 + i * 48 : i * 48 + 64], ' ')
                      AS chunk_text,
                    least(64, n - i * 48) AS n_tokens
-            FROM c, range(0, 100000) r(i) WHERE i < n_chunks""",
+            FROM e""",
         "hopping_window_gaps": (
             f"SELECT epoch_us(ts) // {6 * HOUR} AS window_id, COUNT(*) AS n, "
             "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) "

@@ -52,16 +52,14 @@ def chunk_documents(ds, *, max_tokens: int, overlap: int = 0,
             ("chunk_text", pa.string()), ("n_tokens", pa.int64())])
         if t.num_rows == 0:
             return schema.empty_table()
-        toks = pc.split_pattern_regex(t[text_col], r"\s+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks) \
-            .to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        keep &= pc.is_valid(flat).to_numpy(zero_copy_only=False)
-        flat = flat.filter(pa.array(keep))
-        parents = parents[keep]
+        # shared tokenizer kernel (core/tokens.py): tokens = maximal
+        # non-whitespace runs, empties dropped, NULL text handled — and
+        # large_string columns stay large_string end-to-end
+        from saber_ray.core.tokens import split_regex
+        col = t[text_col]
+        if pa.types.is_null(col.type):       # all-null column inference
+            col = pc.cast(col, pa.string())
+        flat, parents = split_regex(col, r"\S")
         n_tok = np.bincount(parents, minlength=t.num_rows) \
             .astype(np.int64)
         doc_start = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
@@ -81,13 +79,19 @@ def chunk_documents(ds, *, max_tokens: int, overlap: int = 0,
         starts = doc_start[doc_of] + cidx * stride
         lens = np.minimum(max_tokens,
                           (doc_start[doc_of] + n_tok[doc_of]) - starts)
-        # ONE gather of every chunk's tokens (overlap duplicates them)
+        # ONE gather of every chunk's tokens (overlap duplicates them);
+        # int64 large_list offsets — int32 would wrap silently past 2^31
+        # gathered tokens per block — and a separator in the VALUE type
+        # (string vs large_string kernels don't mix)
         gidx = np.repeat(starts, lens) + _ranges(lens)
         gathered = flat.take(pa.array(gidx))
-        offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
-        chunk_lists = pa.ListArray.from_arrays(pa.array(offsets),
-                                               gathered)
-        texts = pc.binary_join(chunk_lists, " ")
+        offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        chunk_lists = pa.LargeListArray.from_arrays(pa.array(offsets),
+                                                    gathered)
+        texts = pc.binary_join(chunk_lists,
+                               pa.scalar(" ", type=gathered.type))
+        if pa.types.is_large_string(texts.type):
+            texts = pc.cast(texts, pa.string())
         ids = t[id_col].combine_chunks() if isinstance(
             t[id_col], pa.ChunkedArray) else t[id_col]
         return pa.Table.from_arrays(

@@ -67,23 +67,37 @@ class _DistinctState:
             "n_nulls": pa.array([self.n_nulls], pa.int64()),
             "exact": pa.array([len(self.kmv.hashes) < self.kmv.k],
                               pa.bool_()),
-            "kmv": pa.array([self.kmv.hashes.tolist()],
-                            pa.list_(pa.uint64()))})
+            "kmv": _kmv_list(self.kmv.hashes)})
 
     def snapshot(self, path: str) -> None:
         pq.write_table(pa.table({
             "n_rows": pa.array([self.n_rows], pa.int64()),
             "n_nulls": pa.array([self.n_nulls], pa.int64()),
-            "kmv": pa.array([self.kmv.hashes.tolist()],
-                            pa.list_(pa.uint64()))}), path)
+            "kmv": _kmv_list(self.kmv.hashes)}), path)
 
     def restore(self, path: str) -> None:
         if os.path.exists(path):
             t = pq.read_table(path)
             self.n_rows = int(t["n_rows"][0].as_py())
             self.n_nulls = int(t["n_nulls"][0].as_py())
-            self.kmv.hashes = np.asarray(t["kmv"][0].as_py(),
-                                         dtype=np.uint64)
+            self.kmv.hashes = _kmv_np(t["kmv"])[0]
+
+
+def _kmv_list(hashes: np.ndarray) -> pa.ListArray:
+    """One-row list<uint64> wrapping the sketch zero-copy (tolist()/
+    as_py() round-trips materialize 100k+ Python ints per epoch)."""
+    return pa.ListArray.from_arrays(
+        pa.array([0, len(hashes)], pa.int32()),
+        pa.array(hashes, pa.uint64()))
+
+
+def _kmv_np(col) -> list:
+    """Per-row uint64 numpy views of a list<uint64> column."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False) \
+        .astype(np.uint64, copy=False)
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    return [flat[offs[i]:offs[i + 1]] for i in range(len(arr))]
 
 
 DistinctStateActor = ray.remote(_DistinctState)
@@ -136,8 +150,9 @@ class StreamingDistinct(SnapshotViewEngine):
         resid = KmvSketch(self.kmv_k)
         any_est = False
         exacts = t["exact"].to_pylist()
+        per_row = _kmv_np(t["kmv"])
         for i in range(t.num_rows):
-            hashes = np.asarray(t["kmv"][i].as_py(), dtype=np.uint64)
+            hashes = per_row[i]
             if exacts[i]:
                 n_distinct += len(hashes)
             else:

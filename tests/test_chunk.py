@@ -22,12 +22,14 @@ _ORACLE = r"""
     c AS (SELECT doc_id, ws, n,
                  1 + greatest(0, CAST(ceil((n - {maxt}) / {stride}.0)
                                       AS BIGINT)) AS n_chunks
-          FROM n)
+          FROM n),
+    e AS (SELECT doc_id, ws, n, n_chunks,
+                 unnest(range(n_chunks)) AS i FROM c)
     SELECT doc_id, i AS chunk_idx, n_chunks,
            array_to_string(ws[1 + i * {stride} :
                               i * {stride} + {maxt}], ' ') AS chunk_text,
            least({maxt}, n - i * {stride}) AS n_tokens
-    FROM c, range(0, 100000) r(i) WHERE i < n_chunks"""
+    FROM e"""
 
 
 def _oracle(src, maxt=MAXT, stride=STRIDE):
@@ -91,3 +93,18 @@ def test_chunk_validation(ray_session, sf_dir):
         chunk_documents(ds, max_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(ds, max_tokens=5, overlap=5)
+
+
+def test_chunk_large_string_and_all_null(ray_session):
+    """Regression (found by review): large_string text columns and
+    all-null (null-typed) columns must work — parquet round-trips and
+    polars interop produce large_string; empty corpora infer null."""
+    big = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["alpha beta gamma", None],
+                                     pa.large_string())})
+    got = to_pandas(chunk_documents(rd.from_arrow(big), max_tokens=2))
+    assert list(got["chunk_text"]) == ["alpha beta", "gamma"]
+    assert str(got["chunk_text"].dtype) == "object"
+    nulls = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.nulls(2, pa.null())})
+    assert chunk_documents(rd.from_arrow(nulls), max_tokens=4).count() == 0
