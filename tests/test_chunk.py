@@ -108,3 +108,37 @@ def test_chunk_large_string_and_all_null(ray_session):
     nulls = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
                       "text": pa.nulls(2, pa.null())})
     assert chunk_documents(rd.from_arrow(nulls), max_tokens=4).count() == 0
+
+
+def test_chunk_property_random_text(ray_session):
+    """Property: random whitespace-heavy unicode text chunks identically
+    to the DuckDB oracle for random (max_tokens, overlap) — pins the
+    engine/oracle tokenizer parity (RE2 \\s on both sides)."""
+    from hypothesis import given, settings, strategies as st
+
+    words = st.text(
+        alphabet=st.characters(blacklist_categories=("Zs", "Zl", "Zp",
+                                                     "Cc", "Cs")),
+        min_size=1, max_size=6)
+    ws = st.sampled_from([" ", "  ", "\t", "\n", " \t ", " "])
+    doc = st.lists(st.tuples(words, ws), min_size=0, max_size=40).map(
+        lambda ps: "".join(w + s for w, s in ps))
+
+    @settings(max_examples=12, deadline=None)
+    @given(docs=st.lists(doc, min_size=1, max_size=10),
+           maxt=st.integers(min_value=1, max_value=9),
+           data=st.data())
+    def check(docs, maxt, data):
+        over = data.draw(st.integers(min_value=0, max_value=maxt - 1))
+        t = pa.table({"doc_id": list(range(len(docs))),
+                      "text": pa.array(docs, pa.string())})
+        duckdb.register("prop_docs", t)
+        try:
+            got = canon(to_pandas(chunk_documents(
+                rd.from_arrow(t), max_tokens=maxt, overlap=over)))
+            want = _oracle("prop_docs", maxt=maxt, stride=maxt - over)
+        finally:
+            duckdb.unregister("prop_docs")
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    check()
