@@ -257,6 +257,12 @@ def bm25_search(ds, queries: Sequence[str], *, k: int = 10,
     avgdl = sum_len / n_docs
     idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
+    # typed fan-in seed: preserves the result schema when NO document
+    # matches any query (schema() is cached after the stats pass ran)
+    sch = ds.schema()             # Ray Schema wrapper: names + pa types
+    seed = pa.schema([("query_id", pa.int64()),
+                      (id_col, dict(zip(sch.names, sch.types))[id_col]),
+                      ("score", pa.float64())])
     # pass 2: in-batch scoring + per-batch top-k, one fan-in merge
     partials = _apply_scorer(
         ds, _ScorePass,
@@ -265,4 +271,4 @@ def bm25_search(ds, queries: Sequence[str], *, k: int = 10,
          "k1": float(k1), "b": float(b), "avgdl": float(avgdl),
          "k": int(k), "id_col": id_col, "text_col": text_col,
          "round_decimals": int(round_decimals)}, None)
-    return _topk_fanin(partials, k, id_col, None)
+    return _topk_fanin(partials, k, id_col, None, seed_schema=seed)

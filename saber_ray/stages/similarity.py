@@ -87,15 +87,25 @@ class _BruteForceScorer:
 
 
 def _topk_fanin(partials, k: int, id_col: str,
-                round_decimals: Optional[int]):
+                round_decimals: Optional[int],
+                seed_schema=None):
     """Global per-query top-k from per-block partials: ONE fan-in task
     (partials are ≤ #blocks × q × k rows — a groupby shuffle here would
     move less data than its own setup costs), then one vectorized pass:
     sort_indices by (query_id, score desc, id), run-position rank, keep
     rank <= k. Replaces the r3 ``groupby().map_groups(pandas)`` merge —
-    no pandas, no exchange (VERDICT r3 #8)."""
+    no pandas, no exchange (VERDICT r3 #8).
+
+    ``seed_schema`` (default ``_pairs_schema(id_col)``): a typed EMPTY
+    block unioned into the fan-in — Ray 2.49's repartition of all-empty
+    blocks emits ZERO blocks, which erases the result schema when no
+    document matches any query (the empty-Dataset quirk family)."""
     import pyarrow as pa
     import pyarrow.compute as pc
+    import ray.data as rd
+
+    out_seed = (seed_schema or _pairs_schema(id_col)).append(
+        pa.field("rank", pa.int64()))
 
     def merge(t: pa.Table) -> pa.Table:
         out_schema = t.schema.append(pa.field("rank", pa.int64()))
@@ -121,8 +131,12 @@ def _topk_fanin(partials, k: int, id_col: str,
         return t.append_column("rank",
                                pa.array(pos[keep] + 1, type=pa.int64()))
 
+    # union a typed empty block AFTER the fan-in: repartition(1) of
+    # all-empty inputs emits ZERO blocks on this Ray version, erasing the
+    # result schema when nothing matched
     return partials.repartition(1).map_batches(
-        merge, batch_format="pyarrow", zero_copy_batch=True)
+        merge, batch_format="pyarrow", zero_copy_batch=True) \
+        .union(rd.from_arrow(out_seed.empty_table()))
 
 
 def ann_topk_bruteforce(emb_ds, queries: np.ndarray, k: int = 10, *,

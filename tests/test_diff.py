@@ -70,3 +70,56 @@ def test_corpus_diff_identical_is_empty(ray_session, sf_dir):
     a = rd.read_parquet(f"{sf_dir}/documents.parquet",
                         columns=["doc_id", "text"])
     assert corpus_diff(a, a).count() == 0
+
+
+def test_corpus_diff_property_random_edits(ray_session):
+    """Property: for random add/remove/edit sets over a synthetic corpus,
+    corpus_diff equals the full-outer md5 oracle."""
+    import duckdb as dk
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(data=st.data())
+    def check(data):
+        n = data.draw(st.integers(min_value=1, max_value=40))
+        texts = [f"doc {i} body" for i in range(n)]
+        removed = data.draw(st.sets(
+            st.integers(min_value=0, max_value=n - 1), max_size=n))
+        edited = data.draw(st.sets(
+            st.integers(min_value=0, max_value=n - 1), max_size=n))
+        added = data.draw(st.sets(
+            st.integers(min_value=n, max_value=n + 10), max_size=5))
+        a = pa.table({"doc_id": list(range(n)),
+                      "text": pa.array(texts, pa.string())})
+        b_ids, b_txt = [], []
+        for i in range(n):
+            if i in removed:
+                continue
+            b_ids.append(i)
+            b_txt.append(texts[i] + " EDITED" if i in edited else texts[i])
+        for i in sorted(added):
+            b_ids.append(i)
+            b_txt.append(f"new {i}")
+        b = pa.table({"doc_id": b_ids,
+                      "text": pa.array(b_txt, pa.string())})
+        got = canon(to_pandas(corpus_diff(
+            rd.from_arrow(a), rd.from_arrow(b))))
+        dk.register("pa_", a)
+        dk.register("pb_", b)
+        try:
+            want = canon(dk.sql("""
+                WITH x AS (SELECT doc_id, md5(text) h FROM pa_),
+                y AS (SELECT doc_id, md5(text) h FROM pb_)
+                SELECT COALESCE(x.doc_id, y.doc_id) AS doc_id,
+                       CASE WHEN x.doc_id IS NULL THEN 'added'
+                            WHEN y.doc_id IS NULL THEN 'removed'
+                            ELSE 'changed' END AS status
+                FROM x FULL OUTER JOIN y ON x.doc_id = y.doc_id
+                WHERE x.doc_id IS NULL OR y.doc_id IS NULL
+                   OR x.h <> y.h""").df())
+        finally:
+            dk.unregister("pa_")
+            dk.unregister("pb_")
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    check()

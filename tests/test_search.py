@@ -132,3 +132,63 @@ def test_tokenizer_unicode_parity_with_duckdb(ray_session):
         SELECT term, tok.doc_id, COUNT(*) AS tf, ANY_VALUE(doclen) AS doclen
         FROM tok JOIN dl ON tok.doc_id = dl.doc_id GROUP BY 1, 2""").df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bm25_property_random_queries(ray_session, sf_dir):
+    """Property: BM25 equals the SQL formula for random query strings
+    drawn from (and beyond) the corpus vocabulary, random k/k1/b."""
+    from hypothesis import given, settings, strategies as st
+    from saber_ray.stages.lm import train_unigram_lm
+
+    vocab = sorted(train_unigram_lm(_docs(sf_dir))["counts"])
+
+    @settings(max_examples=8, deadline=None)
+    @given(data=st.data())
+    def check(data):
+        nq = data.draw(st.integers(min_value=1, max_value=3))
+        qs = []
+        for _ in range(nq):
+            terms = data.draw(st.lists(
+                st.one_of(st.sampled_from(vocab),
+                          st.just("zz_nohit_zz")),
+                min_size=1, max_size=4))
+            qs.append(" ".join(terms))
+        if not any(tokenize_query(q) for q in qs):
+            return
+        k = data.draw(st.integers(min_value=1, max_value=12))
+        k1 = round(data.draw(st.floats(min_value=0.5, max_value=2.0)), 2)
+        b = round(data.draw(st.floats(min_value=0.0, max_value=1.0)), 2)
+        got = canon(to_pandas(bm25_search(
+            _docs(sf_dir), qs, k=k, k1=k1, b=b)))
+        vals = ", ".join(f"({qid}, '{w}')"
+                         for qid, q in enumerate(qs)
+                         for w in tokenize_query(q))
+        want = canon(duckdb.sql(f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                     '[a-z0-9]+')) AS term
+              FROM read_parquet('{sf_dir}/documents.parquet')),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+                   GROUP BY 1, 2),
+            dl AS (SELECT doc_id, COUNT(*) AS doclen FROM tok GROUP BY 1),
+            stats AS (SELECT COUNT(*) AS n, AVG(doclen) AS avgdl FROM dl),
+            q(query_id, term) AS (VALUES {vals}),
+            df AS (SELECT term, COUNT(*) AS df FROM tf
+                   WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+            scores AS (
+              SELECT q.query_id, tf.doc_id,
+                     ROUND(SUM(ln(1 + (stats.n - df.df + 0.5)
+                                  / (df.df + 0.5))
+                           * tf.tf * ({k1} + 1)
+                           / (tf.tf + {k1} * (1 - {b} + {b} * dl.doclen
+                                              / stats.avgdl))), 6) AS score
+              FROM q JOIN tf USING (term) JOIN df USING (term)
+                   JOIN dl ON tf.doc_id = dl.doc_id, stats
+              GROUP BY 1, 2)
+            SELECT query_id, doc_id, score, rank FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS rank FROM scores)
+            WHERE rank <= {k}""").df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    check()
