@@ -32,7 +32,40 @@ def corpus_diff(ds_old, ds_new, *, id_col: str = "doc_id",
         return md5_fingerprint(ds, text_col).select_columns(
             [id_col, "fingerprint"])
 
-    j = merge_join(side(ds_old), side(ds_new), on=id_col, how="full_outer",
+    def _idt(ds):
+        """The side's id type, or None when unknowable: schema lost to
+        Ray's 0-row block dropping (schema() = None), or the id column
+        is Arrow null-typed (an EMPTY corpus version built from plain
+        ``[]`` lists types its columns null)."""
+        s = ds.schema()
+        if s is None:
+            return None
+        t = dict(zip(s.names, s.types)).get(id_col)
+        return None if t is None or pa.types.is_null(t) else t
+
+    def _normalize(ds, idt):
+        """Give an id-typeless side the OTHER side's id type (the join
+        equates the two columns, so this is the only type it can carry):
+        rebuild 0-row sides as a typed empty; cast an all-null id column
+        in place."""
+        s = ds.schema()
+        if s is None:
+            import ray.data as rd
+            return rd.from_arrow(pa.schema(
+                [(id_col, idt), ("fingerprint", pa.string())]).empty_table())
+        if pa.types.is_null(dict(zip(s.names, s.types))[id_col]):
+            def cast_id(t: pa.Table) -> pa.Table:
+                i = t.schema.get_field_index(id_col)
+                return t.set_column(i, id_col, t[id_col].cast(idt))
+            return ds.map_batches(cast_id, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        return ds
+
+    old_s, new_s = side(ds_old), side(ds_new)
+    idt = _idt(old_s) or _idt(new_s) or pa.int64()
+    old_s, new_s = _normalize(old_s, idt), _normalize(new_s, idt)
+
+    j = merge_join(old_s, new_s, on=id_col, how="full_outer",
                    right_cols=[id_col, "fingerprint"], right_suffix="_r")
     rid = f"{id_col}_r"
 

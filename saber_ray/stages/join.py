@@ -136,6 +136,63 @@ def hash_join(left, right, on: Sequence[str] | str, *,
                      left_suffix=left_suffix, right_suffix=right_suffix)
 
 
+def _empty_side_join(left, right, on, r_on, how, right_cols, right_suffix):
+    """Degenerate merge_join when a side executed to ZERO rows and Ray
+    lost its schema (Dataset.schema() is None — 0-row blocks are dropped
+    on this Ray version, so the side's column types are unrecoverable).
+    The SQL answer is still well-defined; types are best-effort:
+
+    - right empty: inner/semi/right_outer → empty; anti → all of left
+      (nothing can match); left/full outer → left rows with null right
+      columns, typed from the LEFT schema where inferable (join keys take
+      the left key's type; other ``right_cols`` sharing a left column's
+      name take that type; the rest are null-typed).
+    - left empty: inner/semi/anti/left_outer → empty; right/full outer →
+      the right rows with the keys as data columns (the outer-join
+      convention below) — the left columns are unknowable and omitted,
+      and right columns keep their bare names (no suffix collisions with
+      an unknown-empty left).
+    Empty results return the empty input itself: ANY empty Dataset on
+    this Ray version reports schema() = None, so no typed-empty contract
+    is lost vs the regular path."""
+    lschema, rschema = left.schema(), right.schema()
+    if lschema is None:
+        if how not in ("right_outer", "full_outer"):
+            return left
+        rn_all = list(right_cols) if right_cols is not None \
+            else list(rschema.names)
+        rnames = list(r_on) + [c for c in rn_all if c not in r_on]
+        return right.map_batches(
+            lambda t: t.select(rnames),
+            batch_format="pyarrow", zero_copy_batch=True)
+    # right side is the empty one
+    if how in ("inner", "semi", "right_outer"):
+        return left.limit(0)
+    if how == "anti":
+        return left
+    lnames = list(lschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rnames = [c for c in (right_cols or []) if c not in r_on]
+    if how == "full_outer":
+        rnames = list(r_on) + rnames
+    rmap = {c: (c + right_suffix if c in lnames else c) for c in rnames}
+
+    def _rtype(c):
+        if c in r_on:
+            return ltypes[on[r_on.index(c)]]
+        return ltypes.get(c, pa.null())
+
+    def add_null_right(t: pa.Table) -> pa.Table:
+        arrs = [t[c] for c in lnames] + \
+            [pa.nulls(t.num_rows, type=_rtype(c)) for c in rnames]
+        return pa.Table.from_arrays(
+            [(a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a)
+             for a in arrs], names=lnames + [rmap[c] for c in rnames])
+
+    return left.map_batches(add_null_right, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # windowed stream-stream join (equi key + event-time band + optional theta)
 # ---------------------------------------------------------------------------
@@ -182,6 +239,13 @@ def merge_join(
     on = [on] if isinstance(on, str) else list(on)
     r_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on))
+    # Ray 2.49 drops 0-row blocks: a Dataset that executed to zero rows
+    # reports schema() = None, which would crash the taggers below. An
+    # empty side has a DEGENERATE SQL answer anyway — short-circuit it
+    # (before the prefilter, whose bloom build would also choke).
+    if left.schema() is None or right.schema() is None:
+        return _empty_side_join(left, right, on, r_on, how,
+                                right_cols, right_suffix)
     if prefilter:
         # bloom pre-filter of the left side (build_join_bloom below): only
         # sound when left rows need a match to be emitted — for inner/semi

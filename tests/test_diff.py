@@ -123,3 +123,27 @@ def test_corpus_diff_property_random_edits(ray_session):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
     check()
+
+
+def test_corpus_diff_empty_sides(ray_session):
+    """Pinned regressions for 0-row corpus versions (hypothesis-found):
+    Ray drops 0-row blocks (schema() = None) and a plain-[] empty table
+    types its id column null — both must still classify correctly."""
+    docs = pa.table({"doc_id": [0, 1],
+                     "text": pa.array(["alpha", "beta"], pa.string())})
+    # null-typed empty, exactly as `pa.table({"doc_id": []})` builds it
+    empty = pa.table({"doc_id": pa.array([], pa.null()),
+                      "text": pa.array([], pa.string())})
+
+    got = canon(to_pandas(corpus_diff(rd.from_arrow(docs),
+                                      rd.from_arrow(empty))))
+    assert got["status"].tolist() == ["removed", "removed"]
+    assert sorted(got["doc_id"].tolist()) == [0, 1]
+
+    got = canon(to_pandas(corpus_diff(rd.from_arrow(empty),
+                                      rd.from_arrow(docs))))
+    assert got["status"].tolist() == ["added", "added"]
+    assert sorted(got["doc_id"].tolist()) == [0, 1]
+
+    got = to_pandas(corpus_diff(rd.from_arrow(empty), rd.from_arrow(empty)))
+    assert len(got) == 0

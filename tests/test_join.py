@@ -385,3 +385,56 @@ def test_merge_join_prefilter_flag(ray_session):
             want.sort_values(cols).reset_index(drop=True)[cols])
     with pytest.raises(ValueError, match="prefilter"):
         merge_join(lds, rds, on="k", how="left_outer", prefilter=True)
+
+
+def test_merge_join_empty_side_schema_loss(ray_session):
+    """merge_join vs sides that executed to ZERO rows: Ray drops 0-row
+    blocks, so .schema() is None and the column types are gone — the
+    degenerate SQL answers must still come out (hypothesis-found crash
+    via corpus_diff)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from saber_ray.stages.join import merge_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "v": pa.array(["a", "b"], pa.string())}))
+    # a 0-row dataset whose schema Ray has dropped (map_batches loses it)
+    empty = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()),
+        "w": pa.array([], pa.float64())})).map_batches(
+            lambda t: t, batch_format="pyarrow")
+    assert empty.schema() is None  # the Ray quirk this test pins
+
+    def rows(ds):
+        return to_pandas(ds)
+
+    # right side empty
+    for how in ("inner", "semi", "right_outer"):
+        assert len(rows(merge_join(left, empty, on="k", how=how,
+                                   right_cols=["w"]))) == 0
+    anti = rows(merge_join(left, empty, on="k", how="anti",
+                           right_cols=["w"]))
+    assert sorted(anti["k"].tolist()) == [1, 2]
+    lo = rows(merge_join(left, empty, on="k", how="left_outer",
+                         right_cols=["w"])).sort_values("k")
+    assert lo["k"].tolist() == [1, 2] and lo["w"].isna().all()
+    fo = rows(merge_join(left, empty, on="k", how="full_outer",
+                         right_cols=["w"])).sort_values("k")
+    assert fo["k"].tolist() == [1, 2] and fo["w"].isna().all()
+
+    # left side empty
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([3], pa.int64()),
+        "w": pa.array([0.5], pa.float64())}))
+    for how in ("inner", "semi", "anti", "left_outer"):
+        assert len(rows(merge_join(empty, right, on="k", how=how,
+                                   right_cols=["w"]))) == 0
+    for how in ("right_outer", "full_outer"):
+        ro = rows(merge_join(empty, right, on="k", how=how,
+                             right_cols=["w"]))
+        assert ro["k"].tolist() == [3] and ro["w"].tolist() == [0.5]
+
+    # both sides empty
+    assert len(rows(merge_join(empty, empty, on="k", how="full_outer",
+                               right_cols=["w"]))) == 0
