@@ -967,6 +967,21 @@ def _q_streaming_distinct(sf):
     return job.results()
 
 
+def _q_streaming_quantiles(sf):
+    """Continuously-maintained per-key quantile view over the streaming
+    engine (streaming_quantiles.py — per-key MRL/KLL sketches, exactly
+    quantile_disc below capacity). quantile_disc twin in
+    tests/test_streaming_quantiles.py."""
+    from saber_ray.streaming_quantiles import StreamingGroupedQuantiles
+    files, out = _stream_gate_files(sf, ["role", "turn_idx", "ts"],
+                                    "stream_quant")
+    job = StreamingGroupedQuantiles(out, keys=["role"], col="turn_idx",
+                                    qs=(0.5, 0.95), k=200_000,
+                                    num_partitions=3)
+    job.run(files, epoch_size=2)
+    return job.results()
+
+
 def _q_profile_docs(sf):
     """Per-column dataset profile (rows/nulls/distinct/min/max/mean) —
     value-oracled in pytest (test_stats.py builds the per-column DuckDB
@@ -1552,6 +1567,7 @@ def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
         "collocations": _q_collocations,
         "streaming_heavy_hitters": _q_streaming_hh,
         "streaming_distinct": _q_streaming_distinct,
+        "streaming_quantiles": _q_streaming_quantiles,
         "profile_docs": _q_profile_docs,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     }
