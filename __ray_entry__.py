@@ -982,6 +982,20 @@ def _q_streaming_quantiles(sf):
     return job.results()
 
 
+def _q_semdedup(sf):
+    """SemDeDup cluster-scoped semantic dedup (stages/cluster.py —
+    k-means then within-cluster triu-max cosine drop, Abbas et al. '23).
+    No SQL twin (iterative clustering); invariants in
+    tests/test_cluster.py: kept pairwise ≤ eps per cluster, dropped
+    items have an earlier witness, exact duplicates keep one."""
+    import ray.data as rd
+
+    from saber_ray.stages.cluster import semdedup
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return semdedup(ds, n_clusters=8, eps=0.9, train_size=10_000)
+
+
 def _q_profile_docs(sf):
     """Per-column dataset profile (rows/nulls/distinct/min/max/mean) —
     value-oracled in pytest (test_stats.py builds the per-column DuckDB
@@ -1568,6 +1582,7 @@ def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
         "streaming_heavy_hitters": _q_streaming_hh,
         "streaming_distinct": _q_streaming_distinct,
         "streaming_quantiles": _q_streaming_quantiles,
+        "semdedup": _q_semdedup,
         "profile_docs": _q_profile_docs,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     }
