@@ -29,8 +29,9 @@ Environment:
   --text              retrieval/LM ops throughput (inverted index, BM25,
                       LM train, perplexity, bigram vocabulary)
   --streaming         sustained micro-batch load on the streaming engines:
-                      >= 20 epochs each of windowed aggregate + band join,
-                      sustained rows/s + p50/p95 per-epoch emit latency
+                      >= 20 epochs each of windowed aggregate + band join
+                      + CEP + quantile view, sustained rows/s + p50/p95
+                      per-epoch emit latency
                       (SABER_STREAM_FILES overrides the file count)
   RAY_GRAFT_SCALE_LO / _HI   scaling pair (default 6 / 24)
 """
@@ -456,13 +457,27 @@ def run_streaming() -> dict:
     ck_c = cep.run(files, epoch_size=epoch_size)
     cep_wall = time.monotonic() - t0
     cep_stats = _latency_stats(ck_c["metrics"]["epoch_stats"])
+
+    # materialized-view family (snapshot engines share one epoch driver;
+    # the quantiles view is the heaviest: every value folds into a
+    # per-key rank sketch each epoch)
+    from saber_ray.streaming_quantiles import StreamingGroupedQuantiles
+    view = StreamingGroupedQuantiles(
+        os.path.join(work, "qview"), keys=["role"], col="text_len",
+        qs=(0.5, 0.95, 0.99), k=4096, num_partitions=parts)
+    t0 = time.monotonic()
+    ck_v = view.run(files, epoch_size=epoch_size)
+    view_wall = time.monotonic() - t0
+    view_stats = _latency_stats(ck_v["metrics"]["epoch_stats"])
     ray.shutdown()
     return {
         "metric": ("streaming engines under sustained load: per-epoch emit "
                    "latency p50/p95 + sustained rows/s (agg: sliding "
                    "4h/30min by role; join: self band-join +-5min on "
-                   "conv_id; cep: user->assistant->user within 24h)"),
-        "value": round(agg_wall + join_wall + cep_wall, 3), "unit": "sec",
+                   "conv_id; cep: user->assistant->user within 24h; "
+                   "view: per-role p50/p95/p99 text_len quantile view)"),
+        "value": round(agg_wall + join_wall + cep_wall + view_wall, 3),
+        "unit": "sec",
         "n_turns": n_turns, "n_files": n_files, "epoch_size": epoch_size,
         "num_partitions": parts,
         "agg": {**agg_stats, "wall_sec": round(agg_wall, 3),
@@ -471,6 +486,8 @@ def run_streaming() -> dict:
                  "rows_out": ck_j["metrics"]["emitted_rows"]},
         "cep": {**cep_stats, "wall_sec": round(cep_wall, 3),
                 "rows_out": ck_c["metrics"]["emitted_rows"]},
+        "view": {**view_stats, "wall_sec": round(view_wall, 3),
+                 "rows_out": ck_v["metrics"]["emitted_rows"]},
         "sf": SF_DIR, "num_cpus": NUM_CPUS,
     }
 
