@@ -996,6 +996,21 @@ def _q_semdedup(sf):
     return semdedup(ds, n_clusters=8, eps=0.9, train_size=10_000)
 
 
+def _q_text_semdedup(sf):
+    """Text → hashed embedding → SemDeDup composition (stages/embed.py +
+    stages/cluster.py): semantic dedup over a text-only corpus with no
+    model in the loop. Invariants (injected-duplicate drop, path parity)
+    in tests/test_embed.py."""
+    import ray.data as rd
+
+    from saber_ray.stages.cluster import semdedup
+    from saber_ray.stages.embed import embed_hashed
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return semdedup(embed_hashed(docs, dim=128), n_clusters=8,
+                    eps=0.999, id_col="doc_id", train_size=10_000)
+
+
 def _q_profile_docs(sf):
     """Per-column dataset profile (rows/nulls/distinct/min/max/mean) —
     value-oracled in pytest (test_stats.py builds the per-column DuckDB
@@ -1583,6 +1598,7 @@ def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
         "streaming_distinct": _q_streaming_distinct,
         "streaming_quantiles": _q_streaming_quantiles,
         "semdedup": _q_semdedup,
+        "text_semdedup": _q_text_semdedup,
         "profile_docs": _q_profile_docs,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     }

@@ -1,0 +1,81 @@
+"""Feature-hashing vectorizer invariants + the text→semdedup composition."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from saber_ray.stages.embed import embed_hashed
+from tests.oracle_util import to_pandas
+
+
+def _vecs(texts, dim=64, ids=None, **kw):
+    ids = ids if ids is not None else list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": ids, "text": pa.array(texts, pa.string())}))
+    df = to_pandas(embed_hashed(ds, dim=dim, **kw)).sort_values("doc_id")
+    return np.stack(df["embedding"].to_numpy())
+
+
+def test_embed_bag_of_words_semantics(ray_session):
+    """Identical texts map to identical unit vectors; word order and
+    case never matter; disjoint vocabularies are (near-)orthogonal."""
+    v = _vecs(["the quick brown fox", "THE QUICK brown FOX",
+               "fox brown quick the", "zebra xylophone quartz jig",
+               "the quick brown fox jumps"])
+    assert np.allclose(np.linalg.norm(v, axis=1), 1.0)
+    assert np.array_equal(v[0], v[1])       # case-insensitive
+    assert np.array_equal(v[0], v[2])       # order-free
+    assert abs(float(v[0] @ v[3])) < 0.5    # different words, low cosine
+    # one-word edit keeps a high cosine (ideal 4/sqrt(20) ≈ 0.894; hash
+    # collisions at dim=64 can shave it — the invariant is "clearly
+    # nearer than unrelated text", not the exact value)
+    assert float(v[0] @ v[4]) > 0.75
+
+
+def test_embed_ascii_and_unicode_paths_agree(ray_session):
+    """The byte-LUT fast path (all-ASCII batch) and the RE2 fallback
+    (batch containing multi-byte text) hash shared rows identically."""
+    texts = ["alpha beta gamma", "delta epsilon", "zeta eta theta iota"]
+    ascii_v = _vecs(texts)
+    mixed_v = _vecs(texts + ["naïve café résumé"])   # forces the fallback
+    assert np.array_equal(ascii_v, mixed_v[:3])
+
+
+def test_embed_edge_rows(ray_session):
+    """Null / empty / punctuation-only texts become zero vectors."""
+    v = _vecs(["", "?!... 42", None, "real words here"])
+    assert not v[0].any() and not v[1].any() and not v[2].any()
+    assert v[3].any()
+    with pytest.raises(ValueError, match="dim"):
+        embed_hashed(rd.from_arrow(pa.table({"doc_id": [0], "text": ["x"]})),
+                     dim=1)
+
+
+def test_embed_feeds_semdedup(ray_session, sf_dir):
+    """End-to-end text → hashed embedding → SemDeDup: injected verbatim
+    duplicates are dropped, the rest of the corpus survives."""
+    import pyarrow.parquet as pq
+
+    from saber_ray.stages.cluster import semdedup
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]).slice(0, 400)
+    base_n = t.num_rows
+    dup = t.slice(0, 25)
+    dup = dup.set_column(0, "doc_id",
+                         pa.array([i + 10**7 for i in
+                                   dup["doc_id"].to_pylist()], pa.int64()))
+    corpus = pa.concat_tables([t, dup])
+    emb = embed_hashed(rd.from_arrow(corpus), dim=128, id_col="doc_id")
+    out = to_pandas(semdedup(emb, n_clusters=5, eps=0.999,
+                             id_col="doc_id", seed=9))
+    assert len(out) == base_n + 25
+    kept = out[out["keep"]]
+    orig = dup["doc_id"].to_pylist()
+    for did in orig:
+        pair = kept[kept["doc_id"].isin([did, did - 10**7])]
+        assert len(pair) == 1, did           # one survivor per duplicate
+    # non-duplicated docs all survive at the verbatim threshold
+    survivors = set(kept["doc_id"])
+    for did in t["doc_id"].to_pylist()[25:]:
+        assert did in survivors
