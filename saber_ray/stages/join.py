@@ -440,6 +440,10 @@ def asof_join(
     the gate data has no (key, ts) duplicates, verified).
     """
     on = [on] if isinstance(on, str) else list(on)
+    if left.schema() is None or right.schema() is None:
+        # a side executed to zero rows (Ray drops 0-row blocks and loses
+        # the schema) — inner semantics: the join is empty
+        return left.limit(0)
     lcols = [c for c in (left_cols if left_cols is not None
                          else left.schema().names) if c not in on and c != left_ts]
     rcols = [c for c in (right_cols if right_cols is not None
@@ -643,6 +647,10 @@ def windowed_join(
     on = [] if keyless else ([on] if isinstance(on, str) else list(on))
     band = keyless or band_partition
     cell = max(int(before) + int(after), 1)
+    if left.schema() is None or right.schema() is None:
+        # a side executed to zero rows (Ray drops 0-row blocks and loses
+        # the schema) — an inner theta join over it is empty
+        return left.limit(0)
     lcols = [c for c in (left_cols if left_cols is not None
                          else left.schema().names) if c not in on and c != left_ts]
     rcols = [c for c in (right_cols if right_cols is not None

@@ -438,3 +438,29 @@ def test_merge_join_empty_side_schema_loss(ray_session):
     # both sides empty
     assert len(rows(merge_join(empty, empty, on="k", how="full_outer",
                                right_cols=["w"]))) == 0
+
+
+def test_asof_and_windowed_join_empty_sides(ray_session):
+    """asof/windowed joins (inner semantics) vs a 0-row side whose
+    schema Ray dropped: empty result, no crash."""
+    import pyarrow as pa
+    import ray.data as rd
+    from saber_ray.stages.join import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "ts": pa.array([100], pa.int64()),
+        "v": pa.array([2.0], pa.float64())}))
+    empty = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.int64()),
+        "w": pa.array([], pa.float64())})).map_batches(
+            lambda t: t, batch_format="pyarrow")
+    assert empty.schema() is None
+
+    assert len(to_pandas(asof_join(left, empty, on="k"))) == 0
+    assert len(to_pandas(asof_join(empty, left, on="k"))) == 0
+    assert len(to_pandas(windowed_join(
+        left, empty, on="k", before=10, after=10))) == 0
+    assert len(to_pandas(windowed_join(
+        empty, left, on="k", before=10, after=10))) == 0
