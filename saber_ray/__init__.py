@@ -40,7 +40,7 @@ from saber_ray.stages.curation import (repetition_stats, redact_pii,
                                        build_shingle_blocklist)
 from saber_ray.stages.stats import grouped_quantiles, profile
 from saber_ray.stages.cluster import train_kmeans, assign_clusters, semdedup
-from saber_ray.stages.embed import embed_hashed
+from saber_ray.stages.embed import embed_hashed, train_idf
 
 __all__ = [
     "col", "lit", "Expr", "Window", "AggSpec",
@@ -55,6 +55,7 @@ __all__ = [
     "repetition_stats", "redact_pii", "decontaminate", "normalize_text",
     "build_shingle_blocklist", "grouped_quantiles", "profile",
     "train_kmeans", "assign_clusters", "semdedup", "embed_hashed",
+    "train_idf",
 ]
 
 __version__ = "0.1.0"

@@ -30,7 +30,9 @@ from saber_ray.core.hashing import hash_column, string_buffers
 from saber_ray.core.tokens import _single, split_regex
 
 
-def _hashed_matrix(txt, n_rows: int, dim: int, signed: bool) -> np.ndarray:
+def _token_dims(txt, dim: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(owner row, dimension index, raw hash) per token — shared by the
+    embedder and the IDF pass so both see identical tokens."""
     data, starts, ends = string_buffers(_single(pc.fill_null(txt, "")))
     if bs.all_ascii(data):
         rs, re_, owners = bs.token_runs(data, starts, ends, bs.LUT_ALPHA)
@@ -38,7 +40,12 @@ def _hashed_matrix(txt, n_rows: int, dim: int, signed: bool) -> np.ndarray:
     else:
         flat, owners = split_regex(txt, "a-zA-Z")
         h = hash_column(_single(pc.utf8_lower(flat)))
-    idx = (h % np.uint64(dim)).astype(np.int64)
+    return owners, (h % np.uint64(dim)).astype(np.int64), h
+
+
+def _hashed_matrix(txt, n_rows: int, dim: int, signed: bool,
+                   idf=None) -> np.ndarray:
+    owners, idx, h = _token_dims(txt, dim)
     if signed:
         # an independent hash bit → ±1 keeps E[<u, v>] unbiased
         w = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
@@ -46,28 +53,75 @@ def _hashed_matrix(txt, n_rows: int, dim: int, signed: bool) -> np.ndarray:
         w = np.ones(len(h), dtype=np.float64)
     m = np.bincount(owners * dim + idx, weights=w,
                     minlength=n_rows * dim).reshape(n_rows, dim)
+    if idf is not None:
+        m *= idf[None, :]
     norms = np.linalg.norm(m, axis=1)
     m /= np.maximum(norms, 1e-30)[:, None]
     m[norms == 0] = 0.0             # token-less rows stay zero vectors
     return m.astype(np.float32)
 
 
-def embed_hashed(ds, *, dim: int = 256, text_col: str = "text",
-                 id_col: str = "doc_id", signed: bool = True,
-                 out_col: str = "embedding"):
-    """Hash-embed ``text_col`` into a ``dim``-wide L2-normalized
-    ``list<float32>`` column. Output: (``id_col``, ``out_col``) — the
-    embeddings-table shape, directly consumable by the embedding
-    operators. Deterministic; no shuffle; no state."""
+def train_idf(ds, *, dim: int = 256, text_col: str = "text") -> np.ndarray:
+    """One corpus pass → the (dim,) smoothed-IDF vector for hashed
+    TF-IDF: ``idf[d] = ln((N + 1) / (df[d] + 1)) + 1`` where ``df[d]``
+    counts documents with at least one token hashing to dimension ``d``
+    (scikit-learn's smooth_idf formula — public). Each block reduces to
+    ONE (dim + 1)-int partial row; the driver sums a handful of tiny
+    rows — the corpus never materializes and there is no shuffle."""
     if dim < 2:
         raise ValueError("dim must be >= 2")
 
-    def f(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
+        owners, idx, _ = _token_dims(t[text_col], dim)
+        # count each (doc, dim) once: unique flattened pairs
+        pairs = np.unique(owners * dim + idx)
+        df = np.bincount(pairs % dim, minlength=dim)
+        return pa.table({
+            "df": pa.ListArray.from_arrays(
+                pa.array([0, dim], pa.int32()),
+                pa.array(df, pa.int64())),
+            "n_docs": pa.array([t.num_rows], pa.int64())})
+
+    df = np.zeros(dim, dtype=np.int64)
+    n_docs = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        arr = b["df"].combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        df += flat.reshape(-1, dim).sum(axis=0)
+        n_docs += int(pc.sum(b["n_docs"]).as_py())
+    return np.log((n_docs + 1.0) / (df + 1.0)) + 1.0
+
+
+def embed_hashed(ds, *, dim: int = 256, text_col: str = "text",
+                 id_col: str = "doc_id", signed: bool = True,
+                 idf=None, out_col: str = "embedding"):
+    """Hash-embed ``text_col`` into a ``dim``-wide L2-normalized
+    ``list<float32>`` column. Output: (``id_col``, ``out_col``) — the
+    embeddings-table shape, directly consumable by the embedding
+    operators. Deterministic; no shuffle; no per-actor state. Pass the
+    ``train_idf`` vector as ``idf`` for hashed TF-IDF (broadcast once
+    via ``ray.put``, dim floats per worker)."""
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    idf_ref = None
+    if idf is not None:
+        import ray
+        idf = np.asarray(idf, dtype=np.float64)
+        if idf.shape != (dim,):
+            raise ValueError(f"idf must have shape ({dim},), "
+                             f"got {idf.shape}")
+        idf_ref = ray.put(idf)
+
+    def f(t: pa.Table, _ref=idf_ref) -> pa.Table:
         schema = pa.schema([(id_col, t.schema.field(id_col).type),
                             (out_col, pa.list_(pa.float32()))])
         if t.num_rows == 0:
             return schema.empty_table()
-        m = _hashed_matrix(t[text_col], t.num_rows, dim, signed)
+        import ray
+        w = ray.get(_ref) if _ref is not None else None
+        m = _hashed_matrix(t[text_col], t.num_rows, dim, signed, idf=w)
         lists = pa.ListArray.from_arrays(
             pa.array(np.arange(t.num_rows + 1, dtype=np.int64) * dim,
                      pa.int32()),

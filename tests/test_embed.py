@@ -79,3 +79,36 @@ def test_embed_feeds_semdedup(ray_session, sf_dir):
     survivors = set(kept["doc_id"])
     for did in t["doc_id"].to_pylist()[25:]:
         assert did in survivors
+
+
+def test_train_idf_counts_and_weighting(ray_session):
+    """IDF: a word in every document gets the minimum weight; df counts
+    are exactly per-document dimension hits (verified for a collision-
+    free toy vocabulary); idf-weighted embeddings downweight the
+    ubiquitous token."""
+    import pyarrow.compute as pc
+
+    from saber_ray.core.hashing import hash_column
+    from saber_ray.stages.embed import train_idf
+    dim = 128
+    texts = ["the apple", "the banana", "the cherry", "the the the date"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(len(texts))),
+        "text": pa.array(texts, pa.string())}))
+    idf = train_idf(ds, dim=dim)
+    assert idf.shape == (dim,)
+    words = ["the", "apple", "banana", "cherry", "date"]
+    h = hash_column(pa.array(words, pa.string()))
+    dims = (h % np.uint64(dim)).astype(int)
+    assert len(set(dims)) == len(words)     # collision-free toy vocab
+    want_df = {"the": 4, "apple": 1, "banana": 1, "cherry": 1, "date": 1}
+    for w, d in zip(words, dims):
+        expect = np.log(5.0 / (want_df[w] + 1)) + 1.0
+        assert abs(idf[d] - expect) < 1e-12, w
+    # the ubiquitous word contributes less than the rare one
+    v = _vecs(texts, dim=dim, idf=idf)
+    d_the, d_apple = dims[0], dims[1]
+    assert abs(v[0][d_apple]) > abs(v[0][d_the])
+    assert np.allclose(np.linalg.norm(v, axis=1), 1.0)
+    with pytest.raises(ValueError, match="idf"):
+        embed_hashed(ds, dim=64, idf=idf)   # wrong length
