@@ -39,7 +39,8 @@ from saber_ray.stages.curation import (repetition_stats, redact_pii,
                                        decontaminate, normalize_text,
                                        build_shingle_blocklist)
 from saber_ray.stages.stats import grouped_quantiles, profile
-from saber_ray.stages.cluster import train_kmeans, assign_clusters, semdedup
+from saber_ray.stages.cluster import (train_kmeans, assign_clusters,
+                                      semdedup, cluster_sample)
 from saber_ray.stages.embed import embed_hashed, train_idf
 
 __all__ = [
@@ -54,7 +55,8 @@ __all__ = [
     "grouping_sets", "rollup", "cube",
     "repetition_stats", "redact_pii", "decontaminate", "normalize_text",
     "build_shingle_blocklist", "grouped_quantiles", "profile",
-    "train_kmeans", "assign_clusters", "semdedup", "embed_hashed",
+    "train_kmeans", "assign_clusters", "semdedup", "cluster_sample",
+    "embed_hashed",
     "train_idf",
 ]
 

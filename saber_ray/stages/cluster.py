@@ -163,3 +163,26 @@ def semdedup(emb_ds, *, n_clusters: int, eps: float = 0.95,
     # ONE sort exchange on the cluster id co-locates each cluster whole
     return assigned.sort("cluster").map_batches(
         per_block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cluster_sample(emb_ds, *, n_clusters: int, k_per_cluster: int,
+                   train_size: int = 20_000, iters: int = 10,
+                   seed: int = 42, id_col: str = "vec_id",
+                   emb_col: str = "embedding", salt: int = 0):
+    """Diversity-aware sampling: k uniform picks PER k-means cluster
+    (the cluster-balanced analogue of per-language/per-source
+    stratified sampling — a small cluster contributes as many examples
+    as a dominant one). Composes ``assign_clusters`` with the engine's
+    deterministic ``stratified_sample`` on the cluster id; output is
+    (``id_col``, cluster, centroid_sim). One assignment pass + the
+    stratified sampler's single ≤-k-rows-per-(block, cluster) exchange.
+    """
+    from saber_ray.stages.sample import stratified_sample
+    if k_per_cluster < 1:
+        raise ValueError("k_per_cluster must be >= 1")
+    cents = train_kmeans(emb_ds, n_clusters, train_size=train_size,
+                         iters=iters, seed=seed, emb_col=emb_col)
+    assigned = assign_clusters(emb_ds, cents, id_col=id_col,
+                               emb_col=emb_col)
+    return stratified_sample(assigned, ["cluster"], id_col,
+                             k_per_cluster, salt=salt)

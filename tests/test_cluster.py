@@ -106,3 +106,25 @@ def test_semdedup_validation(ray_session):
         semdedup(ds, n_clusters=2, eps=0.0)
     with pytest.raises(ValueError, match="n_clusters"):
         train_kmeans(ds, 0)
+
+
+def test_cluster_sample_balanced(ray_session, sf_dir):
+    """At most k rows per cluster, deterministic, ids come from the
+    corpus, and every non-tiny cluster is represented."""
+    ds = _emb_ds(sf_dir)
+    from saber_ray.stages.cluster import cluster_sample
+    a = to_pandas(cluster_sample(ds, n_clusters=6, k_per_cluster=10,
+                                 train_size=5_000, seed=13))
+    b = to_pandas(cluster_sample(ds, n_clusters=6, k_per_cluster=10,
+                                 train_size=5_000, seed=13))
+    assert a.sort_values("vec_id").reset_index(drop=True).equals(
+        b.sort_values("vec_id").reset_index(drop=True))
+    sizes = a.groupby("cluster").size()
+    assert (sizes <= 10).all()
+    # the full assignment tells us which clusters have >= 10 members
+    cents = train_kmeans(ds, 6, train_size=5_000, seed=13)
+    full = to_pandas(assign_clusters(ds, cents))
+    pop = full.groupby("cluster").size()
+    for cl, n in pop.items():
+        assert sizes.get(cl, 0) == min(n, 10), cl
+    assert set(a["vec_id"]) <= set(full["vec_id"])
