@@ -68,11 +68,16 @@ class _Assigner:
     """Per batch: one matmul-argmax against the broadcast centroids."""
 
     def __init__(self, cent_ref, id_col: str, emb_col: str, keep):
-        self.c = ray.get(cent_ref)        # (k, d), unit rows
+        # hold the REF; resolve lazily in the worker so the (k, d) matrix
+        # travels once via the object store, not pickled into the fn
+        self._ref = cent_ref
+        self.c = None                     # (k, d), unit rows, on first call
         self.id_col, self.emb_col = id_col, emb_col
         self.keep = keep
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if self.c is None:
+            self.c = ray.get(self._ref)
         fields = [(self.id_col, t.schema.field(self.id_col).type)] + \
             [(c, t.schema.field(c).type) for c in self.keep] + \
             [("cluster", pa.int32()), ("centroid_sim", pa.float64())]

@@ -157,7 +157,8 @@ def _empty_side_join(left, right, on, r_on, how, right_cols, right_suffix):
     is lost vs the regular path."""
     lschema, rschema = left.schema(), right.schema()
     if lschema is None:
-        if how not in ("right_outer", "full_outer"):
+        if how not in ("right_outer", "full_outer") or rschema is None:
+            # inner-family: empty; both sides empty: empty either way
             return left
         rn_all = list(right_cols) if right_cols is not None \
             else list(rschema.names)
@@ -239,6 +240,11 @@ def merge_join(
     on = [on] if isinstance(on, str) else list(on)
     r_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on))
+    if prefilter and how not in ("inner", "semi"):
+        # validate BEFORE any data-dependent short-circuit so the misuse
+        # raises deterministically, not only when the sides are non-empty
+        raise ValueError(
+            "prefilter=True is only sound for how='inner'/'semi'")
     # Ray 2.49 drops 0-row blocks: a Dataset that executed to zero rows
     # reports schema() = None, which would crash the taggers below. An
     # empty side has a DEGENERATE SQL answer anyway — short-circuit it
@@ -250,9 +256,6 @@ def merge_join(
         # bloom pre-filter of the left side (build_join_bloom below): only
         # sound when left rows need a match to be emitted — for inner/semi
         # dropped rows could never appear (NULL keys drop either way)
-        if how not in ("inner", "semi"):
-            raise ValueError(
-                "prefilter=True is only sound for how='inner'/'semi'")
         right = right.materialize()
         bloom_ref = ray.put(build_join_bloom(right, r_on))
         left = bloom_prefilter(left, bloom_ref, on)

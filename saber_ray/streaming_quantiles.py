@@ -124,9 +124,14 @@ class _QuantState:
         # levels included) — losslessly reconstructs the sketch; the RNG
         # state rides along so a resumed run compacts IDENTICALLY to an
         # uninterrupted one
+        # an all-null key has NO levels — its empty placeholder must keep
+        # the VALUE dtype, or np.concatenate promotes every key's values
+        # to float64 and int64 above 2^53 corrupt on resume
+        npdtype = next((lv.dtype for _, s in items for lv in s.levels
+                        if len(lv)), np.float64)
         flat_per_key = [
             np.concatenate(s.levels) if s.levels
-            else np.empty(0) for _, s in items]
+            else np.empty(0, dtype=npdtype) for _, s in items]
         flat = np.concatenate(flat_per_key) if flat_per_key else np.empty(0)
         voffs = np.zeros(len(items) + 1, dtype=np.int64)
         np.cumsum([len(a) for a in flat_per_key], out=voffs[1:])

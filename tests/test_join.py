@@ -464,3 +464,23 @@ def test_asof_and_windowed_join_empty_sides(ray_session):
         left, empty, on="k", before=10, after=10))) == 0
     assert len(to_pandas(windowed_join(
         empty, left, on="k", before=10, after=10))) == 0
+
+
+def test_merge_join_empty_both_sides_no_right_cols(ray_session):
+    """Both sides schema-less + outer how + right_cols=None: empty
+    result, no crash; prefilter misuse raises even on empty sides."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    from saber_ray.stages.join import merge_join
+
+    empty = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()),
+        "w": pa.array([], pa.float64())})).map_batches(
+            lambda t: t, batch_format="pyarrow")
+    assert empty.schema() is None
+    for how in ("full_outer", "right_outer", "inner", "anti"):
+        assert len(to_pandas(merge_join(empty, empty, on="k",
+                                        how=how))) == 0
+    with pytest.raises(ValueError, match="prefilter"):
+        merge_join(empty, empty, on="k", how="left_outer", prefilter=True)

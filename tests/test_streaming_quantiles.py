@@ -112,3 +112,49 @@ def test_quantiles_validation(ray_session, tmp_path):
     with pytest.raises(ValueError, match="quantile point"):
         StreamingGroupedQuantiles(str(tmp_path / "b"), keys=["role"],
                                   col="x", qs=(0.0,))
+
+
+def test_quantiles_big_int64_with_all_null_key(ray_session, tmp_path):
+    """Values above 2^53 must survive snapshot/restore bit-exactly even
+    when another key's sketch is EMPTY at snapshot time (an all-null
+    key used to demote the serialized buffer to float64)."""
+    root = tmp_path / "big"
+    root.mkdir()
+    files = []
+    big = 1 << 60
+    for i in range(4):
+        n = 50
+        vals = [big + j * 257 + i * 13 for j in range(n)]
+        t = pa.table({
+            "role": pa.array((["a"] * n)[: n // 2] + ["b"] * (n - n // 2)),
+            "turn_idx": pa.array(
+                vals[: n // 2] + [None] * (n - n // 2), pa.int64()),
+            "ts": pa.array(range(i * n, (i + 1) * n), pa.int64())})
+        p = str(root / f"f{i}.parquet")
+        pq.write_table(t, p)
+        files.append(p)
+
+    def run(out, max_epochs=None):
+        job = StreamingGroupedQuantiles(
+            str(tmp_path / out), keys=["role"], col="turn_idx",
+            qs=(0.5,), k=100_000, num_partitions=2)
+        job.run(files, epoch_size=1, max_epochs=max_epochs)
+        return job
+
+    full = run("full")
+    part = run("part", max_epochs=2)
+    resumed = run("part")                       # resume from checkpoint
+    # compare as ARROW: pandas converts a nullable int64 column to
+    # float64, which itself corrupts values above 2^53
+    a, b = full.results(), resumed.results()
+    assert a.schema.field("p50").type == pa.int64()
+    assert a.sort_by("role").equals(b.sort_by("role"))
+    rows = {r["role"]: r for r in a.to_pylist()}
+    # the "a" key's p50 is an exact element of the input (no rounding)
+    assert rows["a"]["exact"]
+    p50 = rows["a"]["p50"]
+    assert isinstance(p50, int) and p50 >= big
+    assert p50 % 257 in {big % 257, (big + 13) % 257,
+                         (big + 26) % 257, (big + 39) % 257}
+    # the all-null key reports n=0 and a NULL quantile
+    assert rows["b"]["n"] == 0 and rows["b"]["p50"] is None
