@@ -982,6 +982,19 @@ def _q_streaming_quantiles(sf):
     return job.results()
 
 
+def _q_streaming_sample(sf):
+    """Continuously-maintained exactly-k uniform sample view
+    (streaming_sample.py — bottom-k priority sampling on the shared
+    epoch driver). Bit-exact batch twin (≡ bottom_k_sample over the
+    ingested prefix) in tests/test_streaming_sample.py."""
+    from saber_ray.streaming_sample import StreamingSample
+    files, out = _stream_gate_files(sf, ["conv_id", "turn_idx", "ts"],
+                                    "stream_smp")
+    job = StreamingSample(out, key="turn_idx", k=200, num_partitions=3)
+    job.run(files, epoch_size=2)
+    return job.results()
+
+
 def _q_semdedup(sf):
     """SemDeDup cluster-scoped semantic dedup (stages/cluster.py —
     k-means then within-cluster triu-max cosine drop, Abbas et al. '23).
@@ -1597,6 +1610,7 @@ def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
         "streaming_heavy_hitters": _q_streaming_hh,
         "streaming_distinct": _q_streaming_distinct,
         "streaming_quantiles": _q_streaming_quantiles,
+        "streaming_sample": _q_streaming_sample,
         "semdedup": _q_semdedup,
         "text_semdedup": _q_text_semdedup,
         "profile_docs": _q_profile_docs,
