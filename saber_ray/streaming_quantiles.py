@@ -199,6 +199,8 @@ class StreamingGroupedQuantiles(SnapshotViewEngine):
         qs = list(qs)
         if not qs or any(not (0 < q <= 1) for q in qs):
             raise ValueError("each quantile point must be in (0, 1]")
+        if len({q_label(q) for q in qs}) != len(qs):
+            raise ValueError(f"duplicate quantile points in {qs!r}")
         self.monitor = monitor
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)

@@ -97,3 +97,49 @@ def test_streaming_sample_k_larger_than_stream(ray_session, tmp_path):
     assert sorted(got["row_key"].tolist()) == [3, 5, 9]
     with pytest.raises(ValueError, match="k must be"):
         StreamingSample(str(tmp_path / "bad"), key="row_key", k=0)
+
+
+def test_streaming_sample_property_random_keys(ray_session, tmp_path):
+    """Property: for random int keys (negatives, duplicates, nulls) cut
+    into random file boundaries, the view equals the batch twin."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    counter = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(data=st.data())
+    def check(data):
+        n = data.draw(st.integers(min_value=1, max_value=120))
+        keys = data.draw(st.lists(
+            st.one_of(st.integers(min_value=-2**40, max_value=2**40),
+                      st.none()),
+            min_size=n, max_size=n))
+        k = data.draw(st.integers(min_value=1, max_value=30))
+        n_files = data.draw(st.integers(min_value=1, max_value=4))
+        counter[0] += 1
+        root = tmp_path / f"prop{counter[0]:03d}"
+        root.mkdir()
+        t = pa.table({"row_key": pa.array(keys, pa.int64()),
+                      "ts": pa.array(range(n), pa.int64())})
+        files = []
+        for i in range(n_files):
+            part = t.slice(i * n // n_files,
+                           (i + 1) * n // n_files - i * n // n_files)
+            p = str(root / f"f{i}.parquet")
+            pq.write_table(part, p)
+            files.append(p)
+        job = StreamingSample(str(root / "out"), key="row_key", k=k,
+                              num_partitions=2)
+        job.run(files, epoch_size=1)
+        got = to_pandas(job.results())
+        want = to_pandas(bottom_k_sample(
+            rd.read_parquet(files), "row_key", k))
+        assert len(got) == len(want) == min(k, n)
+        gs = got.sort_values(["row_key", "ts"], na_position="last") \
+            .reset_index(drop=True)
+        ws = want.sort_values(["row_key", "ts"], na_position="last") \
+            .reset_index(drop=True)[gs.columns]
+        pd.testing.assert_frame_equal(gs, ws, check_dtype=False)
+
+    check()
