@@ -497,24 +497,34 @@ _DOCS_BY_SF = {"sf0.001": 10_000, "sf0.01": 100_000, "sf0.1": 1_000_000}
 
 def generate_documents(out_dir: str, n_docs: int, *, words_per_doc: int = 32,
                        vocab: int = 1000, dup_frac: float = 0.01,
-                       seed: int = 7) -> str:
+                       topics: int = 1, seed: int = 7) -> str:
     """Deterministic synthetic document corpus for the curation bench:
     vectorized word sampling (no per-doc Python), ~dup_frac exact
     duplicates so dedup has real work, a sprinkle of PII-shaped spans so
-    redaction has real matches. Cached on disk keyed by size."""
+    redaction has real matches. ``topics`` > 1 assigns each doc a topic
+    whose words come from that topic's vocab slice — giving the corpus
+    REAL cluster structure for the embedding/cluster benches. Cached on
+    disk keyed by size."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    tpart = f"-t{topics}" if topics > 1 else ""
     path = os.path.join(
         out_dir, f"documents-{n_docs}-w{words_per_doc}-v{vocab}"
-                 f"-d{dup_frac}-s{seed}.parquet")
+                 f"-d{dup_frac}{tpart}-s{seed}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     lex = np.array([f"w{i:04d}" for i in range(vocab)], dtype=object)
-    grid = lex[rng.integers(0, vocab, (n_docs, words_per_doc))]
+    if topics > 1:
+        per = vocab // topics
+        topic = rng.integers(0, topics, n_docs)
+        lo = (topic * per)[:, None]
+        grid = lex[lo + rng.integers(0, per, (n_docs, words_per_doc))]
+    else:
+        grid = lex[rng.integers(0, vocab, (n_docs, words_per_doc))]
     text = grid[:, 0]
     for j in range(1, words_per_doc):          # 31 vectorized concats
         text = text + " " + grid[:, j]
@@ -612,6 +622,24 @@ def run_text() -> dict:
     lm = timed("train_lm", lambda: train_unigram_lm(ds()))
     timed("perplexity", lambda: perplexity_score(ds(), lm).count())
     timed("bigram_vocab", lambda: ngram_counts(ds(), n=2).count())
+
+    # text → embedding → cluster family (hashed TF-IDF + SemDeDup) over
+    # a TOPIC-structured variant of the corpus (real clusters — the flat
+    # random corpus collapses into one mega-cluster and measures only
+    # the max_cluster chunk guard, not the operator's parallel shape)
+    from saber_ray.stages.cluster import semdedup
+    from saber_ray.stages.embed import embed_hashed, train_idf
+    tpath = generate_documents("/tmp/saber_ray_bench", n_docs, topics=64)
+
+    def tds():
+        return rd.read_parquet(tpath, override_num_blocks=2 * NUM_CPUS)
+
+    idf = timed("train_idf", lambda: train_idf(tds(), dim=256))
+    timed("embed_hashed", lambda: embed_hashed(
+        tds(), dim=256, idf=idf).count())
+    timed("semdedup", lambda: semdedup(
+        embed_hashed(tds(), dim=256), n_clusters=max(8, n_docs // 2048),
+        eps=0.999, id_col="doc_id", train_size=20_000).count())
     ray.shutdown()
     return {
         "metric": "retrieval/LM ops wall time over synthetic documents "

@@ -42,6 +42,7 @@ def class_lut(members: bytes) -> np.ndarray:
 _ASCII_ALPHA = bytes(range(65, 91)) + bytes(range(97, 123))
 _ASCII_DIGIT = bytes(range(48, 58))
 LUT_ALPHA = class_lut(_ASCII_ALPHA)
+LUT_ALNUM = class_lut(_ASCII_ALPHA + _ASCII_DIGIT)             # [A-Za-z0-9]
 LUT_WORD = class_lut(_ASCII_ALPHA + _ASCII_DIGIT + b"_")       # RE2 \w
 LUT_SPACE = class_lut(b"\t\n\f\r ")                            # RE2 \s
 LUT_PUNCT = ~(LUT_WORD | LUT_SPACE)                            # [^\w\s]

@@ -112,6 +112,7 @@ def assign_clusters(emb_ds, centroids: np.ndarray, *,
 
 def semdedup(emb_ds, *, n_clusters: int, eps: float = 0.95,
              train_size: int = 20_000, iters: int = 10, seed: int = 42,
+             max_cluster: int = 4096,
              id_col: str = "vec_id", emb_col: str = "embedding"):
     """SemDeDup (Abbas et al. 2023): k-means the embeddings, then drop
     semantic near-duplicates WITHIN each cluster.
@@ -120,15 +121,29 @@ def semdedup(emb_ds, *, n_clusters: int, eps: float = 0.95,
     representative of a duplicate set is the one FARTHEST from the
     centroid, the paper's choice — and drop an item when any EARLIER
     item is within ``eps`` cosine (max-over-triu rule). Output: one row
-    per vector — (``id_col``, cluster, centroid_sim, keep bool); filter
-    ``keep`` for the deduplicated corpus.
+    per vector — (``id_col``, cluster, centroid_sim, capped bool, keep
+    bool); filter ``keep`` for the deduplicated corpus.
 
-    Invariants (pytest-verified): kept items in a cluster are pairwise
-    ≤ eps apart; every dropped item is > eps close to an earlier-order
-    item of its cluster; exact duplicates keep exactly one.
+    ``max_cluster`` is the scale guard (the minhash ``max_bucket``
+    precedent): a cluster the quantizer failed to split — corpora
+    without cluster structure collapse into one — would otherwise
+    allocate an O(c²) similarity matrix (100 k rows ≈ 80 GB). Oversized
+    clusters are processed in consecutive ``max_cluster``-row chunks of
+    the SAME canonical order, comparisons confined to each chunk; those
+    rows carry ``capped = True`` (duplicates spanning chunks of such a
+    cluster can be missed — size ``n_clusters`` ≈ corpus / a few
+    thousand so clusters stay under the cap and ``capped`` stays
+    all-False). Clusters at or under the cap are exact.
+
+    Invariants (pytest-verified): kept items in an uncapped cluster are
+    pairwise ≤ eps apart; every dropped item is > eps close to an
+    earlier-order item of its cluster (chunk); exact duplicates keep
+    exactly one.
     """
     if not (0.0 < eps <= 1.0):
         raise ValueError("eps must be in (0, 1]")
+    if max_cluster < 2:
+        raise ValueError("max_cluster must be >= 2")
     cents = train_kmeans(emb_ds, n_clusters, train_size=train_size,
                          iters=iters, seed=seed, emb_col=emb_col)
     assigned = assign_clusters(emb_ds, cents, id_col=id_col,
@@ -138,6 +153,7 @@ def semdedup(emb_ds, *, n_clusters: int, eps: float = 0.95,
         schema = pa.schema([(id_col, g.schema.field(id_col).type),
                             ("cluster", pa.int32()),
                             ("centroid_sim", pa.float64()),
+                            ("capped", pa.bool_()),
                             ("keep", pa.bool_())])
         if g.num_rows == 0:
             return schema.empty_table()
@@ -149,20 +165,27 @@ def semdedup(emb_ds, *, n_clusters: int, eps: float = 0.95,
         starts = np.flatnonzero(key_change_mask(g, ["cluster"]))
         bounds = np.append(starts, g.num_rows)
         keep = np.ones(g.num_rows, dtype=bool)
+        capped = np.zeros(g.num_rows, dtype=bool)
         for i in range(len(starts)):
             lo, hi = bounds[i], bounds[i + 1]
-            c = hi - lo
-            if c < 2:
+            if hi - lo < 2:
                 continue
-            xs = x[lo:hi]
-            sims = xs @ xs.T
-            # max similarity to any EARLIER item in the order (strict
-            # upper triangle read column-wise)
-            tri = np.triu(sims, k=1)
-            keep[lo:hi] = tri.max(axis=0) <= eps
+            if hi - lo > max_cluster:
+                capped[lo:hi] = True
+            for clo in range(lo, hi, max_cluster):
+                chi = min(clo + max_cluster, hi)
+                if chi - clo < 2:
+                    continue
+                xs = x[clo:chi]
+                sims = xs @ xs.T
+                # max similarity to any EARLIER item in the order
+                # (strict upper triangle read column-wise)
+                tri = np.triu(sims, k=1)
+                keep[clo:chi] = tri.max(axis=0) <= eps
         return pa.Table.from_arrays(
             [g[id_col].combine_chunks(), g["cluster"].combine_chunks(),
-             g["centroid_sim"].combine_chunks(), pa.array(keep)],
+             g["centroid_sim"].combine_chunks(), pa.array(capped),
+             pa.array(keep)],
             schema=schema)
 
     # ONE sort exchange on the cluster id co-locates each cluster whole

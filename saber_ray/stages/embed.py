@@ -32,13 +32,17 @@ from saber_ray.core.tokens import _single, split_regex
 
 def _token_dims(txt, dim: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(owner row, dimension index, raw hash) per token — shared by the
-    embedder and the IDF pass so both see identical tokens."""
+    embedder and the IDF pass so both see identical tokens. Tokens are
+    ALPHANUMERIC runs (unlike the alpha-only quality scorers): for an
+    embedding, "2024", "v2" and "covid19" are distinguishing content —
+    an alpha tokenizer would collapse every "w0001"-style identifier to
+    the same "w" token and embed distinct documents identically."""
     data, starts, ends = string_buffers(_single(pc.fill_null(txt, "")))
     if bs.all_ascii(data):
-        rs, re_, owners = bs.token_runs(data, starts, ends, bs.LUT_ALPHA)
+        rs, re_, owners = bs.token_runs(data, starts, ends, bs.LUT_ALNUM)
         h = bs.run_hashes(bs.lower_ascii(data), rs, re_)
     else:
-        flat, owners = split_regex(txt, "a-zA-Z")
+        flat, owners = split_regex(txt, "a-zA-Z0-9")
         h = hash_column(_single(pc.utf8_lower(flat)))
     return owners, (h % np.uint64(dim)).astype(np.int64), h
 

@@ -66,6 +66,7 @@ def test_semdedup_invariants(ray_session, sf_dir):
     ids, x = _emb_np(sf_dir)
     pos = {int(v): i for i, v in enumerate(ids)}
     assert len(out) == len(ids)                  # one decision per vector
+    assert not out["capped"].any()               # under the scale guard
     for cl, grp in out.groupby("cluster"):
         grp = grp.sort_values(["centroid_sim", "vec_id"])
         xs = x[[pos[int(v)] for v in grp["vec_id"]]]
@@ -128,3 +129,29 @@ def test_cluster_sample_balanced(ray_session, sf_dir):
     for cl, n in pop.items():
         assert sizes.get(cl, 0) == min(n, 10), cl
     assert set(a["vec_id"]) <= set(full["vec_id"])
+
+
+def test_semdedup_max_cluster_cap(ray_session, sf_dir):
+    """The scale guard: an oversized cluster processes in canonical-order
+    chunks — rows flagged capped, exact duplicates still die when they
+    land in the same chunk (adjacent in the order), and the chunked run
+    never KEEPS a pair the exact run would have dropped... verified as:
+    chunked drops ⊆ exact drops."""
+    ds = _emb_ds(sf_dir)
+    exact = to_pandas(semdedup(ds, n_clusters=2, eps=0.9,
+                               train_size=5_000, seed=3)).sort_values(
+        "vec_id").reset_index(drop=True)
+    chunked = to_pandas(semdedup(ds, n_clusters=2, eps=0.9,
+                                 train_size=5_000, seed=3,
+                                 max_cluster=40)).sort_values(
+        "vec_id").reset_index(drop=True)
+    # clusters of 500/2 rows >> 40: every row flagged
+    assert chunked["capped"].all()
+    assert not exact["capped"].any()
+    # chunk-local comparisons see a subset of the exact pairs, so the
+    # chunked run can only drop a subset of what the exact run drops
+    dropped_chunked = set(chunked.loc[~chunked["keep"], "vec_id"])
+    dropped_exact = set(exact.loc[~exact["keep"], "vec_id"])
+    assert dropped_chunked <= dropped_exact
+    with pytest.raises(ValueError, match="max_cluster"):
+        semdedup(ds, n_clusters=2, max_cluster=1)

@@ -43,10 +43,11 @@ def test_embed_ascii_and_unicode_paths_agree(ray_session):
 
 
 def test_embed_edge_rows(ray_session):
-    """Null / empty / punctuation-only texts become zero vectors."""
-    v = _vecs(["", "?!... 42", None, "real words here"])
+    """Null / empty / punctuation-only texts become zero vectors;
+    a digit-only token is real content (alnum tokenizer)."""
+    v = _vecs(["", "?!...", None, "real words here", "?!... 42"])
     assert not v[0].any() and not v[1].any() and not v[2].any()
-    assert v[3].any()
+    assert v[3].any() and v[4].any()
     with pytest.raises(ValueError, match="dim"):
         embed_hashed(rd.from_arrow(pa.table({"doc_id": [0], "text": ["x"]})),
                      dim=1)
@@ -112,3 +113,15 @@ def test_train_idf_counts_and_weighting(ray_session):
     assert np.allclose(np.linalg.norm(v, axis=1), 1.0)
     with pytest.raises(ValueError, match="idf"):
         embed_hashed(ds, dim=64, idf=idf)   # wrong length
+
+
+def test_embed_tokens_are_alnum_runs(ray_session):
+    """Digit-bearing identifiers are distinguishing content: docs made
+    of distinct w0001-style words must NOT embed identically (an
+    alpha-only tokenizer collapses them all to 'w'), and the two kernel
+    paths agree on digit-bearing text."""
+    texts = ["w0001 w0002 w0003", "w0977 w0978 w0979", "v2 api 2024"]
+    v = _vecs(texts, dim=128)
+    assert float(v[0] @ v[1]) < 0.5            # disjoint words, far apart
+    mixed = _vecs(texts + ["café 2024"], dim=128)
+    assert np.array_equal(v, mixed[:3])        # path parity with digits
