@@ -1024,6 +1024,34 @@ def _q_text_semdedup(sf):
                     eps=0.999, id_col="doc_id", train_size=10_000)
 
 
+def _q_corr_matrix(sf):
+    """Pairwise Pearson correlation matrix over the lineitem numerics
+    (stages/linmodel.py — per-block moment rows, tree fan-in, no
+    shuffle). Per-pair DuckDB corr/covar_samp oracle in
+    tests/test_linmodel.py."""
+    import ray.data as rd
+
+    from saber_ray.stages.linmodel import corr_matrix
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return corr_matrix(
+        rd.read_parquet(f"{sf}/lineitem.parquet", columns=cols), cols)
+
+
+def _q_linear_model_score(sf):
+    """Exact distributed OLS (normal-equation moments, one pass, no
+    shuffle) + per-batch scoring — numpy-lstsq parity pinned in
+    tests/test_linmodel.py."""
+    import ray.data as rd
+
+    from saber_ray.stages.linmodel import fit_linear, predict_linear
+    feats = ["l_quantity", "l_discount", "l_tax"]
+    ds = rd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_orderkey"] + feats
+                         + ["l_extendedprice"])
+    model = fit_linear(ds, feats, "l_extendedprice")
+    return predict_linear(ds, model, keep=["l_orderkey"])
+
+
 def _q_profile_docs(sf):
     """Per-column dataset profile (rows/nulls/distinct/min/max/mean) —
     value-oracled in pytest (test_stats.py builds the per-column DuckDB
@@ -1613,6 +1641,8 @@ def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
         "streaming_sample": _q_streaming_sample,
         "semdedup": _q_semdedup,
         "text_semdedup": _q_text_semdedup,
+        "corr_matrix": _q_corr_matrix,
+        "linear_model_score": _q_linear_model_score,
         "profile_docs": _q_profile_docs,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     }

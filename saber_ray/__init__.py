@@ -42,6 +42,8 @@ from saber_ray.stages.stats import grouped_quantiles, profile
 from saber_ray.stages.cluster import (train_kmeans, assign_clusters,
                                       semdedup, cluster_sample)
 from saber_ray.stages.embed import embed_hashed, train_idf
+from saber_ray.stages.linmodel import (corr_matrix, fit_linear,
+                                      predict_linear)
 
 __all__ = [
     "col", "lit", "Expr", "Window", "AggSpec",
@@ -57,7 +59,7 @@ __all__ = [
     "build_shingle_blocklist", "grouped_quantiles", "profile",
     "train_kmeans", "assign_clusters", "semdedup", "cluster_sample",
     "embed_hashed",
-    "train_idf",
+    "train_idf", "corr_matrix", "fit_linear", "predict_linear",
 ]
 
 __version__ = "0.1.0"
