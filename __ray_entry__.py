@@ -835,6 +835,97 @@ def _q_q5_local_supplier(sf):
     return agg.drop_columns(["window_id"])
 
 
+_Q7_LO_US = 788918400000000          # 1995-01-01 epoch-us
+_Q7_HI_US = 1041379200000000         # 2003-01-01 epoch-us (spans the
+                                     # synthetic ship range; the filter
+                                     # stays a real plan step)
+
+
+def _q_q7_volume_shipping(sf):
+    """TPC-H Q7 (volume shipping between two nations, by year): the
+    second 6-table composition next to Q5 — same physics: driver-resolved
+    dims, BROADCAST customer/supplier sides, date filter BEFORE the one
+    lineitem ⋈ orders exchange, nation-pair constraint as a vectorized
+    post-join filter, fixed-point revenue grouped by (supp_nation,
+    cust_nation, year). Oracle-tested in tests/test_rotated_gates.py
+    (the 50-gate window is at capacity)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from saber_ray.stages.join import merge_join
+
+    nation = pq.read_table(os.path.join(sf, "nation.parquet"))
+    pair = nation.filter(pc.is_in(
+        nation["n_name"],
+        value_set=pa.array(["NATION_20", "NATION_11"])))
+    nkeys = pair["n_nationkey"].to_numpy()
+    nnames = np.asarray(pair["n_name"].to_pylist(), dtype=object)
+    lut = np.full(int(nkeys.max()) + 1, "", dtype=object)
+    lut[nkeys] = nnames
+
+    cust = pq.read_table(os.path.join(sf, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"],
+                                value_set=pa.array(nkeys)))
+    supp = pq.read_table(os.path.join(sf, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pc.is_in(supp["s_nationkey"],
+                                value_set=pa.array(nkeys)))
+
+    orders = read_table(sf, "orders", columns=["o_orderkey", "o_custkey"])
+    ojoin = broadcast_join(orders, cust, on="o_custkey",
+                           right_on="c_custkey") \
+        .select_columns(["o_orderkey", "c_nationkey"])
+
+    lo = pa.scalar(_Q7_LO_US, pa.int64())
+    hi = pa.scalar(_Q7_HI_US, pa.int64())
+
+    def li_prep(t: "pa.Table") -> "pa.Table":
+        d = pc.cast(t["l_shipdate"], pa.int64())
+        m = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        t = t.filter(m)
+        vol = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"], "l_suppkey": t["l_suppkey"],
+            "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            "volume": vol})
+
+    li = read_table(sf, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"]) \
+        .map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True)
+    sjoined = broadcast_join(li, supp, on="l_suppkey",
+                             right_on="s_suppkey")
+    joined = merge_join(sjoined, ojoin, on="l_orderkey",
+                        right_on="o_orderkey", right_cols=["c_nationkey"])
+
+    def pair_filter(t: "pa.Table") -> "pa.Table":
+        t = t.filter(pc.not_equal(t["s_nationkey"], t["c_nationkey"]))
+        sn = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "supp_nation": pa.array(
+                lut[sn] if len(sn) else np.array([], dtype=object),
+                pa.string()),
+            "cust_nation": pa.array(
+                lut[cn] if len(cn) else np.array([], dtype=object),
+                pa.string()),
+            "l_year": t["l_year"].combine_chunks(),
+            "volume": t["volume"].combine_chunks(),
+            "__ts": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    agg = windowed_aggregate(
+        joined.map_batches(pair_filter, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        window=Window.tumbling(10 ** 18), ts_col="__ts",
+        keys=["supp_nation", "cust_nation", "l_year"],
+        aggs=[sum_("volume", "revenue", scale=4)],
+        round_decimals=4, merge="tree")
+    return agg.drop_columns(["window_id"])
+
+
 def _q_fingerprint(sf):
     from saber_ray.stages.text import md5_fingerprint
     docs = read_table(sf, "documents", columns=["doc_id", "text"])

@@ -184,6 +184,22 @@ ROTATED = {
         "(SELECT o_orderkey, o_custkey, o_orderpriority FROM orders "
         "WHERE o_orderpriority = '1-URGENT') o "
         "ON c.c_custkey = o.o_custkey"),
+    "q7_volume_shipping": (
+        entry_mod._q_q7_volume_shipping,
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "EXTRACT(year FROM l_shipdate) AS l_year, "
+        "ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) "
+        "AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue "
+        "FROM supplier, lineitem, orders, customer, "
+        "nation n1, nation n2 "
+        "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey "
+        "AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey "
+        "AND c_nationkey = n2.n_nationkey "
+        "AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11') "
+        "OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')) "
+        f"AND epoch_us(l_shipdate) >= {entry_mod._Q7_LO_US} "
+        f"AND epoch_us(l_shipdate) < {entry_mod._Q7_HI_US} "
+        "GROUP BY 1, 2, 3"),
 }
 
 
