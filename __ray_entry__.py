@@ -963,6 +963,38 @@ def _q_quality(sf):
     return quality_score(docs).select_columns(["doc_id", "quality"])
 
 
+def _q_quality_filter(sf):
+    """Quantile-thresholded curation: keep documents at or above the
+    corpus's p90 quality — the sketch-driven filtering recipe (score →
+    exact global quantile via the grouped-quantile exchange → broadcast
+    the 1-row threshold → vectorized filter). Full DuckDB
+    quantile_disc oracle in tests/test_rotated_gates.py."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from saber_ray.stages.stats import grouped_quantiles
+    from saber_ray.stages.text import quality_score
+
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    q = quality_score(docs).select_columns(["doc_id", "quality"])
+
+    def add_g(t: "pa.Table") -> "pa.Table":
+        return t.append_column(
+            "__g", pa.array(np.zeros(t.num_rows, np.int8)))
+
+    qt = grouped_quantiles(
+        q.map_batches(add_g, batch_format="pyarrow", zero_copy_batch=True),
+        ["__g"], "quality", {"p90": 0.9}).take_all()
+    thr = pa.scalar(float(qt[0]["p90"]), pa.float64())
+
+    def keep(t: "pa.Table") -> "pa.Table":
+        return t.filter(pc.greater_equal(t["quality"], thr))
+
+    return q.map_batches(keep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 def _q_lang_id(sf):
     from saber_ray.stages.text import lang_id
     docs = read_table(sf, "documents", columns=["doc_id", "text"])

@@ -200,6 +200,11 @@ ROTATED = {
         f"AND epoch_us(l_shipdate) >= {entry_mod._Q7_LO_US} "
         f"AND epoch_us(l_shipdate) < {entry_mod._Q7_HI_US} "
         "GROUP BY 1, 2, 3"),
+    "quality_filter_p90": (
+        entry_mod._q_quality_filter,
+        f"WITH q AS ({entry_mod._quality_sql()}), "
+        "thr AS (SELECT quantile_disc(quality, 0.9) AS t FROM q) "
+        "SELECT doc_id, quality FROM q, thr WHERE quality >= thr.t"),
 }
 
 
