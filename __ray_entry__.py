@@ -1147,6 +1147,20 @@ def _q_text_semdedup(sf):
                     eps=0.999, id_col="doc_id", train_size=10_000)
 
 
+def _q_nb_classify(sf):
+    """Hashed multinomial Naive Bayes (stages/nbayes.py): train on the
+    documents table's lang labels, score every document — the supervised
+    curation-classifier shape. Exact numpy-twin parity + separable-class
+    recall pinned in tests/test_nbayes.py."""
+    import ray.data as rd
+
+    from saber_ray.stages.nbayes import predict_nb, train_nb
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    model = train_nb(docs, label_col="lang", dim=8192)
+    return predict_nb(docs, model, keep=["doc_id", "lang"])
+
+
 def _q_corr_matrix(sf):
     """Pairwise Pearson correlation matrix over the lineitem numerics
     (stages/linmodel.py — per-block moment rows, tree fan-in, no
@@ -1766,6 +1780,7 @@ def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
         "text_semdedup": _q_text_semdedup,
         "corr_matrix": _q_corr_matrix,
         "linear_model_score": _q_linear_model_score,
+        "nb_classify": _q_nb_classify,
         "profile_docs": _q_profile_docs,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     }

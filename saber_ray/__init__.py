@@ -44,6 +44,7 @@ from saber_ray.stages.cluster import (train_kmeans, assign_clusters,
 from saber_ray.stages.embed import embed_hashed, train_idf
 from saber_ray.stages.linmodel import (corr_matrix, fit_linear,
                                       predict_linear)
+from saber_ray.stages.nbayes import train_nb, predict_nb
 
 __all__ = [
     "col", "lit", "Expr", "Window", "AggSpec",
@@ -60,6 +61,7 @@ __all__ = [
     "train_kmeans", "assign_clusters", "semdedup", "cluster_sample",
     "embed_hashed",
     "train_idf", "corr_matrix", "fit_linear", "predict_linear",
+    "train_nb", "predict_nb",
 ]
 
 __version__ = "0.1.0"
