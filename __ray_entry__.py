@@ -1118,6 +1118,20 @@ def _q_streaming_sample(sf):
     return job.results()
 
 
+def _q_streaming_latest(sf):
+    """Continuously-maintained latest-row-per-key view — the compacted
+    changelog / upsert table (streaming_latest.py). SQL
+    ROW_NUMBER()-window oracle (prefix, end-of-stream, kill/resume,
+    out-of-order upserts) in tests/test_streaming_latest.py."""
+    from saber_ray.streaming_latest import StreamingLatest
+    files, out = _stream_gate_files(sf, ["conv_id", "turn_idx", "role",
+                                         "ts"], "stream_latest")
+    job = StreamingLatest(out, keys=["conv_id"], tie_break="turn_idx",
+                          columns=["turn_idx", "role"], num_partitions=3)
+    job.run(files, epoch_size=2)
+    return job.results()
+
+
 def _q_semdedup(sf):
     """SemDeDup cluster-scoped semantic dedup (stages/cluster.py —
     k-means then within-cluster triu-max cosine drop, Abbas et al. '23).
@@ -1776,6 +1790,7 @@ def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
         "streaming_distinct": _q_streaming_distinct,
         "streaming_quantiles": _q_streaming_quantiles,
         "streaming_sample": _q_streaming_sample,
+        "streaming_latest": _q_streaming_latest,
         "semdedup": _q_semdedup,
         "text_semdedup": _q_text_semdedup,
         "corr_matrix": _q_corr_matrix,
