@@ -28,8 +28,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 CNT, SUM, AVG, MIN, MAX = "cnt", "sum", "avg", "min", "max"
+# VAR/STD extend the reference's 5-op algebra with the classic mergeable
+# (count, sum, sum-of-squares) moments — same associative adds, finalized
+# as SQL var_samp/stddev_samp (NULL below 2 values). Float64 path only
+# (variance has no exactness contract to protect with fixed-point).
+VAR, STD = "var", "std"
 
 ROWS = "__p_rows"
+_SQ = "__sqsrc_"                 # squared-source staging column prefix
 
 
 @dataclass(frozen=True)
@@ -40,10 +46,13 @@ class AggSpec:
     scale: Optional[int] = None   # fixed-point decimal scale (see note below)
 
     def __post_init__(self):
-        if self.op not in (CNT, SUM, AVG, MIN, MAX):
+        if self.op not in (CNT, SUM, AVG, MIN, MAX, VAR, STD):
             raise ValueError(f"unknown aggregation op {self.op!r}")
         if self.column is None and self.op != CNT:
             raise ValueError(f"{self.op} requires a column")
+        if self.op in (VAR, STD) and self.scale is not None:
+            raise ValueError(f"{self.op} is float64-only (scale applies to "
+                             f"the exact sum/avg/min/max paths)")
 
 
 # Fixed-point (scaled-decimal) aggregation — ``scale=s`` declares the column
@@ -77,6 +86,14 @@ def min_(column: str, alias: Optional[str] = None, *,
 def max_(column: str, alias: Optional[str] = None, *,
          scale: Optional[int] = None) -> AggSpec:
     return AggSpec(MAX, column, alias or f"max_{column}", scale)
+
+def var_(column: str, alias: Optional[str] = None) -> AggSpec:
+    """Sample variance (SQL var_samp: /(n-1), NULL below 2 values)."""
+    return AggSpec(VAR, column, alias or f"var_{column}")
+
+def std_(column: str, alias: Optional[str] = None) -> AggSpec:
+    """Sample standard deviation (SQL stddev_samp)."""
+    return AggSpec(STD, column, alias or f"std_{column}")
 
 
 def scaled_columns(aggs: Sequence["AggSpec"]) -> dict[str, int]:
@@ -130,15 +147,31 @@ def partial_columns(aggs: Sequence[AggSpec]) -> dict[str, set[str]]:
         if a.column is None:
             continue
         fns = need.setdefault(a.column, set())
-        if a.op in (SUM, AVG):
+        if a.op in (SUM, AVG, VAR, STD):
             fns.add("sum")
-        if a.op in (AVG, CNT):
+        if a.op in (AVG, CNT, VAR, STD):
             fns.add("cnt")
+        if a.op in (VAR, STD):
+            fns.add("sumsq")
         if a.op == MIN:
             fns.add("min")
         if a.op == MAX:
             fns.add("max")
     return need
+
+
+def sq_columns(aggs: Sequence[AggSpec]) -> list[str]:
+    """Source columns that need a squared staging column for sumsq."""
+    return sorted({a.column for a in aggs if a.op in (VAR, STD)})
+
+
+def append_sq_columns(tbl: pa.Table, aggs: Sequence[AggSpec]) -> pa.Table:
+    """Stage ``__sqsrc_<col>`` = float64(x)² next to each variance source
+    (before the partial group_by — Arrow has no sum-of-squares kernel)."""
+    for c in sq_columns(aggs):
+        x = pc.cast(tbl[c], pa.float64())
+        tbl = tbl.append_column(_SQ + c, pc.multiply(x, x))
+    return tbl
 
 
 def input_columns(aggs: Sequence[AggSpec]) -> list[str]:
@@ -149,12 +182,18 @@ _ARROW_FN = {"sum": "sum", "cnt": "count", "min": "min", "max": "max"}
 
 
 def arrow_partial_aggs(aggs: Sequence[AggSpec]):
-    """(aggregate list, rename map) for pyarrow Table.group_by on raw rows."""
+    """(aggregate list, rename map) for pyarrow Table.group_by on raw rows
+    (rows must carry the ``append_sq_columns`` staging when any agg needs
+    sumsq)."""
     spec, rename = [], {}
     for colname, fns in partial_columns(aggs).items():
         for fn in sorted(fns):
-            spec.append((colname, _ARROW_FN[fn]))
-            rename[f"{colname}_{_ARROW_FN[fn]}"] = _p(colname, fn)
+            if fn == "sumsq":
+                spec.append((_SQ + colname, "sum"))
+                rename[f"{_SQ}{colname}_sum"] = _p(colname, fn)
+            else:
+                spec.append((colname, _ARROW_FN[fn]))
+                rename[f"{colname}_{_ARROW_FN[fn]}"] = _p(colname, fn)
     spec.append(([], "count_all"))
     rename["count_all"] = ROWS
     return spec, rename
@@ -167,7 +206,8 @@ def arrow_merge_aggs(aggs: Sequence[AggSpec]):
     for colname, fns in partial_columns(aggs).items():
         for fn in sorted(fns):
             p = _p(colname, fn)
-            merge = {"sum": "sum", "cnt": "sum", "min": "min", "max": "max"}[fn]
+            merge = {"sum": "sum", "cnt": "sum", "min": "min",
+                     "max": "max", "sumsq": "sum"}[fn]
             spec.append((p, merge))
             rename[f"{p}_{merge}"] = p
     spec.append((ROWS, "sum"))
@@ -182,7 +222,8 @@ def ray_merge_aggs(aggs: Sequence[AggSpec]):
     for colname, fns in partial_columns(aggs).items():
         for fn in sorted(fns):
             p = _p(colname, fn)
-            cls = {"sum": RSum, "cnt": RSum, "min": RMin, "max": RMax}[fn]
+            cls = {"sum": RSum, "cnt": RSum, "min": RMin, "max": RMax,
+                   "sumsq": RSum}[fn]
             out.append(cls(p, alias_name=p))
     out.append(RSum(ROWS, alias_name=ROWS))
     return out
@@ -277,6 +318,20 @@ def finalize(table: pa.Table, aggs: Sequence[AggSpec],
                 # / COUNT(col): descale the exact int sum first, THEN divide.
                 s = pc.divide(s, descale)
             arr = pc.divide(s, pc.cast(table[_p(a.column, "cnt")], pa.float64()))
+        elif a.op in (VAR, STD):
+            n = pc.cast(table[_p(a.column, "cnt")], pa.float64())
+            s = pc.cast(table[_p(a.column, "sum")], pa.float64())
+            ss = pc.cast(table[_p(a.column, "sumsq")], pa.float64())
+            valid = pc.greater(n, pa.scalar(1.0))
+            n2 = pc.if_else(valid, n, pa.scalar(2.0))   # never divide by 0
+            var = pc.divide(
+                pc.subtract(ss, pc.divide(pc.multiply(s, s), n2)),
+                pc.subtract(n2, pa.scalar(1.0)))
+            # two-pass cancellation can dip a true-zero variance below 0
+            var = pc.if_else(pc.less(var, pa.scalar(0.0)),
+                             pa.scalar(0.0), var)
+            var = pc.if_else(valid, var, pa.scalar(None, pa.float64()))
+            arr = pc.sqrt(var) if a.op == STD else var
         elif a.op == MIN:
             arr = table[_p(a.column, "min")]
             if descale is not None:

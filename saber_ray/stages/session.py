@@ -36,6 +36,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from saber_ray.core.aggregates import AggSpec, CNT, AVG, SUM, MIN, MAX, \
+    VAR, STD, \
     compact_array, round_oracle_np
 from saber_ray.core.windows import SessionWindow
 
@@ -74,6 +75,21 @@ def _segment_agg(a: AggSpec, col, starts: np.ndarray, counts: np.ndarray):
         nvalid = counts
     if a.op == CNT:
         return pa.array(nvalid, type=pa.int64())
+    if a.op in (VAR, STD):
+        # float64 moments per segment: var_samp = (Σx² − (Σx)²/n)/(n−1),
+        # NULL below 2 non-null values, cancellation clamped at 0
+        xf = np.asarray(pc.fill_null(pc.cast(col, pa.float64()), 0.0)
+                        .to_numpy(zero_copy_only=False), dtype=np.float64)
+        s = np.add.reduceat(xf, starts) if len(starts) else xf[:0]
+        ss = np.add.reduceat(xf * xf, starts) if len(starts) else xf[:0]
+        n = np.asarray(nvalid, dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            v = np.maximum((ss - s * s / n) / (n - 1.0), 0.0)
+        if a.op == STD:
+            v = np.sqrt(v)
+        arr = pa.array(v, type=pa.float64())
+        return pc.if_else(pa.array(nvalid > 1), arr,
+                          pa.scalar(None, pa.float64()))
     # Output dtype is a function of the COLUMN TYPE alone, never of this
     # block's null presence — blocks of one Dataset must share a schema.
     # ACCUMULATION happens in exact int64 whenever the SOURCE is integer

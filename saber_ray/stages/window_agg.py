@@ -52,9 +52,9 @@ import numpy as np
 import pyarrow as pa
 
 from saber_ray.core.aggregates import (
-    AggSpec, ROWS, apply_scales, arrow_merge_aggs, arrow_partial_aggs,
-    finalize, group_by_null_safe, input_columns, null_fill_scalar,
-    ray_merge_aggs, scaled_columns,
+    AggSpec, ROWS, append_sq_columns, apply_scales, arrow_merge_aggs,
+    arrow_partial_aggs, finalize, group_by_null_safe, input_columns,
+    null_fill_scalar, ray_merge_aggs, scaled_columns,
 )
 from saber_ray.core.windows import Window
 
@@ -104,6 +104,7 @@ class PanePartialAgg:
             names=names)
         if self.scales:
             tbl = apply_scales(tbl, self.scales)
+        tbl = append_sq_columns(tbl, self.aggs)
 
         p1 = group_by_null_safe(tbl, self.keys + [_PANE], self.partial_spec)
         p1 = p1.rename_columns([self.partial_rename.get(n, n) for n in p1.column_names])

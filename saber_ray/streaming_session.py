@@ -46,7 +46,8 @@ import pyarrow.parquet as pq
 
 import ray
 
-from saber_ray.core.aggregates import (AggSpec, arrow_merge_aggs,
+from saber_ray.core.aggregates import (AggSpec, append_sq_columns,
+                                       arrow_merge_aggs,
                                        arrow_partial_aggs, finalize)
 from saber_ray.core.segments import \
     segmented_running_max as _segmented_running_max
@@ -142,6 +143,7 @@ class _SessionState:
 
     def _sessionize_new(self, t: pa.Table) -> pa.Table:
         """Events → new-session atoms (vectorized, exact per-event rule)."""
+        t = append_sq_columns(t, self.aggs)     # var/std sumsq staging
         order = pc.sort_indices(
             t, sort_keys=[(k, "ascending") for k in self.keys + ["__t"]])
         t = t.take(order).combine_chunks()

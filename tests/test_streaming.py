@@ -359,3 +359,21 @@ def test_backfill_passthrough_and_guard(ray_session, stream_files, tmp_path):
              end_of_stream=False)
     with pytest.raises(ValueError):
         backfill(job2)
+
+
+def test_streaming_variance_matches_batch(ray_session, stream_files,
+                                          tmp_path):
+    """VAR/STD partials (cnt, sum, sumsq) flow through the streaming
+    engine's pane state and the batch path identically."""
+    from saber_ray import std_, var_
+    vaggs = [cnt(alias="n"), var_("text_len", "v"), std_("text_len", "s")]
+    import ray.data as rd
+    job = StreamingWindowedAggregate(
+        str(tmp_path / "out"), window=W, aggs=vaggs, keys=["role"],
+        num_partitions=3)
+    job.run(stream_files, epoch_size=3)
+    got = canon(job.results().to_pandas())
+    want = canon(to_pandas(windowed_aggregate(
+        rd.read_parquet(stream_files), window=W, aggs=vaggs,
+        keys=["role"])))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)

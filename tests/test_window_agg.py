@@ -289,3 +289,87 @@ def test_global_ordinal_multi_fragment(ray_session, tmp_path):
                              ts_col="__ord", aggs=[cnt(alias="n")])
     odf = to_pandas(out)
     assert len(odf) == 10 and (odf["n"] == 100).all()
+
+
+def test_variance_stddev_tumbling_grouped(ray_session, sf_dir):
+    """VAR/STD through the pane-partial merge algebra vs DuckDB
+    var_samp/stddev_samp (tumbling grouped — partials merge per pane)."""
+    from saber_ray import std_, var_
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = windowed_aggregate(
+        ds, window=Window.tumbling(DAY),
+        aggs=[cnt("value", "n"), var_("value", "v"), std_("value", "s")],
+        keys=["event_type"], round_decimals=6)
+    assert_matches_oracle(
+        out,
+        f"SELECT event_type, epoch_us(ts) // {DAY} AS window_id, "
+        "COUNT(value) AS n, ROUND(var_samp(value), 6) AS v, "
+        "ROUND(stddev_samp(value), 6) AS s FROM events GROUP BY 1, 2",
+        sf_dir)
+
+
+def test_variance_sliding_pane_merge(ray_session, sf_dir):
+    """Sliding windows: sumsq partials must survive the pane → window
+    expansion and the post-shuffle merge identically to sum/cnt."""
+    from saber_ray import var_
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+    out = windowed_aggregate(
+        ds, window=Window.sliding(4 * DAY, DAY),
+        aggs=[var_("value", "v")], round_decimals=6)
+    assert_matches_oracle(
+        out, _sliding_sql(4, DAY,
+                          "window_id, ROUND(var_samp(value), 6) AS v"),
+        sf_dir)
+
+
+def test_variance_null_and_singleton_groups(ray_session):
+    """var_samp semantics: NULL below 2 non-null values; exact on a
+    hand-computable group; all-null group NULL."""
+    import pyarrow as pa
+    import ray.data as rd
+    from saber_ray import var_, std_
+    t = pa.table({
+        "ts": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "k": ["a", "a", "a", "b", "c", "c"],
+        "value": pa.array([1.0, 2.0, 3.0, 7.0, None, None]),
+    })
+    out = to_pandas(windowed_aggregate(
+        rd.from_arrow(t), window=Window.tumbling(10**9),
+        aggs=[var_("value", "v"), std_("value", "s")], keys=["k"],
+        round_decimals=6)).set_index("k")
+    assert abs(out.loc["a", "v"] - 1.0) < 1e-12       # var_samp({1,2,3})
+    assert abs(out.loc["a", "s"] - 1.0) < 1e-12
+    assert pd.isna(out.loc["b", "v"])                 # one value
+    assert pd.isna(out.loc["c", "v"])                 # all NULL
+
+
+def test_variance_session_windows(ray_session):
+    """The session path's segment reducer computes the same moments."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+    from saber_ray import session_windows, var_
+    t = pa.table({
+        "conv_id": ["x"] * 5 + ["y"] * 3,
+        "ts": pa.array([0, 10, 20, 10_000_000, 10_000_010,
+                        5, 15, 20_000_000], pa.int64()),
+        "value": pa.array([1.0, 5.0, 9.0, 2.0, 4.0, 3.0, 3.0, 8.0]),
+    })
+    out = to_pandas(session_windows(
+        rd.from_arrow(t), gap=1_000_000,
+        aggs=[var_("value", "v")], keys=["conv_id"], round_decimals=6))
+    want = duckdb.sql("""
+        WITH g AS (SELECT conv_id, ts, value,
+            CASE WHEN ts - LAG(ts) OVER (PARTITION BY conv_id
+                ORDER BY ts) > 1000000 THEN 1 ELSE 0 END AS brk
+            FROM t),
+        s AS (SELECT conv_id, value,
+            SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts) AS sid
+            FROM g)
+        SELECT conv_id, sid, ROUND(var_samp(value), 6) AS v
+        FROM s GROUP BY 1, 2""").df()
+    got = out.sort_values(["conv_id", "session_id"])["v"].tolist()
+    exp = want.sort_values(["conv_id", "sid"])["v"].tolist()
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert (pd.isna(g) and pd.isna(e)) or abs(g - e) < 1e-9
