@@ -1161,6 +1161,19 @@ def _q_text_semdedup(sf):
                     eps=0.999, id_col="doc_id", train_size=10_000)
 
 
+def _q_bigram_perplexity(sf):
+    """Order-sensitive document scoring under the bucketed bigram LM
+    (stages/lm.py — exact add-alpha model over hashed token buckets).
+    Numpy-twin parity + order-sensitivity property in tests/test_lm.py."""
+    import ray.data as rd
+
+    from saber_ray.stages.lm import bigram_perplexity, train_bigram_lm
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    model = train_bigram_lm(docs, dim=512)
+    return bigram_perplexity(docs, model)
+
+
 def _q_nb_classify(sf):
     """Hashed multinomial Naive Bayes (stages/nbayes.py): train on the
     documents table's lang labels, score every document — the supervised
@@ -1796,6 +1809,7 @@ def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
         "corr_matrix": _q_corr_matrix,
         "linear_model_score": _q_linear_model_score,
         "nb_classify": _q_nb_classify,
+        "bigram_perplexity": _q_bigram_perplexity,
         "profile_docs": _q_profile_docs,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     }

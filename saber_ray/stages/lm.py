@@ -272,3 +272,99 @@ def collocations(ds, *, text_col: str = "text", min_count: int = 5,
                      "w2": pa.array(out_w2, pa.string()),
                      "count": pa.array(cat_c, pa.int64()),
                      "pmi": pa.array(cat_p, pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# hashed bigram LM: order-SENSITIVE perplexity
+# ---------------------------------------------------------------------------
+
+def _bigram_pairs(txt, dim: int):
+    """(owner row, transition code) per token: code = prev_bucket * dim +
+    cur_bucket over hashed-alnum token buckets, with a BOS context (index
+    ``dim``) opening every document — so every token contributes exactly
+    one transition and the model is sensitive to word ORDER (the property
+    the unigram LM cannot have)."""
+    from saber_ray.stages.embed import _token_dims
+    owners, idx, _ = _token_dims(txt, dim)
+    if len(idx) == 0:
+        return owners, np.zeros(0, dtype=np.int64)
+    prev = np.empty_like(idx)
+    prev[1:] = idx[:-1]
+    same = np.zeros(len(idx), dtype=bool)
+    same[1:] = owners[1:] == owners[:-1]
+    prev[~same] = dim                       # BOS context
+    return owners, prev * dim + idx
+
+
+def train_bigram_lm(ds, *, dim: int = 1024, alpha: float = 0.1,
+                    text_col: str = "text") -> dict:
+    """Train a bucketed (hashed) bigram model: tokens map to ``dim``
+    buckets, making it an EXACT add-alpha bigram model over a dim-symbol
+    alphabet — P(u|v) = (C[v,u] + alpha) / (C[v,·] + alpha·dim) with a
+    BOS context row. Per block only the NONZERO (transition, count)
+    pairs ship; the int-key count exchange sums them; the driver bakes
+    the dense ((dim+1) × dim) log-prob matrix (~8·dim² bytes — size dim
+    so it broadcasts comfortably). Returns ``{"logp", "dim", "alpha"}``.
+    """
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, pairs = _bigram_pairs(t[text_col], dim)
+        schema = pa.schema([("pair", pa.int64()), ("n", pa.int64())])
+        if len(pairs) == 0:
+            return schema.empty_table()
+        uniq, cnts = np.unique(pairs, return_counts=True)
+        return pa.table({"pair": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnts, pa.int64())})
+
+    agg = _string_count_exchange(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "pair", "n")
+    grid = np.zeros((dim + 1) * dim, dtype=np.float64)
+    for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
+        grid[b["pair"].to_numpy(zero_copy_only=False)] += \
+            b["n"].to_numpy(zero_copy_only=False)
+    grid = grid.reshape(dim + 1, dim)
+    ctx = grid.sum(axis=1, keepdims=True)
+    logp = np.log(grid + alpha) - np.log(ctx + alpha * dim)
+    return {"logp": logp, "dim": dim, "alpha": float(alpha)}
+
+
+def bigram_perplexity(ds, model, *, text_col: str = "text",
+                      id_col: str = "doc_id", round_decimals: int = 6):
+    """Per-document perplexity under a ``train_bigram_lm`` model —
+    order-sensitive (shuffling a document's words raises it, unlike the
+    unigram ``perplexity_score``). Output: (``id_col``, n_tokens,
+    perplexity); token-less documents score NULL. The log-prob matrix
+    broadcasts once; each batch costs one gather + one bincount."""
+    lm_ref = model if isinstance(model, ray.ObjectRef) else ray.put(model)
+    from saber_ray.core.aggregates import round_oracle_np
+
+    def f(t: pa.Table, _ref=lm_ref) -> pa.Table:
+        schema = pa.schema([(id_col, t.schema.field(id_col).type),
+                            ("n_tokens", pa.int64()),
+                            ("perplexity", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        m = ray.get(_ref)
+        dim = int(m["dim"])
+        flat = m["logp"].reshape(-1)
+        owners, pairs = _bigram_pairs(t[text_col], dim)
+        n = t.num_rows
+        ntok = np.bincount(owners, minlength=n).astype(np.int64)
+        sums = np.bincount(owners, weights=flat[pairs], minlength=n) \
+            if len(pairs) else np.zeros(n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ppl = np.exp(-sums / ntok)
+        ppl = round_oracle_np(ppl, round_decimals)
+        ids = t[id_col]
+        return pa.Table.from_arrays(
+            [ids.combine_chunks() if isinstance(ids, pa.ChunkedArray)
+             else ids, pa.array(ntok),
+             pa.array(ppl, type=pa.float64(), mask=ntok == 0)],
+            schema=schema)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

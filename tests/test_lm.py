@@ -152,3 +152,58 @@ def test_collocations_vs_duckdb(ray_session, sf_dir):
                  JOIN uni u2 ON big.w2 = u2.term, t1, t2
         WHERE big.c12 >= 5""").df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bigram_lm_numpy_twin_and_order_sensitivity(ray_session):
+    """Exact twin parity for the bucketed bigram model, plus the
+    signature property the unigram LM cannot have: shuffling word order
+    raises perplexity while the unigram score is unchanged."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.embed import _token_dims
+    from saber_ray.stages.lm import (bigram_perplexity, perplexity_score,
+                                     train_bigram_lm, train_unigram_lm)
+    from tests.oracle_util import to_pandas
+
+    rng = np.random.default_rng(11)
+    phrase = "the quick brown fox jumps over the lazy dog"
+    texts = [phrase for _ in range(50)]
+    t = pa.table({"doc_id": pa.array(np.arange(50), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(t).repartition(4)
+    dim, alpha = 128, 0.1
+    model = train_bigram_lm(ds, dim=dim, alpha=alpha)
+
+    # numpy twin: same pairs, same counts, same log-probs
+    owners, idx, _ = _token_dims(t["text"], dim)
+    prev = np.empty_like(idx)
+    prev[1:] = idx[:-1]
+    same = np.zeros(len(idx), bool)
+    same[1:] = owners[1:] == owners[:-1]
+    prev[~same] = dim
+    grid = np.bincount(prev * dim + idx,
+                       minlength=(dim + 1) * dim).astype(np.float64) \
+        .reshape(dim + 1, dim)
+    want = np.log(grid + alpha) \
+        - np.log(grid.sum(axis=1, keepdims=True) + alpha * dim)
+    assert np.array_equal(model["logp"], want)
+
+    # order sensitivity on held-out docs
+    words = phrase.split()
+    shuffled = " ".join(rng.permutation(words))
+    probe = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array([phrase, shuffled], pa.string())})
+    pds = rd.from_arrow(probe)
+    bi = to_pandas(bigram_perplexity(pds, model)).set_index("doc_id")
+    assert bi.loc[0, "perplexity"] < bi.loc[1, "perplexity"]
+    uni = train_unigram_lm(ds)
+    up = to_pandas(perplexity_score(pds, uni)).set_index("doc_id")
+    assert abs(up.loc[0, "perplexity"] - up.loc[1, "perplexity"]) < 1e-9
+
+    # empty / null text scores NULL with zero tokens
+    edge = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                     "text": pa.array([None, "?!"], pa.string())})
+    e = to_pandas(bigram_perplexity(rd.from_arrow(edge), model))
+    assert (e["n_tokens"] == 0).all() and e["perplexity"].isna().all()
