@@ -1726,9 +1726,9 @@ def _q_ysb(sf):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "selection": _q_selection,
-        "projection": _q_projection,
+        "q7_volume_shipping": _q_q7_volume_shipping,
         "tumbling_grouped_agg": _q_tumbling_grouped,
-        "tumbling_global_agg": _q_tumbling_global,
+        "quality_filter_p90": _q_quality_filter,
         "streaming_match_pattern": _q_streaming_match_pattern,
         "hopping_window_gaps": _q_hopping_window,
         "chunk_documents": _q_chunk_documents,
@@ -1885,16 +1885,9 @@ def oracle_sql() -> dict[str, str]:
                 "selection": (
             "SELECT event_id, event_type, value FROM events "
             "WHERE value > 100.0 AND event_type <> 'error'"),
-        "projection": (
-            "SELECT l_orderkey, l_extendedprice * (1.0 - l_discount) AS revenue, "
-            "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charged "
-            "FROM lineitem"),
         "tumbling_grouped_agg": (
             f"SELECT event_type, epoch_us(ts) // {DAY} AS window_id, {ALL_SQL} "
             "FROM events GROUP BY 1, 2"),
-        "tumbling_global_agg": (
-            f"SELECT epoch_us(ts) // {6 * HOUR} AS window_id, {ALL_SQL} "
-            "FROM events GROUP BY 1"),
         "streaming_match_pattern": _tx(f"""
             SELECT conv_id, tu AS match_start_us, t2 AS match_end_us
             FROM (SELECT conv_id, role, epoch_us(ts) AS tu,
@@ -2026,6 +2019,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
             "ON p.user_id = c.user_id AND epoch_us(p.ts) >= epoch_us(c.ts)"),
+        "q7_volume_shipping": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "EXTRACT(year FROM l_shipdate) AS l_year, "
+            "ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) "
+            "AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue "
+            "FROM supplier, lineitem, orders, customer, "
+            "nation n1, nation n2 "
+            "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey "
+            "AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey "
+            "AND c_nationkey = n2.n_nationkey "
+            "AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11') "
+            "OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')) "
+            f"AND epoch_us(l_shipdate) >= {_Q7_LO_US} "
+            f"AND epoch_us(l_shipdate) < {_Q7_HI_US} "
+            "GROUP BY 1, 2, 3"),
+        "quality_filter_p90": (
+            "WITH q AS (" + _quality_sql() + "), "
+            "thr AS (SELECT quantile_disc(quality, 0.9) AS t FROM q) "
+            "SELECT doc_id, quality FROM q, thr WHERE quality >= thr.t"),
         "q5_local_supplier": (
             "SELECT n_name, "
             "ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) "

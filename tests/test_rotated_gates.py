@@ -184,6 +184,21 @@ ROTATED = {
         "(SELECT o_orderkey, o_custkey, o_orderpriority FROM orders "
         "WHERE o_orderpriority = '1-URGENT') o "
         "ON c.c_custkey = o.o_custkey"),
+    # rotated out late-r4 for q7_volume_shipping / quality_filter_p90:
+    # projection stays exercised inside w1_chained and every revenue
+    # pipeline; tumbling-global is the keys-less case of
+    # tumbling_grouped_agg (+ the cm/sg window gates)
+    "projection": (
+        entry_mod._q_projection,
+        "SELECT l_orderkey, l_extendedprice * (1.0 - l_discount) AS revenue, "
+        "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charged "
+        "FROM lineitem"),
+    "tumbling_global_agg": (
+        entry_mod._q_tumbling_global,
+        f"SELECT epoch_us(ts) // {6 * 3_600_000_000} AS window_id, "
+        f"{entry_mod.ALL_SQL} FROM events GROUP BY 1"),
+    # q7/quality_filter also sit in the driver's 50 — kept here as extra
+    # local coverage since this file is where their oracles were born
     "q7_volume_shipping": (
         entry_mod._q_q7_volume_shipping,
         "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
