@@ -536,6 +536,19 @@ def _q_dedup_exact(sf):
     return exact_dedup(docs, on="text", id_col="doc_id")
 
 
+def _q_dedup_paragraphs(sf):
+    """Paragraph-level corpus dedup with document reconstruction (the
+    RefinedWeb-style curation step): split on the separator, keep each
+    distinct paragraph's globally-first occurrence (trivial/blank ones
+    always kept), rejoin per document. Two sort exchanges total (winner
+    election on the paragraph hash, reassembly on doc_id); the synthetic
+    corpus is single-line so the gate splits on ' the ' — the operator is
+    separator-generic."""
+    from saber_ray.stages.dedup import dedup_paragraphs
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    return dedup_paragraphs(docs, sep=" the ")
+
+
 def _q_token_stats(sf):
     from saber_ray.stages.text import token_stats
     docs = read_table(sf, "documents", columns=["doc_id", "text"])
@@ -1759,7 +1772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "pricing_summary": _q_pricing_summary,
         "perplexity_score": _q_perplexity,
-        "pivot_wide": _q_pivot_wide,
+        "dedup_paragraphs": _q_dedup_paragraphs,
         "curation_pipeline": _q_curation_pipeline,
         "grouped_quantiles": _q_grouped_quantiles,
         "grouped_quantiles_approx": _q_grouped_quantiles_approx,
@@ -2161,13 +2174,25 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN tok ON d.doc_id = tok.doc_id
             LEFT JOIN cnt ON tok.term = cnt.term, stats
             GROUP BY 1""",
-        "pivot_wide": (
-            "SELECT o_orderpriority, "
-            + ", ".join(
-                "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
-                f"FILTER (WHERE o_orderstatus = '{s}') AS DOUBLE), 4) "
-                f"AS tot_{s}" for s in ("F", "O", "P"))
-            + " FROM orders GROUP BY o_orderpriority"),
+        "dedup_paragraphs": """
+            WITH paras AS (
+              SELECT doc_id, generate_subscripts(ps,1) AS pos,
+                     unnest(ps) AS para
+              FROM (SELECT doc_id, string_split(text, ' the ') ps
+                    FROM documents)
+            ), occ AS (
+              SELECT doc_id, pos, para, trim(para) = '' AS triv FROM paras
+            ), kept AS (
+              SELECT doc_id, pos, para FROM (
+                SELECT doc_id, pos, para,
+                       row_number() OVER (PARTITION BY para
+                                          ORDER BY doc_id, pos) rn
+                FROM occ WHERE NOT triv) WHERE rn = 1
+              UNION ALL
+              SELECT doc_id, pos, para FROM occ WHERE triv
+            )
+            SELECT doc_id, string_agg(para, ' the ' ORDER BY pos) AS text
+            FROM kept GROUP BY doc_id""",
         "bm25_search": _bm25_oracle(),
         "json_extract": (
             "SELECT event_id, event_type, "

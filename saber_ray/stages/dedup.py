@@ -639,3 +639,118 @@ def ngram_jaccard(texts_a, texts_b, n: int = 3) -> np.ndarray:
         u = len(sa | sb)
         out[i] = (len(sa & sb) / u) if u else 1.0
     return out
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup with document reconstruction
+# ---------------------------------------------------------------------------
+
+def dedup_paragraphs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     sep: str = "\n"):
+    """Corpus-wide paragraph dedup with document reconstruction (the
+    RefinedWeb/CCNet-style curation step the reference has no analogue
+    for — its queries never restructure payloads, SURVEY.md §2.7).
+
+    Each document is split on ``sep``; a paragraph OCCURRENCE ``(doc,
+    pos)`` is kept iff it is the globally-FIRST occurrence of that exact
+    paragraph string (minimum ``(doc_id, pos)``), or the paragraph is
+    trivial (empty / whitespace-only — boilerplate structure is never a
+    dedup signal and dropping it would corrupt reconstruction joins).
+    Documents are reassembled by joining their kept paragraphs with
+    ``sep`` in original order; a document whose every paragraph lost
+    drops out entirely (exact-duplicate docs collapse to the first).
+
+    Output: ``(id_col, text_col)`` — payload columns are rebuilt, so
+    other input columns are dropped rather than silently stale.
+
+    Shape: split + flatten is one vectorized ``pc.split_pattern`` over
+    list offsets per batch; the winner election is ONE sort exchange on
+    the paragraph hash (collision-safe: blocks group on the actual
+    string, the exact_dedup discipline) and reassembly is ONE sort
+    exchange on ``id_col`` with per-block lexsort + ``pc.binary_join``.
+    Trivial occurrences bypass the election (their hash is salted with
+    ``(doc, pos)`` so a 100 TB corpus's blank lines spread across
+    reducers instead of melting one).
+    """
+    from saber_ray.core.hashing import hash_column, splitmix64
+
+    def split(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t[text_col].null_count:
+            raise ValueError(
+                f"dedup_paragraphs: column {text_col!r} contains "
+                f"{t[text_col].null_count} NULL value(s); drop or fill "
+                f"them first")
+        ids = _col_np(t, id_col)
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        la = pc.split_pattern(text, sep)
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]                  # sliced-array offset normalize
+        counts = np.diff(off)
+        paras = la.flatten()
+        parents = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        pos = np.arange(len(paras), dtype=np.int64) - off[:-1][parents]
+        triv = pc.equal(pc.utf8_trim_whitespace(paras), "") \
+            .to_numpy(zero_copy_only=False)
+        h = hash_column(paras)
+        # blank/whitespace paragraphs are kept unconditionally, so they
+        # need no co-location — salt them apart to kill reducer skew
+        if triv.any():
+            salt = splitmix64(ids[parents].view(np.uint64) * np.uint64(3)
+                              + pos.view(np.uint64))
+            h = np.where(triv, salt, h)
+        return pa.table({
+            id_col: pa.array(ids[parents]),
+            "__pos": pa.array(pos),
+            "__para": paras,
+            "__triv": pa.array(triv),
+            "__h": pa.array(h.view(np.int64)),
+        })
+
+    def elect(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return t.drop_columns(["__h", "__triv"])
+        codes = t["__para"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        triv = t["__triv"].combine_chunks().to_numpy(zero_copy_only=False)
+        if triv.any():                      # each trivial row is its own group
+            codes = codes.copy()
+            codes[triv] = -1 - np.arange(int(triv.sum()), dtype=np.int64)
+        ids = _col_np(t, id_col)
+        pos = _col_np(t, "__pos")
+        order = np.lexsort((pos, ids, codes))
+        c_sorted = codes[order]
+        first = order[np.concatenate(([True], c_sorted[1:] != c_sorted[:-1]))]
+        return t.take(pa.array(np.sort(first))) \
+            .drop_columns(["__h", "__triv"])
+
+    def reassemble(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             text_col: pa.array([], pa.string())})
+        ids = _col_np(t, id_col)
+        pos = _col_np(t, "__pos")
+        order = np.lexsort((pos, ids))
+        ids_s = ids[order]
+        paras_s = t["__para"].combine_chunks().take(pa.array(order))
+        starts, ends = _runs(ids_s)
+        offsets = np.append(starts, len(ids_s)).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets), paras_s)
+        joined = pc.binary_join(lists, sep)
+        return pa.table({id_col: pa.array(ids_s[starts]),
+                         text_col: joined.cast(pa.string())})
+
+    return ds.map_batches(split, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .sort("__h") \
+             .map_batches(elect, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .sort(id_col) \
+             .map_batches(reassemble, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -170,3 +170,73 @@ def test_winnowing_batch_kernel_equals_per_doc_reference():
     nb = ["héllo wörld abcdefgh" * 3, "plain ascii text here"]
     got2 = w(pa.table({"text": pa.array(nb)}))["winnow_fp"].to_pylist()
     assert [list(x) for x in got2] == [w._doc(s) for s in nb]
+
+
+PARA_ORACLE = """
+WITH paras AS (
+  SELECT doc_id, generate_subscripts(ps,1) AS pos, unnest(ps) AS para
+  FROM (SELECT doc_id, string_split(text, '{sep}') ps FROM documents)
+), occ AS (
+  SELECT doc_id, pos, para, trim(para) = '' AS triv FROM paras
+), kept AS (
+  SELECT doc_id, pos, para FROM (
+    SELECT doc_id, pos, para,
+           row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) rn
+    FROM occ WHERE NOT triv) WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, pos, para FROM occ WHERE triv
+)
+SELECT doc_id, string_agg(para, '{sep}' ORDER BY pos) AS text
+FROM kept GROUP BY doc_id
+"""
+
+
+def test_dedup_paragraphs(ray_session, sf_dir):
+    from saber_ray.stages.dedup import dedup_paragraphs
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_paragraphs(docs, sep=" the ")
+    assert_matches_oracle(out, PARA_ORACLE.format(sep=" the "), sf_dir)
+
+
+def test_dedup_paragraphs_edges(ray_session):
+    """Blank/whitespace paragraphs always kept, exact-dup doc collapses,
+    trailing separators preserved, a doc can vanish entirely."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+    from saber_ray.stages.dedup import dedup_paragraphs
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "alpha\nbeta\n\ngamma",       # blank paragraph inside
+            "alpha\nbeta\n\ngamma",       # exact dup of doc 1 -> vanishes? no: blank kept
+            "beta\ndelta\n",              # dup 'beta', trailing sep -> '' kept
+            "   \n\t",                    # whitespace-only paragraphs, all kept
+            "gamma",                      # fully duplicated, no trivial -> vanishes
+        ], pa.string()),
+    })
+    out = canon(to_pandas(
+        dedup_paragraphs(rd.from_arrow(docs), sep="\n")))
+    con = duckdb.connect()
+    con.register("documents", docs)
+    oracle = canon(con.execute(
+        PARA_ORACLE.format(sep=chr(10))
+        .replace("'\n'", "chr(10)")).df())
+    pd.testing.assert_frame_equal(out, oracle)
+    got = dict(zip(out["doc_id"], out["text"]))
+    assert got[1] == "alpha\nbeta\n\ngamma"
+    assert got[2] == ""                    # only the blank line survived
+    assert got[3] == "delta\n"
+    assert got[4] == "   \n\t"
+    assert 5 not in got
+
+
+def test_dedup_paragraphs_null_raises(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    from saber_ray.stages.dedup import dedup_paragraphs
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["a", None], pa.string())})
+    with pytest.raises(Exception, match="NULL"):
+        dedup_paragraphs(rd.from_arrow(t)).materialize()

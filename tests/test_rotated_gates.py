@@ -59,6 +59,14 @@ ROTATED = {
         "SELECT c_custkey, c_mktsegment FROM customer "
         "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
         "WHERE o_orderpriority = '1-URGENT')"),
+    "pivot_wide": (
+        entry_mod._q_pivot_wide,
+        "SELECT o_orderpriority, "
+        + ", ".join(
+            "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
+            f"FILTER (WHERE o_orderstatus = '{s}') AS DOUBLE), 4) "
+            f"AS tot_{s}" for s in ("F", "O", "P"))
+        + " FROM orders GROUP BY o_orderpriority"),
     "token_stats": (
         entry_mod._q_token_stats,
         "SELECT doc_id, LENGTH(text) AS n_chars, "
