@@ -33,9 +33,17 @@ CNT, SUM, AVG, MIN, MAX = "cnt", "sum", "avg", "min", "max"
 # as SQL var_samp/stddev_samp (NULL below 2 values). Float64 path only
 # (variance has no exactness contract to protect with fixed-point).
 VAR, STD = "var", "std"
+# SKEW/KURT extend the same moment family one and two powers up: mergeable
+# (count, Σx, Σx², Σx³[, Σx⁴]) partials, finalized as DuckDB's adjusted
+# Fisher-Pearson skewness (NULL below 3 values) and sample excess kurtosis
+# (NULL below 4) — both NULL on zero variance, like the SQL twins.
+SKEW, KURT = "skew", "kurt"
 
 ROWS = "__p_rows"
 _SQ = "__sqsrc_"                 # squared-source staging column prefix
+_CB = "__cbsrc_"                 # cubed-source staging column prefix
+_QD = "__qdsrc_"                 # fourth-power staging column prefix
+_POW_PREFIX = {"sumsq": _SQ, "sumcube": _CB, "sumquad": _QD}
 
 
 @dataclass(frozen=True)
@@ -46,11 +54,11 @@ class AggSpec:
     scale: Optional[int] = None   # fixed-point decimal scale (see note below)
 
     def __post_init__(self):
-        if self.op not in (CNT, SUM, AVG, MIN, MAX, VAR, STD):
+        if self.op not in (CNT, SUM, AVG, MIN, MAX, VAR, STD, SKEW, KURT):
             raise ValueError(f"unknown aggregation op {self.op!r}")
         if self.column is None and self.op != CNT:
             raise ValueError(f"{self.op} requires a column")
-        if self.op in (VAR, STD) and self.scale is not None:
+        if self.op in (VAR, STD, SKEW, KURT) and self.scale is not None:
             raise ValueError(f"{self.op} is float64-only (scale applies to "
                              f"the exact sum/avg/min/max paths)")
 
@@ -94,6 +102,16 @@ def var_(column: str, alias: Optional[str] = None) -> AggSpec:
 def std_(column: str, alias: Optional[str] = None) -> AggSpec:
     """Sample standard deviation (SQL stddev_samp)."""
     return AggSpec(STD, column, alias or f"std_{column}")
+
+def skew_(column: str, alias: Optional[str] = None) -> AggSpec:
+    """Adjusted Fisher-Pearson skewness (DuckDB ``skewness``: NULL below
+    3 values or on zero variance)."""
+    return AggSpec(SKEW, column, alias or f"skew_{column}")
+
+def kurt_(column: str, alias: Optional[str] = None) -> AggSpec:
+    """Sample excess kurtosis (DuckDB ``kurtosis``: NULL below 4 values
+    or on zero variance)."""
+    return AggSpec(KURT, column, alias or f"kurt_{column}")
 
 
 def scaled_columns(aggs: Sequence["AggSpec"]) -> dict[str, int]:
@@ -147,12 +165,16 @@ def partial_columns(aggs: Sequence[AggSpec]) -> dict[str, set[str]]:
         if a.column is None:
             continue
         fns = need.setdefault(a.column, set())
-        if a.op in (SUM, AVG, VAR, STD):
+        if a.op in (SUM, AVG, VAR, STD, SKEW, KURT):
             fns.add("sum")
-        if a.op in (AVG, CNT, VAR, STD):
+        if a.op in (AVG, CNT, VAR, STD, SKEW, KURT):
             fns.add("cnt")
-        if a.op in (VAR, STD):
+        if a.op in (VAR, STD, SKEW, KURT):
             fns.add("sumsq")
+        if a.op in (SKEW, KURT):
+            fns.add("sumcube")
+        if a.op == KURT:
+            fns.add("sumquad")
         if a.op == MIN:
             fns.add("min")
         if a.op == MAX:
@@ -162,15 +184,25 @@ def partial_columns(aggs: Sequence[AggSpec]) -> dict[str, set[str]]:
 
 def sq_columns(aggs: Sequence[AggSpec]) -> list[str]:
     """Source columns that need a squared staging column for sumsq."""
-    return sorted({a.column for a in aggs if a.op in (VAR, STD)})
+    return sorted({a.column for a in aggs
+                   if a.op in (VAR, STD, SKEW, KURT)})
 
 
 def append_sq_columns(tbl: pa.Table, aggs: Sequence[AggSpec]) -> pa.Table:
-    """Stage ``__sqsrc_<col>`` = float64(x)² next to each variance source
-    (before the partial group_by — Arrow has no sum-of-squares kernel)."""
+    """Stage ``__sqsrc_<col>`` = float64(x)² next to each moment source —
+    plus x³ / x⁴ for skew/kurt sources — before the partial group_by
+    (Arrow has no sum-of-powers kernel)."""
+    cube = {a.column for a in aggs if a.op in (SKEW, KURT)}
+    quad = {a.column for a in aggs if a.op == KURT}
     for c in sq_columns(aggs):
         x = pc.cast(tbl[c], pa.float64())
-        tbl = tbl.append_column(_SQ + c, pc.multiply(x, x))
+        x2 = pc.multiply(x, x)
+        tbl = tbl.append_column(_SQ + c, x2)
+        if c in cube:
+            x3 = pc.multiply(x2, x)
+            tbl = tbl.append_column(_CB + c, x3)
+            if c in quad:
+                tbl = tbl.append_column(_QD + c, pc.multiply(x3, x))
     return tbl
 
 
@@ -188,9 +220,10 @@ def arrow_partial_aggs(aggs: Sequence[AggSpec]):
     spec, rename = [], {}
     for colname, fns in partial_columns(aggs).items():
         for fn in sorted(fns):
-            if fn == "sumsq":
-                spec.append((_SQ + colname, "sum"))
-                rename[f"{_SQ}{colname}_sum"] = _p(colname, fn)
+            if fn in _POW_PREFIX:
+                pref = _POW_PREFIX[fn]
+                spec.append((pref + colname, "sum"))
+                rename[f"{pref}{colname}_sum"] = _p(colname, fn)
             else:
                 spec.append((colname, _ARROW_FN[fn]))
                 rename[f"{colname}_{_ARROW_FN[fn]}"] = _p(colname, fn)
@@ -207,7 +240,8 @@ def arrow_merge_aggs(aggs: Sequence[AggSpec]):
         for fn in sorted(fns):
             p = _p(colname, fn)
             merge = {"sum": "sum", "cnt": "sum", "min": "min",
-                     "max": "max", "sumsq": "sum"}[fn]
+                     "max": "max", "sumsq": "sum", "sumcube": "sum",
+                     "sumquad": "sum"}[fn]
             spec.append((p, merge))
             rename[f"{p}_{merge}"] = p
     spec.append((ROWS, "sum"))
@@ -223,7 +257,7 @@ def ray_merge_aggs(aggs: Sequence[AggSpec]):
         for fn in sorted(fns):
             p = _p(colname, fn)
             cls = {"sum": RSum, "cnt": RSum, "min": RMin, "max": RMax,
-                   "sumsq": RSum}[fn]
+                   "sumsq": RSum, "sumcube": RSum, "sumquad": RSum}[fn]
             out.append(cls(p, alias_name=p))
     out.append(RSum(ROWS, alias_name=ROWS))
     return out
@@ -332,6 +366,38 @@ def finalize(table: pa.Table, aggs: Sequence[AggSpec],
                              pa.scalar(0.0), var)
             var = pc.if_else(valid, var, pa.scalar(None, pa.float64()))
             arr = pc.sqrt(var) if a.op == STD else var
+        elif a.op in (SKEW, KURT):
+            # DuckDB reconstructs central moments from the same raw power
+            # sums (aggregate_functions: skew/kurtosis state = Σx^k), so
+            # the float64 arithmetic agrees to well inside the 6-decimal
+            # oracle rounding.
+            import numpy as np
+            f64 = lambda name: pc.cast(  # noqa: E731
+                pc.fill_null(table[_p(a.column, name)], 0),
+                pa.float64()).to_numpy(zero_copy_only=False)
+            n, s1, s2 = f64("cnt"), f64("sum"), f64("sumsq")
+            s3 = f64("sumcube")
+            kmin = 3.0 if a.op == SKEW else 4.0
+            with np.errstate(divide="ignore", invalid="ignore",
+                             over="ignore"):
+                nn = np.where(n >= kmin, n, kmin)   # never divide by <=0
+                mean = s1 / nn
+                m2s = s2 - s1 * mean                # Σ(x-mean)²
+                m3s = s3 - 3.0 * mean * s2 + 2.0 * nn * mean ** 3
+                if a.op == SKEW:
+                    sd = np.sqrt(m2s / (nn - 1.0))
+                    val = nn / ((nn - 1.0) * (nn - 2.0)) * m3s / sd ** 3
+                else:
+                    s4 = f64("sumquad")
+                    m4s = (s4 - 4.0 * mean * s3 + 6.0 * mean ** 2 * s2
+                           - 3.0 * nn * mean ** 4)
+                    g2 = nn * m4s / m2s ** 2 - 3.0
+                    val = ((nn - 1.0) / ((nn - 2.0) * (nn - 3.0))
+                           * ((nn + 1.0) * g2 + 6.0))
+                ok = (n >= kmin) & (m2s > 0.0) & np.isfinite(val)
+            arr = pa.array(np.where(ok, val, 0.0), type=pa.float64())
+            arr = pc.if_else(pa.array(ok), arr,
+                             pa.scalar(None, pa.float64()))
         elif a.op == MIN:
             arr = table[_p(a.column, "min")]
             if descale is not None:

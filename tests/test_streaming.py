@@ -377,3 +377,22 @@ def test_streaming_variance_matches_batch(ray_session, stream_files,
         rd.read_parquet(stream_files), window=W, aggs=vaggs,
         keys=["role"])))
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+
+
+def test_streaming_skew_kurt_matches_batch(ray_session, stream_files,
+                                           tmp_path):
+    """SKEW/KURT partials (…, sumcube, sumquad) flow through the streaming
+    engine's pane state and the batch path identically."""
+    from saber_ray import kurt_, skew_
+    maggs = [cnt(alias="n"), skew_("text_len", "sk"),
+             kurt_("text_len", "ku")]
+    import ray.data as rd
+    job = StreamingWindowedAggregate(
+        str(tmp_path / "out"), window=W, aggs=maggs, keys=["role"],
+        num_partitions=3)
+    job.run(stream_files, epoch_size=3)
+    got = canon(job.results().to_pandas())
+    want = canon(to_pandas(windowed_aggregate(
+        rd.read_parquet(stream_files), window=W, aggs=maggs,
+        keys=["role"])))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)

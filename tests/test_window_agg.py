@@ -373,3 +373,68 @@ def test_variance_session_windows(ray_session):
     assert len(got) == len(exp)
     for g, e in zip(got, exp):
         assert (pd.isna(g) and pd.isna(e)) or abs(g - e) < 1e-9
+
+
+def test_skew_kurt_tumbling_grouped(ray_session, sf_dir):
+    """SKEW/KURT through the pane-partial merge algebra vs DuckDB
+    skewness()/kurtosis() (raw power-sum moments, merged per pane)."""
+    from saber_ray import kurt_, skew_
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = windowed_aggregate(
+        ds, window=Window.tumbling(DAY),
+        aggs=[cnt("value", "n"), skew_("value", "sk"),
+              kurt_("value", "ku")],
+        keys=["event_type"], round_decimals=6)
+    assert_matches_oracle(
+        out,
+        f"SELECT event_type, epoch_us(ts) // {DAY} AS window_id, "
+        "COUNT(value) AS n, ROUND(skewness(value), 6) AS sk, "
+        "ROUND(kurtosis(value), 6) AS ku FROM events GROUP BY 1, 2",
+        sf_dir)
+
+
+def test_skew_kurt_sliding_pane_merge(ray_session, sf_dir):
+    """Sliding windows: sumcube/sumquad partials must survive the pane →
+    window expansion and the post-shuffle merge identically to sumsq."""
+    from saber_ray import kurt_, skew_
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+    out = windowed_aggregate(
+        ds, window=Window.sliding(4 * DAY, DAY),
+        aggs=[skew_("value", "sk"), kurt_("value", "ku")],
+        round_decimals=6)
+    assert_matches_oracle(
+        out, _sliding_sql(4, DAY,
+                          "window_id, ROUND(skewness(value), 6) AS sk, "
+                          "ROUND(kurtosis(value), 6) AS ku"),
+        sf_dir)
+
+
+def test_skew_kurt_small_and_constant_groups(ray_session):
+    """DuckDB NULL semantics: skewness NULL below 3 values, kurtosis NULL
+    below 4, both NULL on zero variance; exact on a known group."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+    from saber_ray import kurt_, skew_
+    t = pa.table({
+        "ts": pa.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11], pa.int64()),
+        "k": ["a"] * 5 + ["two"] * 2 + ["three"] * 3 + ["const"] * 2,
+        "value": pa.array([1.0, 2.5, 3.7, 0.2, 9.1,
+                           4.0, 5.0,
+                           1.0, 2.0, 4.0,
+                           7.7, 7.7]),
+    })
+    out = to_pandas(windowed_aggregate(
+        rd.from_arrow(t), window=Window.tumbling(10**9),
+        aggs=[skew_("value", "sk"), kurt_("value", "ku")], keys=["k"],
+        round_decimals=6)).set_index("k")
+    con = duckdb.connect()
+    con.register("t", t)
+    o = con.execute(
+        "SELECT k, ROUND(skewness(value), 6) sk, "
+        "ROUND(kurtosis(value), 6) ku FROM t GROUP BY k").df().set_index("k")
+    for k in ("a", "two", "three", "const"):
+        for c in ("sk", "ku"):
+            got, want = out.loc[k, c], o.loc[k, c]
+            assert (pd.isna(got) and pd.isna(want)) or got == want, \
+                (k, c, got, want)
