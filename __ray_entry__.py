@@ -1510,6 +1510,22 @@ def _q_streaming_shift(sf):
     return job.results()
 
 
+def _q_streaming_topk(sf):
+    """Streaming grouped top-k view (streaming_topk.py): each
+    conversation's 3 most recent turns as a continuously-maintained
+    leaderboard (the k-generalization of the latest-per-key upsert view).
+    The final snapshot equals the SQL ROW_NUMBER()<=k window over the
+    whole stream; per-partition state is ≤ k rows per live key."""
+    from saber_ray.streaming_topk import StreamingGroupedTopK
+    files, out = _stream_gate_files(
+        sf, ["conv_id", "turn_idx", "role", "ts"], "stream_topk")
+    job = StreamingGroupedTopK(
+        out, keys=["conv_id"], order_by=["turn_idx"], descending=True,
+        k=3, columns=["turn_idx", "role"], ts_col="ts", num_partitions=3)
+    job.run(files, epoch_size=2)
+    return job.results()
+
+
 def _q_corpus_diff(sf):
     """Snapshot diff between two corpus versions (stages/diff.py): each
     side reduces to (id, md5) — text never enters the exchange — then ONE
@@ -1776,7 +1792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": _q_curation_pipeline,
         "grouped_quantiles": _q_grouped_quantiles,
         "grouped_quantiles_approx": _q_grouped_quantiles_approx,
-        "grouped_topk": _q_grouped_topk,
+        "streaming_grouped_topk": _q_streaming_topk,
         "match_pattern": _q_match_pattern,
         "dedup_exact": _q_dedup_exact,
         "q3_shipping_priority": _q_q3_shipping,
@@ -2229,11 +2245,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars, n_ws_tokens, n_bpe_tokens "
             "FROM stats WHERE n_ws_tokens >= 5 AND "
             + sample_sql_predicate("doc_id", 0.5, salt=3)),
-        "grouped_topk": (
-            "SELECT * FROM (SELECT event_type, value, event_id, "
-            "ROW_NUMBER() OVER (PARTITION BY event_type "
-            "ORDER BY value DESC, event_id) AS rn FROM events) "
-            "WHERE rn <= 5"),
+        "streaming_grouped_topk": _tx(
+            "SELECT conv_id, turn_idx, role, epoch_us(ts) AS ts "
+            "FROM transcripts QUALIFY ROW_NUMBER() OVER "
+            "(PARTITION BY conv_id ORDER BY turn_idx DESC) <= 3"),
         "match_pattern": _tx(f"""
             SELECT conv_id, turn_idx AS match_start_turn_idx,
                    i2 AS match_end_turn_idx,

@@ -59,6 +59,12 @@ ROTATED = {
         "SELECT c_custkey, c_mktsegment FROM customer "
         "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
         "WHERE o_orderpriority = '1-URGENT')"),
+    "grouped_topk": (
+        entry_mod._q_grouped_topk,
+        "SELECT * FROM (SELECT event_type, value, event_id, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY value DESC, event_id) AS rn FROM events) "
+        "WHERE rn <= 5"),
     "pivot_wide": (
         entry_mod._q_pivot_wide,
         "SELECT o_orderpriority, "
