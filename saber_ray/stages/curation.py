@@ -36,7 +36,8 @@ import ray
 from saber_ray.core.aggregates import round_oracle_np
 
 __all__ = ["repetition_stats", "redact_pii", "decontaminate",
-           "build_shingle_blocklist", "PII_PATTERNS"]
+           "build_shingle_blocklist", "PII_PATTERNS",
+           "find_repeated_spans", "mask_repeated_spans"]
 
 
 # ---------------------------------------------------------------------------
@@ -343,3 +344,147 @@ def normalize_text(ds, text_col: str = "text", *, out: Optional[str] = None,
         return t.append_column(dst, cur)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# repeated-span masking (distributable exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+def _batch_gram_counts(t: pa.Table, text_col: str, k: int) -> pa.Table:
+    flat, owners = split_ws(t[text_col])
+    codes, _ = token_codes(flat)
+    gcodes, gpos = _gram_codes(codes, owners, k)
+    if len(gcodes) == 0:
+        return pa.table({"gram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    u, first, inv = np.unique(gcodes, return_index=True,
+                              return_inverse=True)
+    grams = _shingle_strings(flat, gpos[first], k)
+    n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+    return pa.table({"gram": grams, "n": pa.array(n)})
+
+
+def find_repeated_spans(ds, *, text_col: str = "text", k: int = 5,
+                        min_count: int = 2):
+    """Word k-grams occurring ``>= min_count`` times corpus-wide →
+    a ``(gram, n)`` Dataset. Per-batch counts are pre-combined (one row
+    per DISTINCT gram per batch), then summed through the int-hash count
+    exchange (``lm._string_count_exchange``) — the ngram-vocabulary
+    cost class: gram strings ship once per distinct-per-block gram."""
+    from saber_ray.stages.lm import _string_count_exchange
+    if k < 2:
+        raise ValueError(f"span length k must be >= 2, got {k}")
+    parts = ds.map_batches(
+        lambda t, _c=text_col, _k=k: _batch_gram_counts(t, _c, _k),
+        batch_format="pyarrow", zero_copy_batch=True)
+    agg = _string_count_exchange(parts, "gram", "n")
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n"],
+                                         pa.scalar(min_count, pa.int64())))
+
+    return agg.map_batches(keep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+class _SpanMasker:
+    """Per-process stage state: mask tokens covered by any frequent
+    k-gram occurrence. The frequent-span set is the broadcast small side
+    (resolved once per process, the ``_Decontaminator`` discipline);
+    membership is probed once per UNIQUE gram per batch, coverage is one
+    difference-array cumsum over the flat token buffer."""
+
+    def __init__(self, spans_ref, text_col: str, k: int):
+        sp = (ray.get(spans_ref)
+              if isinstance(spans_ref, ray.ObjectRef) else spans_ref)
+        self.span_set = pa.array(sorted(sp), type=pa.string())
+        self.text_col, self.k = text_col, k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        flat, owners = split_ws(t[self.text_col])
+        n_rows, n_tok = t.num_rows, len(flat)
+        covered = np.zeros(n_tok, dtype=bool)
+        if n_tok:
+            codes, _ = token_codes(flat)
+            gcodes, gpos = _gram_codes(codes, owners, self.k)
+            if len(gcodes):
+                u, first, inv = np.unique(gcodes, return_index=True,
+                                          return_inverse=True)
+                s = _shingle_strings(flat, gpos[first], self.k)
+                memb = pc.is_in(s, value_set=self.span_set) \
+                    .to_numpy(zero_copy_only=False).astype(bool)
+                hitpos = gpos[memb[inv]]
+                if len(hitpos):
+                    # a gram is valid only within one owner row, so the
+                    # [p, p+k) ranges never cross rows
+                    diff = np.zeros(n_tok + 1, dtype=np.int64)
+                    np.add.at(diff, hitpos, 1)
+                    np.add.at(diff, hitpos + self.k, -1)
+                    covered = np.cumsum(diff[:-1]) > 0
+        kept = ~covered
+        n_masked = np.bincount(owners[covered], minlength=n_rows) \
+            if n_tok else np.zeros(n_rows, dtype=np.int64)
+        kept_counts = np.bincount(owners[kept], minlength=n_rows) \
+            if n_tok else np.zeros(n_rows, dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(kept_counts))) \
+            .astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets), compact_array(flat.filter(pa.array(kept)))
+            if n_tok else pa.array([], pa.string()))
+        joined = pc.binary_join(lists, " ").cast(pa.string())
+        t = t.set_column(t.column_names.index(self.text_col),
+                         self.text_col, joined)
+        return t.append_column(
+            "n_masked", pa.array(n_masked.astype(np.int64)))
+
+
+from saber_ray.core.aggregates import compact_array  # noqa: E402
+
+
+@lru_cache(maxsize=4)
+def _span_masker(spans_ref, text_col: str, k: int) -> _SpanMasker:
+    # bounded: entries hold resolved span sets and pin their ObjectRefs
+    return _SpanMasker(spans_ref, text_col, k)
+
+
+def mask_repeated_spans(ds, *, text_col: str = "text", k: int = 5,
+                        min_count: int = 2, spans=None,
+                        concurrency=None):
+    """Remove every token covered by a word k-gram that repeats
+    ``>= min_count`` times corpus-wide — the distributable form of
+    exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better": their suffix-array ExactSubstr
+    removes repeated >= 50-byte spans; fixed-length k-gram coverage is
+    the shuffle-friendly approximation). Rewrites ``text_col`` (kept
+    tokens rejoined with ' ') and appends ``n_masked``.
+
+    Two corpus scans total: one counting pass (``find_repeated_spans``
+    → driver-collected, ``ray.put`` once) and one masking pass. The
+    frequent-span set must fit the driver/worker heap — raise
+    ``min_count`` (or pre-filter) for corpora where it wouldn't; pass
+    ``spans`` (iterable or ObjectRef) to skip the counting pass.
+
+    ALL occurrences of a frequent span are removed, including the first
+    — the self-inverse convention that keeps the SQL twin one range
+    join (DuckDB oracle in the ``mask_repeated_spans`` gate); documents
+    shorter than k words are untouched.
+    """
+    if spans is None:
+        freq = find_repeated_spans(ds, text_col=text_col, k=k,
+                                   min_count=min_count)
+        vals: list = []
+        for b in freq.iter_batches(batch_size=None, batch_format="pyarrow"):
+            vals.extend(b["gram"].to_pylist())
+        spans = frozenset(vals)
+    if isinstance(spans, (set, list, tuple)):
+        spans = frozenset(spans)
+    if concurrency is None:
+        return ds.map_batches(
+            lambda t, _r=spans, _c=text_col, _k=k:
+                _span_masker(_r, _c, _k)(t),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        _SpanMasker, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, num_cpus=0.5,
+        fn_constructor_kwargs={"spans_ref": spans,
+                               "text_col": text_col, "k": k})

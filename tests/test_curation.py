@@ -13,6 +13,8 @@ import ray.data as rd
 from saber_ray.stages.curation import (PII_PATTERNS, build_shingle_blocklist,
                                        decontaminate, redact_pii,
                                        repetition_stats)
+from saber_ray.sources.parquet import read_table
+from tests.oracle_util import assert_matches_oracle
 
 VOCAB = ["a", "bb", "ccc", "dd", "e", ""]
 
@@ -154,3 +156,78 @@ def test_normalize_text_null_and_out_col(ray_session):
                          out="clean").to_pandas()
     assert got["clean"].tolist() == ["hi there", None]
     assert got["text"].tolist() == ["  Hi   THERE ", None]
+
+
+SPAN_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+grams AS (
+  SELECT doc_id, q, array_to_string(w[q:q+{km1}], ' ') AS g
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w)-{k}+1, 0))) AS q
+        FROM toks)
+),
+freq AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= {mc}),
+hits AS (SELECT doc_id, q FROM grams JOIN freq USING (g)),
+pos AS (SELECT doc_id, generate_subscripts(w,1) p, unnest(w) tok FROM toks),
+cover AS (SELECT DISTINCT p.doc_id, p.p FROM pos p JOIN hits h
+          ON p.doc_id = h.doc_id AND p.p BETWEEN h.q AND h.q + {k} - 1),
+kept AS (SELECT pos.doc_id, pos.p, pos.tok FROM pos
+         ANTI JOIN cover c ON pos.doc_id = c.doc_id AND pos.p = c.p)
+SELECT t.doc_id,
+       COALESCE(kt.text, '') AS text,
+       COALESCE(cv.n_masked, 0) AS n_masked
+FROM toks t
+LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+           FROM kept GROUP BY doc_id) kt USING (doc_id)
+LEFT JOIN (SELECT doc_id, COUNT(*) AS n_masked FROM cover
+           GROUP BY doc_id) cv USING (doc_id)
+"""
+
+
+def test_mask_repeated_spans(ray_session, sf_dir):
+    from saber_ray.stages.curation import mask_repeated_spans
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = mask_repeated_spans(docs, k=5, min_count=2)
+    assert_matches_oracle(out, SPAN_ORACLE.format(k=5, km1=4, mc=2), sf_dir)
+
+
+def test_find_repeated_spans_counts(ray_session, sf_dir):
+    from saber_ray.stages.curation import find_repeated_spans
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = find_repeated_spans(docs, k=5, min_count=3)
+    assert_matches_oracle(
+        out,
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') w "
+        "FROM documents) "
+        "SELECT array_to_string(w[q:q+4], ' ') AS gram, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM (SELECT doc_id, w, unnest(generate_series(1, "
+        "greatest(len(w)-5+1, 0))) AS q FROM toks) "
+        "GROUP BY gram HAVING COUNT(*) >= 3",
+        sf_dir)
+
+
+def test_mask_repeated_spans_edges(ray_session):
+    """Short docs untouched, a fully-repeated doc masks to '', provided
+    spans skip the counting pass, overlapping spans cover the union."""
+    import pyarrow as pa
+    import ray.data as rd
+    from saber_ray.stages.curation import mask_repeated_spans
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a b c d e",          # repeated verbatim in doc 2 -> all masked
+            "a b c d e",
+            "x y",                # shorter than k -> untouched
+            "p a b c d e q",      # contains the span -> middle masked
+        ], pa.string()),
+    })
+    out = mask_repeated_spans(rd.from_arrow(docs), k=5, min_count=2) \
+        .to_pandas().sort_values("doc_id")
+    assert out["text"].tolist() == ["", "", "x y", "p q"]
+    assert out["n_masked"].tolist() == [5, 5, 0, 5]
+    # provided spans: no counting pass, same masking kernel
+    out2 = mask_repeated_spans(rd.from_arrow(docs), k=5,
+                               spans=frozenset(["a b c d e"])) \
+        .to_pandas().sort_values("doc_id")
+    assert out2["text"].tolist() == out["text"].tolist()
