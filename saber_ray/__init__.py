@@ -19,7 +19,8 @@ the reference, cited per-module as reference file:line.
 from saber_ray.core.expressions import col, lit, Expr
 from saber_ray.core.windows import Window
 from saber_ray.core.aggregates import (AggSpec, cnt, sum_, avg, min_,
-                                       max_, var_, std_, skew_, kurt_)
+                                       max_, var_, std_, skew_, kurt_,
+                                       arg_max_, arg_min_)
 from saber_ray.stages.select import selection
 from saber_ray.stages.project import projection
 from saber_ray.stages.noop import noop
@@ -50,6 +51,7 @@ from saber_ray.stages.nbayes import train_nb, predict_nb
 __all__ = [
     "col", "lit", "Expr", "Window", "AggSpec",
     "cnt", "sum_", "avg", "min_", "max_", "var_", "std_", "skew_", "kurt_",
+    "arg_max_", "arg_min_",
     "selection", "projection", "noop", "windowed_aggregate", "session_windows",
     "assign_windows", "windowed_distinct_count",
     "match_pattern",

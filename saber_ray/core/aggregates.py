@@ -38,29 +38,58 @@ VAR, STD = "var", "std"
 # Fisher-Pearson skewness (NULL below 3 values) and sample excess kurtosis
 # (NULL below 4) — both NULL on zero variance, like the SQL twins.
 SKEW, KURT = "skew", "kurt"
+# ARGMAX/ARGMIN (SQL MAX_BY/MIN_BY): the value of one column at the row
+# where another column is maximal/minimal — "latest text per window",
+# "cheapest supplier per part". Mergeable through the SAME associative
+# max algebra: each row is encoded as ONE order-sortable string
+# (16-hex sortable order key + '|' + type tag + sortable value payload),
+# the partial is plain string MAX of the encoding, and finalize decodes
+# the payload. Lexicographic max of the encoding == (max/min order,
+# ties broken by MAX value) — deterministic, so a SQL twin can reproduce
+# it exactly (DuckDB's own arg_max is scan-order-dependent under ties).
+# Rows where EITHER column is NULL are ignored (the twin filters both).
+ARGMAX, ARGMIN = "argmax", "argmin"
 
 ROWS = "__p_rows"
 _SQ = "__sqsrc_"                 # squared-source staging column prefix
 _CB = "__cbsrc_"                 # cubed-source staging column prefix
 _QD = "__qdsrc_"                 # fourth-power staging column prefix
 _POW_PREFIX = {"sumsq": _SQ, "sumcube": _CB, "sumquad": _QD}
+_AX = "__axsrc_"                 # arg-encoding staging column prefix (per alias)
+_ARG_VALUE_TYPES = ("string", "int64", "float64", "timestamp")
 
 
 @dataclass(frozen=True)
 class AggSpec:
-    op: str                    # cnt | sum | avg | min | max
+    op: str                    # cnt | sum | avg | min | max | ... | argmax
     column: Optional[str]      # None only for cnt → COUNT(*)
     alias: str
     scale: Optional[int] = None   # fixed-point decimal scale (see note below)
+    order_col: Optional[str] = None   # argmax/argmin: the extremized column
+    value_type: Optional[str] = None  # argmax/argmin: decode type of `column`
 
     def __post_init__(self):
-        if self.op not in (CNT, SUM, AVG, MIN, MAX, VAR, STD, SKEW, KURT):
+        if self.op not in (CNT, SUM, AVG, MIN, MAX, VAR, STD, SKEW, KURT,
+                           ARGMAX, ARGMIN):
             raise ValueError(f"unknown aggregation op {self.op!r}")
         if self.column is None and self.op != CNT:
             raise ValueError(f"{self.op} requires a column")
         if self.op in (VAR, STD, SKEW, KURT) and self.scale is not None:
             raise ValueError(f"{self.op} is float64-only (scale applies to "
                              f"the exact sum/avg/min/max paths)")
+        if self.op in (ARGMAX, ARGMIN):
+            if self.order_col is None:
+                raise ValueError(f"{self.op} requires order_col")
+            if self.value_type not in _ARG_VALUE_TYPES:
+                raise ValueError(
+                    f"{self.op} requires value_type ∈ {_ARG_VALUE_TYPES} "
+                    f"(the decode type of {self.column!r}), got "
+                    f"{self.value_type!r}")
+            if self.scale is not None:
+                raise ValueError(f"{self.op} carries original values — "
+                                 f"scale does not apply")
+        elif self.order_col is not None or self.value_type is not None:
+            raise ValueError("order_col/value_type apply to argmax/argmin only")
 
 
 # Fixed-point (scaled-decimal) aggregation — ``scale=s`` declares the column
@@ -113,6 +142,21 @@ def kurt_(column: str, alias: Optional[str] = None) -> AggSpec:
     or on zero variance)."""
     return AggSpec(KURT, column, alias or f"kurt_{column}")
 
+def arg_max_(column: str, order_col: str, alias: Optional[str] = None, *,
+             value_type: str) -> AggSpec:
+    """SQL MAX_BY(column, order_col): ``column``'s value on the row where
+    ``order_col`` is maximal; ties on the order broken by MAX value (the
+    deterministic twin: ``max(v) FILTER (WHERE o = max(o) over the group)``).
+    Rows where either column is NULL are ignored."""
+    return AggSpec(ARGMAX, column, alias or f"argmax_{column}",
+                   order_col=order_col, value_type=value_type)
+
+def arg_min_(column: str, order_col: str, alias: Optional[str] = None, *,
+             value_type: str) -> AggSpec:
+    """SQL MIN_BY: value at the MINIMUM of order_col, ties → MAX value."""
+    return AggSpec(ARGMIN, column, alias or f"argmin_{column}",
+                   order_col=order_col, value_type=value_type)
+
 
 def scaled_columns(aggs: Sequence["AggSpec"]) -> dict[str, int]:
     """column → decimal scale for scaled aggregates (one scale per column).
@@ -159,10 +203,17 @@ def _p(colname: str, fn: str) -> str:
 
 
 def partial_columns(aggs: Sequence[AggSpec]) -> dict[str, set[str]]:
-    """Which partial functions each source column needs."""
+    """Which partial functions each source column needs.
+
+    argmax/argmin entries are keyed by their STAGED encoding column
+    (``__axsrc_<alias>``, created by append_sq_columns) with the pseudo-fn
+    ``amax`` — merged everywhere as a plain string max."""
     need: dict[str, set[str]] = {}
     for a in aggs:
         if a.column is None:
+            continue
+        if a.op in (ARGMAX, ARGMIN):
+            need.setdefault(_AX + a.alias, set()).add("amax")
             continue
         fns = need.setdefault(a.column, set())
         if a.op in (SUM, AVG, VAR, STD, SKEW, KURT):
@@ -191,7 +242,8 @@ def sq_columns(aggs: Sequence[AggSpec]) -> list[str]:
 def append_sq_columns(tbl: pa.Table, aggs: Sequence[AggSpec]) -> pa.Table:
     """Stage ``__sqsrc_<col>`` = float64(x)² next to each moment source —
     plus x³ / x⁴ for skew/kurt sources — before the partial group_by
-    (Arrow has no sum-of-powers kernel)."""
+    (Arrow has no sum-of-powers kernel). Also stages ``__axsrc_<alias>``
+    order-sortable encodings for argmax/argmin."""
     cube = {a.column for a in aggs if a.op in (SKEW, KURT)}
     quad = {a.column for a in aggs if a.op == KURT}
     for c in sq_columns(aggs):
@@ -203,11 +255,80 @@ def append_sq_columns(tbl: pa.Table, aggs: Sequence[AggSpec]) -> pa.Table:
             tbl = tbl.append_column(_CB + c, x3)
             if c in quad:
                 tbl = tbl.append_column(_QD + c, pc.multiply(x3, x))
+    for a in aggs:
+        if a.op in (ARGMAX, ARGMIN):
+            tbl = tbl.append_column(
+                _AX + a.alias,
+                _arg_encode(tbl[a.order_col], tbl[a.column],
+                            a.value_type, invert=(a.op == ARGMIN)))
     return tbl
 
 
+def _sortable_u64(col) -> "tuple":
+    """(uint64 codes whose unsigned order == the column's SQL order,
+    validity bool ndarray). Ints/timestamps: bias by 2^63; float64: the
+    IEEE-754 total-order flip (sign bit set for non-negatives, all bits
+    inverted for negatives — NaNs don't occur in SQL-comparable inputs)."""
+    import numpy as np
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    if pa.types.is_floating(col.type):
+        x = pc.fill_null(pc.cast(col, pa.float64()), 0.0) \
+            .to_numpy(zero_copy_only=False)
+        b = x.view(np.uint64)
+        u = np.where(b >> np.uint64(63) == 1, ~b,
+                     b | np.uint64(1 << 63))
+    else:
+        x = pc.fill_null(pc.cast(col, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        u = x.view(np.uint64) ^ np.uint64(1 << 63)
+    return u, valid
+
+
+def _hex16(u) -> pa.Array:
+    """Fixed-width lowercase hex of uint64 codes — lexicographic order of
+    the 16-char strings == unsigned numeric order."""
+    import binascii
+    import numpy as np
+    hx = np.frombuffer(binascii.hexlify(u.astype(">u8").tobytes()),
+                       dtype="S16")
+    return pa.array(hx.astype("U16"), type=pa.string())
+
+
+def _arg_encode(order_col, value_col, value_type: str,
+                invert: bool) -> pa.Array:
+    """One sortable string per row: hex16(order) + '|' + tag + payload.
+
+    String MAX of the encoding == row with max order (min when ``invert``
+    flips the order bits), ties broken by max payload — and every payload
+    encoding is order-preserving for its type (raw UTF-8 bytes for strings,
+    matching DuckDB's memcmp collation; hex16 sortable codes for numerics).
+    NULL when either input is NULL (ignored by max)."""
+    import numpy as np
+    u, o_valid = _sortable_u64(order_col)
+    if invert:
+        u = ~u
+    order_hex = _hex16(u)
+    if isinstance(value_col, pa.ChunkedArray):
+        value_col = value_col.combine_chunks()
+    if value_type == "string":
+        v_valid = pc.is_valid(value_col).to_numpy(zero_copy_only=False)
+        payload = pc.fill_null(pc.cast(value_col, pa.string()), "")
+        tag = "|s"
+    else:
+        v, v_valid = _sortable_u64(value_col)
+        payload = _hex16(v)
+        tag = {"int64": "|i", "float64": "|f", "timestamp": "|t"}[value_type]
+    enc = pc.binary_join_element_wise(order_hex, pc.fill_null(payload, ""),
+                                      pa.scalar(tag))
+    both = pa.array(o_valid & v_valid)
+    return pc.if_else(both, compact_array(enc), pa.scalar(None, pa.string()))
+
+
 def input_columns(aggs: Sequence[AggSpec]) -> list[str]:
-    return sorted({a.column for a in aggs if a.column is not None})
+    return sorted({a.column for a in aggs if a.column is not None} |
+                  {a.order_col for a in aggs if a.order_col is not None})
 
 
 _ARROW_FN = {"sum": "sum", "cnt": "count", "min": "min", "max": "max"}
@@ -224,6 +345,10 @@ def arrow_partial_aggs(aggs: Sequence[AggSpec]):
                 pref = _POW_PREFIX[fn]
                 spec.append((pref + colname, "sum"))
                 rename[f"{pref}{colname}_sum"] = _p(colname, fn)
+            elif fn == "amax":
+                # colname IS the staged __axsrc_<alias> encoding column
+                spec.append((colname, "max"))
+                rename[f"{colname}_max"] = _p(colname, fn)
             else:
                 spec.append((colname, _ARROW_FN[fn]))
                 rename[f"{colname}_{_ARROW_FN[fn]}"] = _p(colname, fn)
@@ -241,7 +366,7 @@ def arrow_merge_aggs(aggs: Sequence[AggSpec]):
             p = _p(colname, fn)
             merge = {"sum": "sum", "cnt": "sum", "min": "min",
                      "max": "max", "sumsq": "sum", "sumcube": "sum",
-                     "sumquad": "sum"}[fn]
+                     "sumquad": "sum", "amax": "max"}[fn]
             spec.append((p, merge))
             rename[f"{p}_{merge}"] = p
     spec.append((ROWS, "sum"))
@@ -257,7 +382,8 @@ def ray_merge_aggs(aggs: Sequence[AggSpec]):
         for fn in sorted(fns):
             p = _p(colname, fn)
             cls = {"sum": RSum, "cnt": RSum, "min": RMin, "max": RMax,
-                   "sumsq": RSum, "sumcube": RSum, "sumquad": RSum}[fn]
+                   "sumsq": RSum, "sumcube": RSum, "sumquad": RSum,
+                   "amax": RMax}[fn]
             out.append(cls(p, alias_name=p))
     out.append(RSum(ROWS, alias_name=ROWS))
     return out
@@ -398,6 +524,8 @@ def finalize(table: pa.Table, aggs: Sequence[AggSpec],
             arr = pa.array(np.where(ok, val, 0.0), type=pa.float64())
             arr = pc.if_else(pa.array(ok), arr,
                              pa.scalar(None, pa.float64()))
+        elif a.op in (ARGMAX, ARGMIN):
+            arr = _arg_decode(table[_p(_AX + a.alias, "amax")], a.value_type)
         elif a.op == MIN:
             arr = table[_p(a.column, "min")]
             if descale is not None:
@@ -410,6 +538,34 @@ def finalize(table: pa.Table, aggs: Sequence[AggSpec],
             arr = _round_half_even(arr, round_decimals)
         out[a.alias] = arr
     return out
+
+
+def _arg_decode(enc, value_type: str):
+    """Invert _arg_encode's payload: strip the 18-char ``hex16|tag`` prefix,
+    then undo the sortable-code mapping. Runs on merged (post-shuffle)
+    result tables — small by construction."""
+    import binascii
+    import numpy as np
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    valid = pc.is_valid(enc)
+    payload = pc.utf8_slice_codeunits(pc.fill_null(enc, "0" * 34), 18)
+    if value_type == "string":
+        return pc.if_else(valid, compact_array(payload),
+                          pa.scalar(None, pa.string()))
+    hx = payload.to_numpy(zero_copy_only=False).astype("S16")
+    u = np.frombuffer(binascii.unhexlify(hx.tobytes()), dtype=">u8") \
+        .astype(np.uint64)
+    if value_type == "float64":
+        b = np.where(u >> np.uint64(63) == 1,
+                     u & ~np.uint64(1 << 63), ~u)
+        out = pa.array(b.view(np.float64), type=pa.float64())
+    else:
+        x = (u ^ np.uint64(1 << 63)).view(np.int64)
+        out = pa.array(x, type=pa.int64())
+        if value_type == "timestamp":
+            out = out.cast(pa.timestamp("us"))
+    return pc.if_else(valid, out, pa.scalar(None, out.type))
 
 
 def round_oracle_np(x, ndigits: int):

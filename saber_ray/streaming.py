@@ -44,6 +44,8 @@ count = shuffle width; key-hash routing is stable so state never moves.
 
 from __future__ import annotations
 
+from dataclasses import asdict as _dc_asdict
+
 import json
 import os
 from typing import Optional, Sequence
@@ -423,8 +425,7 @@ class StreamingWindowedAggregate:
         actors = [PaneStoreActor.remote(
             dict(mode=self.window.mode, size=self.window.size,
                  slide=self.window.slide),
-            [dict(op=a.op, column=a.column, alias=a.alias, scale=a.scale)
-             for a in self.aggs],
+            [_dc_asdict(a) for a in self.aggs],
             self.keys, self.round_decimals) for i in range(self.n)]
         try:
             ray.get([a.restore.remote(self._snap_path(i, ck["epoch"]))

@@ -36,6 +36,8 @@ with source lineage, as in streaming.py.
 
 from __future__ import annotations
 
+from dataclasses import asdict as _dc_asdict
+
 import os
 from typing import Optional, Sequence
 
@@ -298,6 +300,5 @@ class StreamingSessionWindows(KeyedStreamEngine):
     def _spawn_actors(self):
         return [SessionStateActor.remote(
             self.keys, self.gap,
-            [dict(op=a.op, column=a.column, alias=a.alias, scale=a.scale)
-             for a in self.aggs])
+            [_dc_asdict(a) for a in self.aggs])
             for _ in range(self.n)]
