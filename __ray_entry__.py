@@ -536,6 +536,90 @@ def _q_dedup_exact(sf):
     return exact_dedup(docs, on="text", id_col="doc_id")
 
 
+def _q_latest_turn_agg(sf):
+    """ARG_MAX/ARG_MIN through the windowed partial-merge algebra: per
+    (role, 1-day tumbling window), the text length of the LATEST and
+    FIRST turn plus the latest conv_id — 'current state per window', the
+    canonical MAX_BY workload a pure min/max algebra can't express. Ties
+    on ts break deterministically to the MAX value (twin: two-level
+    max-filter, not DuckDB's scan-order arg_max)."""
+    from saber_ray import arg_max_, arg_min_
+    from saber_ray.pipelines.suite import _with_text_len
+    ts = transcripts_from_events(sf)
+    ds = _with_text_len(ts.select_columns(["role", "conv_id", "ts", "text"]),
+                        keep=["role", "conv_id"])
+    return windowed_aggregate(
+        ds, window=Window.tumbling(DAY), keys=["role"],
+        aggs=[cnt(alias="n"),
+              arg_max_("text_len", "ts", "latest_len", value_type="int64"),
+              arg_min_("text_len", "ts", "first_len", value_type="int64"),
+              arg_max_("conv_id", "ts", "latest_conv",
+                       value_type="string")])
+
+
+def _q_dedup_incremental(sf):
+    """Cross-run incremental dedup: today's corpus against a prior
+    snapshot (a deterministic 40% hash-sample of documents stands in for
+    yesterday's run). Hash-partitioned anti-join — both sides stream
+    through ONE sort exchange on the content hash; value-level comparison
+    inside each hash run, so collisions can't false-drop."""
+    from saber_ray.stages.dedup import dedup_against
+    from saber_ray.stages.sample import hash_sample
+    docs = read_table(sf, "documents", columns=["doc_id", "text", "lang"])
+    prior = hash_sample(read_table(sf, "documents",
+                                   columns=["doc_id", "text"]),
+                        "doc_id", 0.4, salt=11)
+    return dedup_against(docs, prior, on="text")
+
+
+_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _q_hash_split(sf):
+    """Deterministic train/val/test assignment by cumulative hash bucket —
+    stable under re-sharding, reproducible across runs; the SQL twin uses
+    the identical integer thresholds (split_sql_case)."""
+    from saber_ray.stages.sample import hash_split
+    docs = read_table(sf, "documents", columns=["doc_id", "lang"])
+    return hash_split(docs, "doc_id", _SPLITS, salt=1)
+
+
+def _q_mix_corpora(sf):
+    """Weighted deterministic corpus mixing (the training-mixture step):
+    100% of 'wiki' (en docs) + 30% of 'web' (everything else), each
+    source sampled with its own PRE-multiply salt so sources sharing a
+    key universe stay independent; UNION ALL twin via mix_sql."""
+    from saber_ray.stages.sample import mix_datasets
+    en = selection(read_table(sf, "documents",
+                              columns=["doc_id", "text", "lang"]),
+                   col("lang") == "en")
+    rest = selection(read_table(sf, "documents",
+                                columns=["doc_id", "text", "lang"]),
+                     col("lang") != "en")
+    return mix_datasets({"wiki": (en, 1.0), "web": (rest, 0.3)},
+                        "doc_id", salt=2, source_col="corpus")
+
+
+def _q_pack_sequences(sf):
+    """Greedy next-fit sequence packing into 1200-token budgets over hash
+    buckets — deterministic at any partitioning; the oracle is a
+    recursive CTE advancing one sequence boundary per bucket per
+    iteration (pack_sql), value-exact including positions and offsets."""
+    from saber_ray.stages.pack import pack_sequences
+    docs = read_table(sf, "documents", columns=["doc_id", "n_chars"])
+    return pack_sequences(docs, 1200, tokens_col="n_chars", buckets=8,
+                          salt=4)
+
+
+def _q_strip_html(sf):
+    """HTML/boilerplate strip: comments, <script>/<style> blocks, tags,
+    entities, whitespace collapse — pure RE2 + literal-replace kernels,
+    twin generated from the SAME step table (strip_html_sql)."""
+    from saber_ray.stages.curation import strip_html
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    return strip_html(docs, "text", out="clean")
+
+
 def _q_dedup_paragraphs(sf):
     """Paragraph-level corpus dedup with document reconstruction (the
     RefinedWeb-style curation step): split on the separator, keep each
@@ -1754,12 +1838,15 @@ def _q_ysb(sf):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        "selection": _q_selection,
         "q7_volume_shipping": _q_q7_volume_shipping,
-        "tumbling_grouped_agg": _q_tumbling_grouped,
+        "latest_turn_agg": _q_latest_turn_agg,
+        "dedup_incremental": _q_dedup_incremental,
+        "hash_split": _q_hash_split,
+        "mix_corpora": _q_mix_corpora,
+        "pack_sequences": _q_pack_sequences,
+        "strip_html": _q_strip_html,
         "quality_filter_p90": _q_quality_filter,
         "streaming_match_pattern": _q_streaming_match_pattern,
-        "hopping_window_gaps": _q_hopping_window,
         "chunk_documents": _q_chunk_documents,
         "sliding_grouped_agg": _q_sliding_grouped,
         "streaming_rolling": _q_streaming_rolling,
@@ -1769,7 +1856,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": _q_corpus_diff,
         "hash_join_agg": _q_hash_join_agg,
         "windowed_theta_join": _q_windowed_join,
-        "asof_join": _q_asof_join,
         "transcripts_from_csv": _q_transcripts_from_csv,
         "rollup_agg": _q_rollup_agg,
         "cm1": _q_cm1,
@@ -1791,9 +1877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_paragraphs": _q_dedup_paragraphs,
         "curation_pipeline": _q_curation_pipeline,
         "grouped_quantiles": _q_grouped_quantiles,
-        "grouped_quantiles_approx": _q_grouped_quantiles_approx,
         "streaming_grouped_topk": _q_streaming_topk,
-        "match_pattern": _q_match_pattern,
         "dedup_exact": _q_dedup_exact,
         "q3_shipping_priority": _q_q3_shipping,
         "q5_local_supplier": _q_q5_local_supplier,
@@ -1906,17 +1990,46 @@ def _lang_id_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from saber_ray.stages.curation import pii_oracle_sql
-    from saber_ray.stages.sample import sample_sql_predicate
+    from saber_ray.stages.curation import pii_oracle_sql, strip_html_sql
+    from saber_ray.stages.pack import pack_sql
+    from saber_ray.stages.sample import (mix_sql, sample_sql_predicate,
+                                         split_sql_case)
     return {
+        "latest_turn_agg": _tx(f"""
+            WITH t AS (SELECT role, conv_id, length(text) AS text_len,
+                              epoch_us(ts) AS tu,
+                              epoch_us(ts) // {DAY} AS window_id
+                       FROM transcripts),
+             m AS (SELECT role, window_id, max(tu) AS mx, min(tu) AS mn
+                   FROM t GROUP BY 1, 2)
+            SELECT t.role, t.window_id, count(*) AS n,
+                   max(CASE WHEN tu = mx THEN text_len END) AS latest_len,
+                   max(CASE WHEN tu = mn THEN text_len END) AS first_len,
+                   max(CASE WHEN tu = mx THEN conv_id END) AS latest_conv
+            FROM t JOIN m USING (role, window_id) GROUP BY 1, 2"""),
+        "dedup_incremental": (
+            "SELECT d.doc_id, d.text, d.lang FROM documents d "
+            "WHERE d.text NOT IN (SELECT text FROM documents WHERE "
+            + sample_sql_predicate("doc_id", 0.4, salt=11) + ")"),
+        "hash_split": (
+            f"SELECT doc_id, lang, "
+            f"{split_sql_case('doc_id', _SPLITS, salt=1)} AS split "
+            "FROM documents"),
+        "mix_corpora": mix_sql(
+            {"wiki": ("(SELECT doc_id, text, lang FROM documents "
+                      "WHERE lang = 'en')", 1.0),
+             "web": ("(SELECT doc_id, text, lang FROM documents "
+                     "WHERE lang <> 'en')", 0.3)},
+            "doc_id", salt=2, source_col="corpus",
+            columns="doc_id, text, lang"),
+        "pack_sequences": pack_sql(
+            "SELECT doc_id, n_chars FROM documents", 1200,
+            tokens_col="n_chars", buckets=8, salt=4),
+        "strip_html": (
+            f"SELECT doc_id, text, {strip_html_sql('text')} AS clean "
+            "FROM documents"),
         "lang_id": _lang_id_sql(),
         "quality_score": _quality_sql(),
-                "selection": (
-            "SELECT event_id, event_type, value FROM events "
-            "WHERE value > 100.0 AND event_type <> 'error'"),
-        "tumbling_grouped_agg": (
-            f"SELECT event_type, epoch_us(ts) // {DAY} AS window_id, {ALL_SQL} "
-            "FROM events GROUP BY 1, 2"),
         "streaming_match_pattern": _tx(f"""
             SELECT conv_id, tu AS match_start_us, t2 AS match_end_us
             FROM (SELECT conv_id, role, epoch_us(ts) AS tu,
@@ -1947,11 +2060,6 @@ def oracle_sql() -> dict[str, str]:
                      AS chunk_text,
                    least(64, n - i * 48) AS n_tokens
             FROM e""",
-        "hopping_window_gaps": (
-            f"SELECT epoch_us(ts) // {6 * HOUR} AS window_id, COUNT(*) AS n, "
-            "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) "
-            "AS sum_value FROM events "
-            f"WHERE epoch_us(ts) % {6 * HOUR} < {2 * HOUR} GROUP BY 1"),
         "sliding_grouped_agg": _sliding_sql(
             4, 12 * HOUR,
             f"user_id, window_id, ROUND({_DECV} / COUNT(value), 6) AS avg_value, "
@@ -2041,13 +2149,6 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_from_csv": (
             f"SELECT conv_id, turn_idx, role, text, tool, "
             f"epoch_us(ts) AS ts FROM ({TRANSCRIPTS_SQL})"),
-        "asof_join": (
-            "SELECT p.user_id, epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
-            "p.event_id AS event_id_l, c.event_id AS event_id_r, "
-            "p.value AS value_l, c.value AS value_r "
-            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
-            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
-            "ON p.user_id = c.user_id AND epoch_us(p.ts) >= epoch_us(c.ts)"),
         "q7_volume_shipping": (
             "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
             "EXTRACT(year FROM l_shipdate) AS l_year, "
@@ -2229,11 +2330,6 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(LENGTH(text), 0.95) AS p95_chars, "
             "COUNT(DISTINCT LENGTH(text)) AS n_distinct_lens, "
             "COUNT(*) AS n_docs FROM documents GROUP BY 1"),
-        "grouped_quantiles_approx": (
-            "SELECT lang, quantile_disc(LENGTH(text), 0.25) AS p25_chars, "
-            "quantile_disc(LENGTH(text), 0.9) AS p90_chars, "
-            "COUNT(DISTINCT LENGTH(text)) AS n_distinct_lens, "
-            "COUNT(*) AS n_docs FROM documents GROUP BY 1"),
         "curation_pipeline": (
             "WITH dedup AS (SELECT d.doc_id, d.lang, d.text FROM documents d "
             "JOIN (SELECT text, MIN(doc_id) AS doc_id FROM documents "
@@ -2249,22 +2345,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, role, epoch_us(ts) AS ts "
             "FROM transcripts QUALIFY ROW_NUMBER() OVER "
             "(PARTITION BY conv_id ORDER BY turn_idx DESC) <= 3"),
-        "match_pattern": _tx(f"""
-            SELECT conv_id, turn_idx AS match_start_turn_idx,
-                   i2 AS match_end_turn_idx,
-                   tu AS match_start_us, t2 AS match_end_us
-            FROM (SELECT conv_id, turn_idx, role, epoch_us(ts) AS tu,
-                    LEAD(role, 1) OVER
-                      (PARTITION BY conv_id ORDER BY turn_idx) r1,
-                    LEAD(role, 2) OVER
-                      (PARTITION BY conv_id ORDER BY turn_idx) r2,
-                    LEAD(turn_idx, 2) OVER
-                      (PARTITION BY conv_id ORDER BY turn_idx) i2,
-                    LEAD(epoch_us(ts), 2) OVER
-                      (PARTITION BY conv_id ORDER BY turn_idx) t2
-                  FROM transcripts)
-            WHERE role = 'user' AND r1 = 'assistant' AND r2 = 'user'
-              AND t2 - tu <= {24 * HOUR}"""),
         "dedup_exact": (
             "SELECT d.doc_id, d.text, d.lang FROM documents d "
             "JOIN (SELECT text, MIN(doc_id) AS doc_id FROM documents "

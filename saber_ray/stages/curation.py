@@ -488,3 +488,76 @@ def mask_repeated_spans(ds, *, text_col: str = "text", k: int = 5,
         concurrency=concurrency, num_cpus=0.5,
         fn_constructor_kwargs={"spans_ref": spans,
                                "text_col": text_col, "k": k})
+
+
+# ---------------------------------------------------------------------------
+# HTML / boilerplate stripping
+# ---------------------------------------------------------------------------
+
+# (kind, pattern-or-literal, replacement) applied IN ORDER; regex steps are
+# RE2 (shared dialect between pyarrow and DuckDB — no backreferences used),
+# literal steps are plain substring replaces. &amp; decodes LAST so
+# double-escaped entities resolve one level per pass, like a single-pass
+# HTML decoder ("&amp;lt;" → "&lt;", not "<").
+HTML_STRIP_STEPS: list[tuple[str, str, str]] = [
+    ("re", r"(?s)<!--.*?-->", " "),
+    ("re", r"(?is)<script\b.*?</script\s*>", " "),
+    ("re", r"(?is)<style\b.*?</style\s*>", " "),
+    ("re", r"(?s)<[^>]*>", " "),
+    ("lit", "&nbsp;", " "),
+    ("lit", "&lt;", "<"),
+    ("lit", "&gt;", ">"),
+    ("lit", "&quot;", '"'),
+    ("lit", "&#39;", "'"),
+    ("lit", "&amp;", "&"),
+]
+
+
+def strip_html(ds, text_col: str = "text", *, out: Optional[str] = None,
+               collapse: bool = True):
+    """Remove HTML boilerplate from a text column: comments, whole
+    <script>/<style> blocks, every remaining tag, then the six common
+    entities; ``collapse=True`` squeezes whitespace runs to one space and
+    trims. Pure vectorized RE2 + literal-replace kernels, NULL text stays
+    NULL; embarrassingly parallel (no shuffle). ``strip_html_sql`` emits a
+    value-exact DuckDB twin from the SAME step table."""
+    dst = out or text_col
+
+    def f(t: pa.Table) -> pa.Table:
+        cur = t[text_col]
+        for kind, pat, rep in HTML_STRIP_STEPS:
+            if kind == "re":
+                cur = pc.replace_substring_regex(cur, pattern=pat,
+                                                 replacement=rep)
+            else:
+                cur = pc.replace_substring(cur, pattern=pat,
+                                           replacement=rep)
+        if collapse:
+            # \s in RE2 is ASCII-only on both engines; trim spaces only
+            # (SQL trim() default) — utf8_trim_whitespace would also strip
+            # U+00A0 etc. and diverge from the twin
+            cur = pc.utf8_trim(
+                pc.replace_substring_regex(cur, pattern=r"\s+",
+                                           replacement=" "),
+                characters=" ")
+        if dst in t.column_names:
+            return t.set_column(t.column_names.index(dst), dst, cur)
+        return t.append_column(dst, cur)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def strip_html_sql(col_expr: str, *, collapse: bool = True) -> str:
+    """Nested-expression DuckDB twin of :func:`strip_html` over
+    ``col_expr`` (built from the same HTML_STRIP_STEPS literals)."""
+    e = col_expr
+    for kind, pat, rep in HTML_STRIP_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        if kind == "re":
+            e = f"regexp_replace({e}, '{p}', '{r}', 'g')"
+        else:
+            e = f"replace({e}, '{p}', '{r}')"
+    if collapse:
+        e = f"trim(regexp_replace({e}, '\\s+', ' ', 'g'))"
+    return e

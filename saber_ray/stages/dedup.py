@@ -754,3 +754,119 @@ def dedup_paragraphs(ds, *, text_col: str = "text", id_col: str = "doc_id",
              .sort(id_col) \
              .map_batches(reassemble, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a prior corpus snapshot
+# ---------------------------------------------------------------------------
+
+def dedup_against(new_ds, prior_ds, *, on: str = "text",
+                  broadcast: bool = False):
+    """Keep the rows of ``new_ds`` whose ``on`` value does NOT appear in
+    ``prior_ds`` — the cross-run incremental dedup a continuously-ingested
+    corpus needs (today's crawl against yesterday's cleaned snapshot).
+    SQL twin: ``SELECT n.* FROM new n WHERE n.text NOT IN (SELECT text
+    FROM prior)`` (``on`` must be non-null on both sides, checked loudly
+    like exact_dedup).
+
+    Default (scale path): hash-partitioned anti-join. Both sides add the
+    same vectorized content hash, the prior side is padded to the new
+    side's schema with typed NULLs + tagged, and ONE ``sort(__h)`` range
+    exchange co-locates equal values (equal values hash equal); each block
+    then drops new-side rows whose value-run also contains a prior-side
+    row — comparison is on the actual VALUE inside the hash run, so hash
+    collisions cannot cause false drops. Shuffle volume is both sides
+    once; no side is ever materialized on the driver.
+
+    ``broadcast=True`` (small-prior path): the prior's distinct values are
+    collected into one Arrow array, shipped once via ``ray.put``, and each
+    new-side batch is filtered with a single vectorized ``pc.is_in`` — no
+    shuffle at all. Use when the prior's distinct ``on`` payload fits
+    comfortably in the object store (a blocklist, a benchmark set, a small
+    golden corpus); the default path is the 100 TB-safe one.
+    """
+    import ray
+
+    if broadcast:
+        vals: list = []
+        for b in prior_ds.select_columns([on]) \
+                         .iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                if b[on].null_count:
+                    raise ValueError(
+                        f"dedup_against: prior {on!r} contains NULLs")
+                vals.append(pc.unique(b[on].combine_chunks()))
+        value_set = (pc.unique(pa.concat_arrays(vals)) if vals
+                     else pa.array([], pa.string()))
+        ref = ray.put(value_set)
+
+        def drop_seen(t: pa.Table) -> pa.Table:
+            if t[on].null_count:
+                raise ValueError(f"dedup_against: {on!r} contains NULLs")
+            seen = ray.get(ref)
+            if len(seen) == 0 or t.num_rows == 0:
+                return t
+            return t.filter(pc.invert(pc.is_in(t[on], value_set=seen)))
+
+        return new_ds.map_batches(drop_seen, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    new_schema = new_ds.schema()
+    if new_schema is None:
+        return new_ds                       # executed-empty input: nothing to drop
+    names = list(new_schema.names)
+    types = dict(zip(names, new_schema.types))   # ray Schema wrapper
+    if on not in names:
+        raise ValueError(f"dedup_against: column {on!r} not in new side "
+                         f"{names}")
+
+    def _hash_tag(src: int, pad: bool):
+        def f(t: pa.Table) -> pa.Table:
+            if t[on].null_count:
+                raise ValueError(
+                    f"dedup_against: {on!r} contains NULLs "
+                    f"({'prior' if src == 0 else 'new'} side)")
+            h = pd.util.hash_array(
+                np.asarray(_col_np(t, on), dtype=object)).astype("int64")
+            cols = {c: (t[c] if not pad or c == on
+                        else pa.nulls(t.num_rows, types[c]))
+                    for c in names}
+            cols["__h"] = pa.array(h, type=pa.int64())
+            cols["__src"] = pa.array(
+                np.full(t.num_rows, src, dtype=np.int8))
+            return pa.Table.from_arrays(
+                [(v.combine_chunks() if isinstance(v, pa.ChunkedArray)
+                  else v) for v in (cols[n] for n in names
+                                    + ["__h", "__src"])],
+                names=names + ["__h", "__src"])
+        return f
+
+    both = prior_ds.select_columns([on]) \
+        .map_batches(_hash_tag(0, pad=True), batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .union(new_ds.map_batches(_hash_tag(1, pad=False),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True))
+
+    def anti(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns(["__h", "__src"])
+        t = t.combine_chunks()
+        codes = t[on].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        src = _col_np(t, "__src").astype(np.int8)
+        order = np.lexsort((src, codes))
+        c_sorted = codes[order]
+        starts, ends = _runs(c_sorted)
+        # sorted by (code, src): a run's first row has its min src —
+        # 0 means the prior snapshot contains this value
+        run_has_prior = src[order[starts]] == 0
+        n_runs = len(starts)
+        run_of = np.repeat(np.arange(n_runs, dtype=np.int64),
+                           ends - starts)
+        keep_sorted = (src[order] == 1) & ~run_has_prior[run_of]
+        keep = np.sort(order[keep_sorted])
+        return t.take(pa.array(keep)).drop_columns(["__h", "__src"])
+
+    return both.sort("__h").map_batches(anti, batch_format="pyarrow",
+                                        zero_copy_batch=True)

@@ -234,6 +234,56 @@ ROTATED = {
         f"WITH q AS ({entry_mod._quality_sql()}), "
         "thr AS (SELECT quantile_disc(quality, 0.9) AS t FROM q) "
         "SELECT doc_id, quality FROM q, thr WHERE quality >= thr.t"),
+    # --- rotated out when the arg/split/mix/pack/strip/incremental-dedup
+    # gates entered the 50-window ---
+    "selection": (
+        entry_mod._q_selection,
+        "SELECT event_id, event_type, value FROM events "
+        "WHERE value > 100.0 AND event_type <> 'error'"),
+    "tumbling_grouped_agg": (
+        entry_mod._q_tumbling_grouped,
+        f"SELECT event_type, epoch_us(ts) // {entry_mod.DAY} AS window_id, "
+        f"{entry_mod.ALL_SQL} FROM events GROUP BY 1, 2"),
+    "hopping_window_gaps": (
+        entry_mod._q_hopping_window,
+        f"SELECT epoch_us(ts) // {6 * entry_mod.HOUR} AS window_id, "
+        "COUNT(*) AS n, "
+        "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) "
+        "AS sum_value FROM events "
+        f"WHERE epoch_us(ts) % {6 * entry_mod.HOUR} < {2 * entry_mod.HOUR} "
+        "GROUP BY 1"),
+    "asof_join": (
+        entry_mod._q_asof_join,
+        "SELECT p.user_id, epoch_us(p.ts) AS ts_l, epoch_us(c.ts) AS ts_r, "
+        "p.event_id AS event_id_l, c.event_id AS event_id_r, "
+        "p.value AS value_l, c.value AS value_r "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id AND epoch_us(p.ts) >= epoch_us(c.ts)"),
+    "grouped_quantiles_approx": (
+        entry_mod._q_grouped_quantiles_approx,
+        "SELECT lang, quantile_disc(LENGTH(text), 0.25) AS p25_chars, "
+        "quantile_disc(LENGTH(text), 0.9) AS p90_chars, "
+        "COUNT(DISTINCT LENGTH(text)) AS n_distinct_lens, "
+        "COUNT(*) AS n_docs FROM documents GROUP BY 1"),
+    "match_pattern": (
+        entry_mod._q_match_pattern,
+        entry_mod._tx(f"""
+            SELECT conv_id, turn_idx AS match_start_turn_idx,
+                   i2 AS match_end_turn_idx,
+                   tu AS match_start_us, t2 AS match_end_us
+            FROM (SELECT conv_id, turn_idx, role, epoch_us(ts) AS tu,
+                    LEAD(role, 1) OVER
+                      (PARTITION BY conv_id ORDER BY turn_idx) r1,
+                    LEAD(role, 2) OVER
+                      (PARTITION BY conv_id ORDER BY turn_idx) r2,
+                    LEAD(turn_idx, 2) OVER
+                      (PARTITION BY conv_id ORDER BY turn_idx) i2,
+                    LEAD(epoch_us(ts), 2) OVER
+                      (PARTITION BY conv_id ORDER BY turn_idx) t2
+                  FROM transcripts)
+            WHERE role = 'user' AND r1 = 'assistant' AND r2 = 'user'
+              AND t2 - tu <= {24 * entry_mod.HOUR}""")),
 }
 
 
