@@ -620,6 +620,21 @@ def _q_strip_html(sf):
     return strip_html(docs, "text", out="clean")
 
 
+def _q_near_dedup_incremental(sf):
+    """Near-dup incremental dedup (rows-only driver check; the LSH path is
+    non-SQL — value-level behavior pinned in tests/test_dedup_against.py):
+    new docs whose MinHash-LSH near-duplicate exists in the prior snapshot
+    are dropped; composition of the banded LSH search over side-tagged ids
+    + the hash anti-join."""
+    from saber_ray.stages.dedup import near_dedup_against
+    from saber_ray.stages.sample import hash_sample
+    docs = read_table(sf, "documents", columns=["doc_id", "text", "lang"])
+    prior = hash_sample(read_table(sf, "documents",
+                                   columns=["doc_id", "text"]),
+                        "doc_id", 0.4, salt=11)
+    return near_dedup_against(docs, prior, threshold=0.7)
+
+
 def _q_dedup_paragraphs(sf):
     """Paragraph-level corpus dedup with document reconstruction (the
     RefinedWeb-style curation step): split on the separator, keep each
@@ -1901,6 +1916,7 @@ def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
     test_similarity, test_multimodal, test_driver_contract)."""
     return {
         "winnowing_fingerprint": _q_winnowing,
+        "near_dedup_incremental": _q_near_dedup_incremental,
         "simhash_near_pairs": _q_simhash_pairs,
         "multimodal_features": _q_multimodal_features,
         "dedup_minhash_lsh": _q_minhash_clusters,

@@ -870,3 +870,62 @@ def dedup_against(new_ds, prior_ds, *, on: str = "text",
 
     return both.sort("__h").map_batches(anti, batch_format="pyarrow",
                                         zero_copy_batch=True)
+
+
+def near_dedup_against(new_ds, prior_ds, *, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = 64,
+                       bands: int = 16, shingle_words: int = 3,
+                       threshold: float = 0.7, seed: int = 42,
+                       max_bucket: int = 512):
+    """Drop ``new_ds`` rows that are NEAR-duplicates (MinHash-LSH estimated
+    Jaccard ≥ threshold) of any ``prior_ds`` row — the fuzzy counterpart of
+    :func:`dedup_against` (today's crawl vs yesterday's snapshot, catching
+    re-crawls with boilerplate drift that exact hashing misses).
+
+    Composition, all existing scale paths: both sides' ids are remapped
+    into one space with a side bit (new → 2·id+1, prior → 2·id), the
+    union streams through the standard banded LSH candidate search (one
+    band-key sort exchange), CROSS-side candidate pairs yield the matched
+    new ids, and one hash anti-join (:func:`dedup_against` on the id
+    column) removes them. New-internal near-dups are intentionally KEPT —
+    that's :func:`minhash_dedup`'s job on the survivors. Ids must be
+    non-negative int64 < 2^62 (the side bit) and texts non-null."""
+    def _remap(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t[id_col].cast(pa.int64())
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            if ids.null_count:
+                raise ValueError(f"near_dedup_against: {id_col!r} has NULLs")
+            iv = ids.to_numpy(zero_copy_only=False)
+            if (iv < 0).any() or (iv >= 2 ** 62).any():
+                raise ValueError(f"near_dedup_against: {id_col!r} must be "
+                                 f"in [0, 2^62)")
+            return pa.table({id_col: pa.array(iv * 2 + side),
+                             text_col: t[text_col].combine_chunks()
+                             if isinstance(t[text_col], pa.ChunkedArray)
+                             else t[text_col]})
+        return f
+
+    both = prior_ds.select_columns([id_col, text_col]) \
+        .map_batches(_remap(0), batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .union(new_ds.select_columns([id_col, text_col])
+               .map_batches(_remap(1), batch_format="pyarrow",
+                            zero_copy_batch=True))
+    pairs = minhash_candidate_pairs(
+        both, text_col=text_col, id_col=id_col, num_perm=num_perm,
+        bands=bands, shingle_words=shingle_words, threshold=threshold,
+        seed=seed, max_bucket=max_bucket)
+
+    def matched_new_ids(t: pa.Table) -> pa.Table:
+        a = _col_np(t, "a")
+        b = _col_np(t, "b")
+        cross = (a % 2) != (b % 2)
+        new_side = np.where(a[cross] % 2 == 1, a[cross], b[cross]) // 2
+        return pa.table({id_col: pa.array(np.unique(new_side),
+                                          type=pa.int64())})
+
+    hits = pairs.map_batches(matched_new_ids, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return dedup_against(new_ds, hits, on=id_col)

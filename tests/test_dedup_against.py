@@ -72,3 +72,42 @@ def test_dedup_against_null_raises(ray_session):
     prior = pa.table({"text": pa.array(["a"])})
     with pytest.raises(Exception, match="NULL"):
         to_pandas(dedup_against(rd.from_arrow(new), rd.from_arrow(prior)))
+
+
+def _word_doc(rng, n=40, vocab=5000, off=0):
+    return " ".join(f"w{v+off}" for v in rng.integers(0, vocab, n))
+
+
+def test_near_dedup_against_drops_prior_near_dups(ray_session):
+    """New docs that are near-copies (or exact copies) of prior docs are
+    dropped; genuinely fresh docs survive; new-internal near-dups are
+    KEPT (documented: that's minhash_dedup's job on the survivors)."""
+    from saber_ray.stages.dedup import near_dedup_against
+    rng = np.random.default_rng(31)
+    prior_texts = [_word_doc(rng) for _ in range(40)]
+    near = []
+    for t in prior_texts[:15]:   # drift ONE of 40 words: true 3-shingle
+        w = t.split()            # Jaccard ≈ 0.86 — comfortably above the
+        w[5] = "drifted"         # 0.5 threshold so the probabilistic LSH
+        near.append(" ".join(w)) # miss rate is ≪ 1e-4 per doc
+    exact = prior_texts[15:25]
+    fresh = [_word_doc(rng, off=10**6) for _ in range(20)]
+    twin_a = _word_doc(rng, off=2 * 10**6)
+    twin_b = twin_a.replace(twin_a.split()[3], "changed", 1)
+    new_texts = near + exact + fresh + [twin_a, twin_b]
+    new = pa.table({
+        "doc_id": pa.array(np.arange(len(new_texts), dtype=np.int64)),
+        "text": pa.array(new_texts)})
+    prior = pa.table({
+        "doc_id": pa.array(np.arange(len(prior_texts), dtype=np.int64)),
+        "text": pa.array(prior_texts)})
+    for parts in (1, 4):
+        got = to_pandas(near_dedup_against(
+            rd.from_arrow(new).repartition(parts),
+            rd.from_arrow(prior).repartition(2), threshold=0.5))
+        kept = set(got["doc_id"])
+        n_near, n_exact = len(near), len(exact)
+        assert not kept & set(range(n_near + n_exact)), \
+            "near/exact copies of prior must be dropped"
+        assert set(range(n_near + n_exact, len(new_texts))) <= kept, \
+            "fresh docs (and new-internal twins) must survive"
