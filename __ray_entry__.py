@@ -229,6 +229,42 @@ def _q_windowed_join(sf):
                                "event_id_r", "value_l", "value_r"])
 
 
+def _q_interval_join(sf):
+    """Point-in-interval (SQL BETWEEN) join — variable-length intervals that
+    the fixed band of windowed_join cannot express. Reference parity: Saber's
+    ThetaJoin with an arbitrary time-range predicate per right tuple
+    (cql/operators/cpu/ThetaJoin.java:15-321). Cell-replicated stabbing join:
+    each interval is copied to every time cell it overlaps, each point goes
+    to its own cell, pairs meet in exactly one cell — ONE sort exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from saber_ray.stages.join import interval_join
+
+    def points_f(t: pa.Table) -> pa.Table:
+        m = (t["l_partkey"].to_numpy(zero_copy_only=False) % 101) == 0
+        return t.filter(pa.array(m))
+
+    def intervals_f(t: pa.Table) -> pa.Table:
+        m = (t["o_orderkey"].to_numpy(zero_copy_only=False) % 37) == 0
+        t = t.filter(pa.array(m))
+        s = t["o_orderdate"].cast(pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"], "start": s,
+                         "end": pc.add(s, 2 * DAY),
+                         "o_totalprice": t["o_totalprice"]})
+
+    points = read_table(
+        sf, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_shipdate"]) \
+        .map_batches(points_f, batch_format="pyarrow", zero_copy_batch=True)
+    intervals = read_table(
+        sf, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(intervals_f, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    return interval_join(points, intervals, point_ts="l_shipdate")
+
+
 def _q_theta_join_keyless(sf):
     """Pure theta join — the reference's ThetaJoin with a bare comparison
     predicate and NO equi key (cql/operators/cpu/ThetaJoin.java:96-272,
@@ -1872,7 +1908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_agg": _q_hash_join_agg,
         "windowed_theta_join": _q_windowed_join,
         "transcripts_from_csv": _q_transcripts_from_csv,
-        "rollup_agg": _q_rollup_agg,
+        "interval_join": _q_interval_join,
         "cm1": _q_cm1,
         "streaming_cm1": _q_streaming_cm1,
         "streaming_windowed_join": _q_streaming_join,
@@ -2151,15 +2187,15 @@ def oracle_sql() -> dict[str, str]:
             "AND p.event_type = 'purchase' AND c.event_type = 'click' "
             f"AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {6 * HOUR} "
             f"AND epoch_us(p.ts) + {6 * HOUR}"),
-        "rollup_agg": (
-            "SELECT o_orderstatus, o_orderpriority, "
-            "GROUPING(o_orderstatus, o_orderpriority) AS grouping_id, "
-            "COUNT(*) AS n, "
-            "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
-            "AS DOUBLE), 6) AS sum_total, "
-            "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
-            "AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_total "
-            "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"),
+        "interval_join": (
+            "SELECT i.o_orderkey, epoch_us(p.l_shipdate) AS ts, "
+            "epoch_us(i.o_orderdate) AS start, "
+            f"epoch_us(i.o_orderdate) + {2 * DAY} AS \"end\", "
+            "p.l_orderkey, p.l_partkey, i.o_totalprice "
+            "FROM (SELECT * FROM lineitem WHERE l_partkey % 101 = 0) p "
+            "JOIN (SELECT * FROM orders WHERE o_orderkey % 37 = 0) i "
+            "ON epoch_us(p.l_shipdate) BETWEEN epoch_us(i.o_orderdate) "
+            f"AND epoch_us(i.o_orderdate) + {2 * DAY}"),
         # transcripts_from_csv: same derivation as transcripts_identity,
         # over the CSV twin — ts compared as epoch-us (CSV has no ts type)
         "transcripts_from_csv": (

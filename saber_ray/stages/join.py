@@ -864,3 +864,250 @@ def bloom_prefilter(big, bloom_ref, on: Sequence[str] | str):
 
     return big.map_batches(probe, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# interval (point-in-range) join
+# ---------------------------------------------------------------------------
+
+
+def _stab_pairs(cP, tP, cI, sI):
+    """Vectorized interval-stabbing candidate kernel: for every point row i,
+    all interval rows j with equal code and ``sI[j] <= tP[i]`` (the end-bound
+    check happens on the candidate pairs afterwards, outside this kernel).
+
+    Same composite-axis trick as ``_band_pairs``: intervals are lexsorted by
+    (code, clipped start); one ``np.searchsorted`` over ``code * span + s``
+    answers every point with its candidate prefix inside its own code run.
+    Returns (pi, ii) index arrays into the point/interval inputs.
+    """
+    i_order = np.lexsort((sI, cI))
+    cIs, sIs = cI[i_order], sI[i_order]
+    t0 = int(min(tP.min(), sI.min()))
+    span = int(max(tP.max(), sI.max())) - t0 + 3
+    n_codes = int(max(cP.max(), cI.max())) + 1
+    if (n_codes + 1) * span < 2 ** 62:
+        i_axis = cIs * span + (sIs - t0) + 1
+        q_lo = cP * span                       # start of the code run
+        q_hi = cP * span + (tP - t0) + 1       # inclusive: s <= t
+        lo = np.searchsorted(i_axis, q_lo, side="left")
+        hi = np.searchsorted(i_axis, q_hi, side="right")
+    else:
+        starts = np.searchsorted(cIs, np.arange(n_codes + 1))
+        lo = np.empty(len(cP), dtype=np.int64)
+        hi = np.empty(len(cP), dtype=np.int64)
+        p_order = np.argsort(cP, kind="stable")
+        cPs = cP[p_order]
+        run_start = np.flatnonzero(np.concatenate(([True], cPs[1:] != cPs[:-1])))
+        run_end = np.append(run_start[1:], len(cPs))
+        for s, e in zip(run_start, run_end):
+            c = int(cPs[s])
+            a, b = starts[c], starts[c + 1]
+            sub = sIs[a:b]
+            idx = p_order[s:e]
+            lo[idx] = a
+            hi[idx] = a + np.searchsorted(sub, tP[idx], side="right")
+    counts = hi - lo
+    pi = np.repeat(np.arange(len(tP)), counts)
+    offs = np.arange(counts.sum()) - np.repeat(
+        np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+    ii = i_order[lo[pi] + offs]
+    return pi, ii
+
+
+def interval_join(
+    points, intervals, *,
+    on=None,
+    point_ts: str = "ts",
+    start_col: str = "start", end_col: str = "end",
+    cell_us=None,
+    point_cols=None, interval_cols=None,
+    suffixes=("_p", "_i"),
+):
+    """Point-in-interval join: pairs (p, i) with
+    ``i.start <= p.ts <= i.end`` (both bounds inclusive, SQL BETWEEN) and
+    equal key when ``on`` is given.
+
+    Variable-length intervals break the fixed band of ``windowed_join``
+    (|tL - tR| <= const). Ray-native design: time is cut into cells of
+    ``cell_us`` microseconds; each POINT goes to exactly its own cell,
+    each INTERVAL is replicated to every cell it overlaps, so every
+    matching pair meets in EXACTLY one cell (the point's) — no pair dedup.
+    ONE ``sort(key..., cell)`` exchange co-locates a cell's points and
+    interval copies, then a per-block vectorized kernel (lexsort +
+    searchsorted over a composite code*span+start axis) finds, for each
+    point, the intervals in its cell whose CLIPPED start (max(start,
+    cell_lo)) <= ts, and filters ``end >= ts`` on the candidates. Within
+    the point's own cell, clipped-start <= ts iff start <= ts, so the
+    prefix is exact on the lower bound.
+
+    Scale/partitioning assumptions (documented, SURVEY.md §7.4 style):
+    - replication factor per interval = ceil(len / cell_us) + 1; pick
+      ``cell_us`` near the typical interval length (the default samples
+      up to 4096 intervals and uses the p90 length).
+    - candidate fan-out per point = number of intervals overlapping its
+      cell that started at-or-before it; deeply stacked intervals cost
+      candidates — that density is also the output's own size driver.
+
+    ``cell_us=None`` derives the cell from a bounded sample (never
+    materializes the interval side). NULL keys / NULL bounds never join
+    and are dropped at the tagger. Output columns: key cols, ``ts``
+    (point event time, int64 us), ``start`` / ``end`` (int64 us), then
+    point/interval payload columns with ``suffixes`` on collisions.
+    """
+    on = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    if points.schema() is None or intervals.schema() is None:
+        return points.limit(0)
+
+    if cell_us is None:
+        parts = list(intervals.limit(4096).select_columns(
+            [start_col, end_col]).iter_batches(batch_format="pyarrow",
+                                               batch_size=4096))
+        sample = pa.concat_tables(parts) if parts else None
+        if sample is None or sample.num_rows == 0:
+            return points.limit(0)
+        s = sample[start_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = sample[end_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ln = np.maximum(e - s, 0)
+        cell_us = max(int(np.quantile(ln, 0.9)) + 1, 1)
+    cell = int(cell_us)
+
+    pschema, ischema = points.schema(), intervals.schema()
+    ptypes = {n: t for n, t in zip(pschema.names, pschema.types)}
+    itypes = {n: t for n, t in zip(ischema.names, ischema.types)}
+    pcols = [c for c in (point_cols if point_cols is not None else pschema.names)
+             if c not in on and c != point_ts]
+    icols = [c for c in (interval_cols if interval_cols is not None
+                         else ischema.names)
+             if c not in on and c not in (start_col, end_col)]
+    sp, si = suffixes
+    pmap = {c: (c + sp if c in icols else c) for c in pcols}
+    imap = {c: (c + si if c in pcols else c) for c in icols}
+
+    def _drop_null(b: pa.Table, need):
+        mask = None
+        for k in need:
+            v = pc.is_valid(b[k])
+            mask = v if mask is None else pc.and_(mask, v)
+        if mask is not None and not pc.all(mask).as_py():
+            b = b.filter(mask)
+        return b
+
+    def tag_points(b: pa.Table) -> pa.Table:
+        b = _drop_null(b, on + [point_ts])
+        ts = b[point_ts].cast(pa.int64())
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ts_np = ts.to_numpy(zero_copy_only=False)
+        cols = {k: b[k] for k in on}
+        cols["__ts"] = ts
+        cols["__s"] = pa.nulls(b.num_rows, type=pa.int64())
+        cols["__e"] = pa.nulls(b.num_rows, type=pa.int64())
+        for c in pcols:
+            cols["P__" + c] = b[c]
+        for c in icols:
+            cols["I__" + c] = pa.nulls(b.num_rows, type=itypes[c])
+        cols["__cell"] = pa.array(ts_np // cell, type=pa.int64())
+        cols["__side"] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        arrs = [(cols[n].combine_chunks() if isinstance(cols[n], pa.ChunkedArray)
+                 else cols[n]) for n in sorted(cols)]
+        return pa.Table.from_arrays(arrs, names=sorted(cols))
+
+    def tag_intervals(b: pa.Table) -> pa.Table:
+        b = _drop_null(b, on + [start_col, end_col])
+        s = b[start_col].cast(pa.int64())
+        e = b[end_col].cast(pa.int64())
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        e = e.combine_chunks() if isinstance(e, pa.ChunkedArray) else e
+        s_np = s.to_numpy(zero_copy_only=False)
+        e_np = e.to_numpy(zero_copy_only=False)
+        keep = e_np >= s_np
+        if not keep.all():
+            b = b.filter(pa.array(keep))
+            s_np, e_np = s_np[keep], e_np[keep]
+        lo_c = s_np // cell
+        hi_c = e_np // cell
+        counts = (hi_c - lo_c + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s_np)), counts)
+        offs = np.arange(counts.sum()) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        cells = lo_c[idx] + offs
+        take = pa.array(idx)
+        cols = {k: b[k].combine_chunks().take(take)
+                if isinstance(b[k], pa.ChunkedArray) else b[k].take(take)
+                for k in on}
+        cols["__ts"] = pa.nulls(len(idx), type=pa.int64())
+        cols["__s"] = pa.array(s_np[idx], type=pa.int64())
+        cols["__e"] = pa.array(e_np[idx], type=pa.int64())
+        for c in pcols:
+            cols["P__" + c] = pa.nulls(len(idx), type=ptypes[c])
+        for c in icols:
+            v = b[c]
+            v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+            cols["I__" + c] = v.take(take)
+        cols["__cell"] = pa.array(cells, type=pa.int64())
+        cols["__side"] = pa.array(np.ones(len(idx), dtype=np.int8))
+        arrs = [(cols[n].combine_chunks() if isinstance(cols[n], pa.ChunkedArray)
+                 else cols[n]) for n in sorted(cols)]
+        return pa.Table.from_arrays(arrs, names=sorted(cols))
+
+    tp = points.map_batches(tag_points, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    ti = intervals.map_batches(tag_intervals, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    both = tp.union(ti)
+
+    out_schema = pa.schema(
+        [(k, ptypes[k]) for k in on]
+        + [("ts", pa.int64()), ("start", pa.int64()), ("end", pa.int64())]
+        + [(pmap[c], ptypes[c]) for c in pcols]
+        + [(imap[c], itypes[c]) for c in icols])
+
+    def per_block(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        g = g.combine_chunks()
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        cells = g["__cell"].to_numpy(zero_copy_only=False)
+        p_idx = np.flatnonzero(side == 0)
+        i_idx = np.flatnonzero(side != 0)
+        if not len(p_idx) or not len(i_idx):
+            return out_schema.empty_table()
+        if on:
+            code_cols = on + ["__cell"]
+            codes, _ = pd.factorize(pd.MultiIndex.from_frame(
+                g.select(code_cols).to_pandas()))
+            codes = codes.astype(np.int64)
+        else:
+            codes = cells - cells.min()
+        tP = g["__ts"].to_numpy(zero_copy_only=False)[p_idx].astype(np.int64)
+        sI = g["__s"].to_numpy(zero_copy_only=False)[i_idx].astype(np.int64)
+        eI = g["__e"].to_numpy(zero_copy_only=False)[i_idx].astype(np.int64)
+        # clip each interval copy's start to its cell's lower bound: within
+        # the point's own cell, clipped_start <= ts  <=>  start <= ts
+        cell_lo = cells[i_idx] * cell
+        sI_clip = np.maximum(sI, cell_lo)
+        pi, ii = _stab_pairs(codes[p_idx], tP, codes[i_idx], sI_clip)
+        if not len(pi):
+            return out_schema.empty_table()
+        keep = eI[ii] >= tP[pi]
+        pi, ii = pi[keep], ii[keep]
+        if not len(pi):
+            return out_schema.empty_table()
+        gp = g.take(pa.array(p_idx[pi]))
+        gi = g.take(pa.array(i_idx[ii]))
+        cols = {k: gp[k] for k in on}
+        cols["ts"] = gp["__ts"]
+        cols["start"] = gi["__s"]
+        cols["end"] = gi["__e"]
+        for c in pcols:
+            cols[pmap[c]] = gp["P__" + c]
+        for c in icols:
+            cols[imap[c]] = gi["I__" + c]
+        return pa.Table.from_arrays(
+            [(v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v)
+             for v in cols.values()], schema=out_schema)
+
+    sort_cols = on + ["__cell"] if on else ["__cell"]
+    return both.sort(sort_cols).map_batches(per_block, batch_format="pyarrow",
+                                            zero_copy_batch=True)

@@ -1,0 +1,159 @@
+"""interval_join (point-in-range) vs DuckDB BETWEEN-join oracles.
+
+The fixed band of ``windowed_join`` cannot express variable-length
+intervals; this operator is the cell-replicated stabbing join
+(stages/join.py:interval_join). Reference parity: Saber's ThetaJoin with
+an arbitrary time predicate (cql/operators/cpu/ThetaJoin.java:15-321)
+restricted to s <= t <= e per right tuple."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from saber_ray.stages.join import interval_join
+from tests.oracle_util import canon, to_pandas
+
+_DAY = 86_400_000_000
+
+
+def _points(sf_dir):
+    def f(t: pa.Table) -> pa.Table:
+        m = (t["l_partkey"].to_numpy(zero_copy_only=False) % 101) == 0
+        return t.filter(pa.array(m))
+    return rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_shipdate"]) \
+        .map_batches(f, batch_format="pyarrow")
+
+
+def _intervals(sf_dir, mod=37):
+    def f(t: pa.Table) -> pa.Table:
+        m = (t["o_orderkey"].to_numpy(zero_copy_only=False) % mod) == 0
+        t = t.filter(pa.array(m))
+        s = t["o_orderdate"].cast(pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"], "start": s,
+                         "end": pc.add(s, 2 * _DAY),
+                         "o_totalprice": t["o_totalprice"]})
+    return rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(f, batch_format="pyarrow")
+
+
+_ORACLE = """
+ SELECT i.o_orderkey, epoch_us(p.l_shipdate) AS ts,
+        epoch_us(i.o_orderdate) AS start,
+        epoch_us(i.o_orderdate) + 172800000000 AS "end",
+        p.l_orderkey, p.l_partkey, i.o_totalprice
+ FROM (SELECT * FROM lineitem WHERE l_partkey % 101 = 0) p
+ JOIN (SELECT * FROM orders WHERE o_orderkey % 37 = 0) i
+ ON epoch_us(p.l_shipdate) BETWEEN epoch_us(i.o_orderdate)
+    AND epoch_us(i.o_orderdate) + 172800000000
+"""
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _assert_eq(res, oracle_df):
+    a = canon(to_pandas(res))
+    b = canon(oracle_df)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()),
+                                  check_dtype=False)
+
+
+def test_keyless_matches_oracle(ray_session, sf_dir):
+    res = interval_join(_points(sf_dir), _intervals(sf_dir),
+                        point_ts="l_shipdate")
+    _assert_eq(res, _duck(sf_dir).execute(_ORACLE).df())
+
+
+def test_cell_size_invariance(ray_session, sf_dir):
+    """The cell is a physical partitioning knob — any positive value must
+    give identical output (pairs meet in exactly one cell)."""
+    base = canon(to_pandas(interval_join(
+        _points(sf_dir), _intervals(sf_dir), point_ts="l_shipdate",
+        cell_us=7 * _DAY)))
+    for cell in (_DAY // 3, _DAY, 40 * _DAY):
+        other = canon(to_pandas(interval_join(
+            _points(sf_dir), _intervals(sf_dir), point_ts="l_shipdate",
+            cell_us=cell)))
+        pd.testing.assert_frame_equal(base, other)
+
+
+def test_keyed_path(ray_session, sf_dir):
+    """Equi key (hash bucket of the order key) + containment."""
+    def add_kp(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False) % 3
+        return t.append_column("bucket", pa.array(k, pa.int64()))
+
+    def add_ki(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False) % 3
+        return t.append_column("bucket", pa.array(k, pa.int64()))
+
+    pts = _points(sf_dir).map_batches(add_kp, batch_format="pyarrow")
+    ivs = _intervals(sf_dir, mod=11).map_batches(
+        add_ki, batch_format="pyarrow")
+    res = interval_join(pts, ivs, on="bucket", point_ts="l_shipdate")
+    o = _duck(sf_dir).execute("""
+     SELECT p.l_orderkey % 3 AS bucket, i.o_orderkey,
+            epoch_us(p.l_shipdate) AS ts,
+            epoch_us(i.o_orderdate) AS start,
+            epoch_us(i.o_orderdate) + 172800000000 AS "end",
+            p.l_orderkey, p.l_partkey, i.o_totalprice
+     FROM (SELECT * FROM lineitem WHERE l_partkey % 101 = 0) p
+     JOIN (SELECT * FROM orders WHERE o_orderkey % 11 = 0) i
+     ON p.l_orderkey % 3 = i.o_orderkey % 3
+        AND epoch_us(p.l_shipdate) BETWEEN epoch_us(i.o_orderdate)
+        AND epoch_us(i.o_orderdate) + 172800000000
+    """).df()
+    _assert_eq(res, o)
+
+
+def test_null_and_inverted_intervals_dropped(ray_session):
+    pts = rd.from_arrow(pa.table({
+        "ts": pa.array([5, 15, 25, None], pa.int64()),
+        "pid": pa.array([1, 2, 3, 4], pa.int64())}))
+    ivs = rd.from_arrow(pa.table({
+        "start": pa.array([0, 20, 30, None], pa.int64()),
+        "end": pa.array([10, 10, 40, 50], pa.int64()),   # 2nd inverted
+        "iid": pa.array([10, 20, 30, 40], pa.int64())}))
+    res = to_pandas(interval_join(pts, ivs, cell_us=10))
+    got = sorted(zip(res["pid"], res["iid"]))
+    assert got == [(1, 10)]  # inverted, NULL-bound, NULL-ts all excluded
+
+
+def test_long_interval_replication(ray_session):
+    """An interval spanning many cells still pairs each point once."""
+    pts = rd.from_arrow(pa.table({
+        "ts": pa.array(list(range(0, 1000, 37)), pa.int64())}))
+    ivs = rd.from_arrow(pa.table({
+        "start": pa.array([0], pa.int64()),
+        "end": pa.array([999], pa.int64()),
+        "iid": pa.array([7], pa.int64())}))
+    res = to_pandas(interval_join(pts, ivs, cell_us=13))
+    assert len(res) == len(range(0, 1000, 37))
+    assert res["iid"].nunique() == 1
+    assert sorted(res["ts"]) == list(range(0, 1000, 37))
+
+
+def test_empty_sides(ray_session):
+    pts = rd.from_arrow(pa.table({"ts": pa.array([], pa.int64())}))
+    ivs = rd.from_arrow(pa.table({
+        "start": pa.array([0], pa.int64()),
+        "end": pa.array([10], pa.int64())}))
+    assert to_pandas(interval_join(pts, ivs, cell_us=10)).shape[0] == 0
+    pts2 = rd.from_arrow(pa.table({"ts": pa.array([5], pa.int64())}))
+    ivs2 = rd.from_arrow(pa.table({
+        "start": pa.array([], pa.int64()),
+        "end": pa.array([], pa.int64())}))
+    assert to_pandas(interval_join(pts2, ivs2)).shape[0] == 0

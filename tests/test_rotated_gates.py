@@ -266,6 +266,18 @@ ROTATED = {
         "quantile_disc(LENGTH(text), 0.9) AS p90_chars, "
         "COUNT(DISTINCT LENGTH(text)) AS n_distinct_lens, "
         "COUNT(*) AS n_docs FROM documents GROUP BY 1"),
+    # rotated out late-r4 for interval_join: grouping-set partials stay
+    # exercised via pivot_wide's FILTER twin + this oracle
+    "rollup_agg": (
+        entry_mod._q_rollup_agg,
+        "SELECT o_orderstatus, o_orderpriority, "
+        "GROUPING(o_orderstatus, o_orderpriority) AS grouping_id, "
+        "COUNT(*) AS n, "
+        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
+        "AS DOUBLE), 6) AS sum_total, "
+        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
+        "AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_total "
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"),
     "match_pattern": (
         entry_mod._q_match_pattern,
         entry_mod._tx(f"""
