@@ -828,6 +828,21 @@ def _q_pivot_wide(sf):
 _Q3_CUT_US = 897_696_000_000_000        # 1998-06-13 00:00:00 UTC in µs
 
 
+def _q_resample_ffill(sf):
+    """Time-series resample/gap-fill: per-user 6h tumbling aggregate
+    densified onto the full bin grid, gaps forward-filled. The windowed
+    aggregates (reference parity: Aggregation.java:920-929) emit only
+    non-empty windows; this is the dense-grid consumer view. ONE key-only
+    sort exchange of combiner-reduced partials, per-block vectorized
+    grid-build + segmented-accumulate fill (stages/resample.py)."""
+    from saber_ray.stages.resample import resample
+    ds = read_table(sf, "events", columns=["ts", "user_id", "value"])
+    return resample(ds, step=6 * HOUR, keys="user_id",
+                    aggs=[cnt(alias="n"),
+                          sum_("value", "sum_value", scale=2)],
+                    fill="ffill", round_decimals=6)
+
+
 def _q_q3_shipping(sf):
     """TPC-H Q3 (shipping priority): the classic 3-table analytics shape —
     segment-filtered customers BROADCAST into orders (small side via
@@ -1930,7 +1945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": _q_grouped_quantiles,
         "streaming_grouped_topk": _q_streaming_topk,
         "dedup_exact": _q_dedup_exact,
-        "q3_shipping_priority": _q_q3_shipping,
+        "resample_ffill": _q_resample_ffill,
         "q5_local_supplier": _q_q5_local_supplier,
         "repetition_stats": _q_repetition,
         "pii_redact": _q_pii_redact,
@@ -2366,17 +2381,25 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": (
             "SELECT event_id, event_type, "
             "CAST(props->>'k' AS BIGINT) AS k FROM events"),
-        "q3_shipping_priority": (
-            "SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, "
-            "ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
-            "AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue "
-            "FROM customer "
-            "JOIN orders ON c_custkey = o_custkey "
-            "JOIN lineitem ON l_orderkey = o_orderkey "
-            "WHERE c_mktsegment = 'BUILDING' "
-            f"AND epoch_us(o_orderdate) < {_Q3_CUT_US} "
-            f"AND epoch_us(l_shipdate) > {_Q3_CUT_US} "
-            "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+        "resample_ffill": (
+            f"WITH t AS (SELECT user_id, epoch_us(ts)//{6 * HOUR} "
+            "AS window_id, value FROM events), "
+            "agg AS (SELECT user_id, window_id, COUNT(*) AS n, "
+            "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE),6) "
+            "AS sum_value FROM t GROUP BY 1,2), "
+            "s AS (SELECT user_id, MIN(window_id) lo, MAX(window_id) hi "
+            "FROM agg GROUP BY 1), "
+            "grid AS (SELECT user_id, unnest(range(lo, hi+1)) AS window_id "
+            "FROM s), "
+            "j AS (SELECT g.user_id, g.window_id, a.n, a.sum_value, "
+            "a.user_id IS NULL AS is_gap FROM grid g "
+            "LEFT JOIN agg a ON g.user_id=a.user_id "
+            "AND g.window_id=a.window_id) "
+            "SELECT user_id, window_id, is_gap, "
+            "last_value(n IGNORE NULLS) OVER w AS n, "
+            "last_value(sum_value IGNORE NULLS) OVER w AS sum_value "
+            "FROM j WINDOW w AS (PARTITION BY user_id ORDER BY window_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
         "grouped_quantiles": (
             "SELECT lang, quantile_disc(LENGTH(text), 0.5) AS p50_chars, "
             "quantile_disc(LENGTH(text), 0.95) AS p95_chars, "

@@ -266,6 +266,20 @@ ROTATED = {
         "quantile_disc(LENGTH(text), 0.9) AS p90_chars, "
         "COUNT(DISTINCT LENGTH(text)) AS n_distinct_lens, "
         "COUNT(*) AS n_docs FROM documents GROUP BY 1"),
+    # rotated out late-r4 for resample_ffill: the TPC-H composition family
+    # stays in the 50 via q5_local_supplier and q7_volume_shipping
+    "q3_shipping_priority": (
+        entry_mod._q_q3_shipping,
+        "SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, "
+        "ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+        "AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue "
+        "FROM customer "
+        "JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        f"AND epoch_us(o_orderdate) < {entry_mod._Q3_CUT_US} "
+        f"AND epoch_us(l_shipdate) > {entry_mod._Q3_CUT_US} "
+        "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10"),
     # rotated out late-r4 for interval_join: grouping-set partials stay
     # exercised via pivot_wide's FILTER twin + this oracle
     "rollup_agg": (
