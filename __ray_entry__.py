@@ -1470,6 +1470,40 @@ def _q_streaming_cm1(sf):
     return job.results()
 
 
+def _q_streaming_resample(sf):
+    """Dense-grid gap-fill via the INCREMENTAL streaming engine: bins are
+    emitted (observed or synthesized+filled) as the watermark seals them,
+    exactly-once under kill/resume; the union over the finite stream equals
+    the batch ``resample`` gate's answer — both run against the SAME
+    DuckDB grid+last_value oracle (streaming-vs-batch equivalence)."""
+    import shutil
+    import pyarrow.parquet as pq
+    from saber_ray.streaming_resample import StreamingResample
+
+    work = os.path.join(
+        "/tmp/saber_ray_gate",
+        f"stream_rsmp-{hashlib.md5(sf.encode()).hexdigest()[:8]}")
+    shutil.rmtree(work, ignore_errors=True)
+    src_dir = os.path.join(work, "in")
+    os.makedirs(src_dir)
+    tbl = pq.read_table(os.path.join(sf, "events.parquet"),
+                        columns=["ts", "user_id", "value"]).sort_by("ts")
+    files = []
+    n = tbl.num_rows
+    for i in range(8):
+        part = tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+        p = os.path.join(src_dir, f"f{i:03d}.parquet")
+        pq.write_table(part, p)
+        files.append(p)
+    job = StreamingResample(
+        os.path.join(work, "out"), step=6 * HOUR,
+        aggs=[cnt(alias="n"), sum_("value", "sum_value", scale=2)],
+        keys=["user_id"], ts_col="ts", fill="ffill", round_decimals=6,
+        num_partitions=3)
+    job.run(files, epoch_size=2)
+    return job.results()
+
+
 def _q_streaming_row_window(sf):
     """Stream-position (global count) windows via the STREAMING engine in
     ordinal mode — the streaming twin of row_window_global_tumbling
@@ -1929,7 +1963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_windowed_join": _q_streaming_join,
         "streaming_theta_keyless": _q_streaming_theta_keyless,
         "streaming_sessions": _q_streaming_sessions,
-        "cm2": _q_cm2,
+        "streaming_resample": _q_streaming_resample,
         "sg1": _q_sg1,
         "sg2": _q_sg2,
         "sg3": _q_sg3,
@@ -2285,10 +2319,27 @@ def oracle_sql() -> dict[str, str]:
             4, 12 * HOUR,
             "role, window_id, CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len, "
             "COUNT(*) AS n_turns", "role, window_id", from_sql="transcripts")),
-        "cm2": _tx(
-            f"SELECT tool, epoch_us(ts) // {DAY} AS window_id, "
-            "ROUND(AVG(LENGTH(text)), 6) AS avg_len, COUNT(*) AS n_turns "
-            "FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2"),
+        # streaming_resample: the SAME oracle as resample_ffill — the
+        # streaming engine's epoch-union must equal the batch grid exactly
+        "streaming_resample": (
+            f"WITH t AS (SELECT user_id, epoch_us(ts)//{6 * HOUR} "
+            "AS window_id, value FROM events), "
+            "agg AS (SELECT user_id, window_id, COUNT(*) AS n, "
+            "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE),6) "
+            "AS sum_value FROM t GROUP BY 1,2), "
+            "s AS (SELECT user_id, MIN(window_id) lo, MAX(window_id) hi "
+            "FROM agg GROUP BY 1), "
+            "grid AS (SELECT user_id, unnest(range(lo, hi+1)) AS window_id "
+            "FROM s), "
+            "j AS (SELECT g.user_id, g.window_id, a.n, a.sum_value, "
+            "a.user_id IS NULL AS is_gap FROM grid g "
+            "LEFT JOIN agg a ON g.user_id=a.user_id "
+            "AND g.window_id=a.window_id) "
+            "SELECT user_id, window_id, is_gap, "
+            "last_value(n IGNORE NULLS) OVER w AS n, "
+            "last_value(sum_value IGNORE NULLS) OVER w AS sum_value "
+            "FROM j WINDOW w AS (PARTITION BY user_id ORDER BY window_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
         "sg1": _tx(_sliding_sql(
             4, DAY,
             "window_id, ROUND(AVG(LENGTH(text)), 6) AS avg_len, "

@@ -266,6 +266,15 @@ ROTATED = {
         "quantile_disc(LENGTH(text), 0.9) AS p90_chars, "
         "COUNT(DISTINCT LENGTH(text)) AS n_distinct_lens, "
         "COUNT(*) AS n_docs FROM documents GROUP BY 1"),
+    # rotated out late-r4 for streaming_resample: tumbling grouped windowed
+    # agg stays in the 50 via cm1 + streaming_cm1 (and the rotated
+    # tumbling_grouped_agg oracle)
+    "cm2": (
+        entry_mod._q_cm2,
+        entry_mod._tx(
+            f"SELECT tool, epoch_us(ts) // {entry_mod.DAY} AS window_id, "
+            "ROUND(AVG(LENGTH(text)), 6) AS avg_len, COUNT(*) AS n_turns "
+            "FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2")),
     # rotated out late-r4 for resample_ffill: the TPC-H composition family
     # stays in the 50 via q5_local_supplier and q7_volume_shipping
     "q3_shipping_priority": (
