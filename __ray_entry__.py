@@ -1387,6 +1387,19 @@ def _q_profile_docs(sf):
     return profile(read_table(sf, "documents"))
 
 
+def _q_normalize_zscore(sf):
+    """Per-group z-score feature scaling (training-pipeline normalization).
+    Pass 1 reduces EXACT int64 scaled power sums combiner-style per block
+    (one tiny partial per block, single fan-in, no shuffle); the
+    dimension-sized stats broadcast once (ray.put) and pass 2 joins them
+    per batch (Acero). Bit-exact vs the SQL twin by construction."""
+    from saber_ray.stages.normalize import normalize
+    ds = read_table(sf, "events",
+                    columns=["event_id", "event_type", "value"])
+    return normalize(ds, "value", keys="event_type", method="zscore",
+                     scale=2, round_decimals=6)
+
+
 def _q_transcripts_identity(sf):
     """The input_hint invariant as a gate query: per-turn text equality under
     stable (conv_id, turn_idx) ordering — the full transcript stream
@@ -1968,7 +1981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sg2": _q_sg2,
         "sg3": _q_sg3,
         "ysb": _q_ysb,
-        "transcripts_identity": _q_transcripts_identity,
+        "normalize_zscore": _q_normalize_zscore,
         "bm25_search": _q_bm25_search,
         "w1_chained": _q_w1_chained,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -2366,8 +2379,22 @@ def oracle_sql() -> dict[str, str]:
             f"FROM transcripts JOIN {suite.TOOL_DIM_SQL} "
             "ON transcripts.tool = dim.tool "
             "WHERE role = 'assistant' GROUP BY 1, 2"),
-        "transcripts_identity": _tx(
-            "SELECT conv_id, turn_idx, role, text, tool FROM transcripts"),
+        # normalize_zscore: op-for-op twin — both sides build mean/var
+        # from the SAME exact int64 scaled power sums with the same float
+        # ops in the same order (stages/normalize.py docstring)
+        "normalize_zscore": (
+            "WITH i AS (SELECT event_id, event_type, value, "
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xi "
+            "FROM events), "
+            "st AS (SELECT event_type, COUNT(xi) AS n, "
+            "CAST(SUM(xi) AS DOUBLE) / 100 AS s, "
+            "CAST(SUM(xi * xi) AS DOUBLE) / 10000 AS ss FROM i GROUP BY 1), "
+            "d AS (SELECT event_type, n, s / n AS mean, "
+            "(ss - (s * s) / n) / (n - 1) AS var FROM st) "
+            "SELECT i.event_id, i.event_type, i.value, "
+            "CASE WHEN d.n > 1 AND sqrt(GREATEST(d.var, 0)) > 0 "
+            "THEN ROUND((i.value - d.mean) / sqrt(GREATEST(d.var, 0)), 6) "
+            "END AS value_zscore FROM i JOIN d USING (event_type)"),
         "w1_chained": (
             "WITH q1 AS (SELECT ts, user_id, "
             + "".join("(" * 8) + "CAST(value AS DOUBLE)"

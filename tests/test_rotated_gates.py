@@ -266,6 +266,13 @@ ROTATED = {
         "quantile_disc(LENGTH(text), 0.9) AS p90_chars, "
         "COUNT(DISTINCT LENGTH(text)) AS n_distinct_lens, "
         "COUNT(*) AS n_docs FROM documents GROUP BY 1"),
+    # rotated out late-r4 for normalize_zscore: the ordered-parquet source
+    # contract stays gated via transcripts_from_csv (same derivation, same
+    # oracle) and every transcript-derived gate in the window
+    "transcripts_identity": (
+        entry_mod._q_transcripts_identity,
+        entry_mod._tx(
+            "SELECT conv_id, turn_idx, role, text, tool FROM transcripts")),
     # rotated out late-r4 for streaming_resample: tumbling grouped windowed
     # agg stays in the 50 via cm1 + streaming_cm1 (and the rotated
     # tumbling_grouped_agg oracle)
