@@ -1111,3 +1111,202 @@ def interval_join(
     sort_cols = on + ["__cell"] if on else ["__cell"]
     return both.sort(sort_cols).map_batches(per_block, batch_format="pyarrow",
                                             zero_copy_batch=True)
+
+
+def interval_overlap_join(
+    left, right, *,
+    on=None,
+    left_start: str = "start", left_end: str = "end",
+    right_start: str = "start", right_end: str = "end",
+    cell_us=None,
+    left_cols=None, right_cols=None,
+    suffixes=("_l", "_r"),
+):
+    """Interval-overlap join: pairs (l, r) with
+    ``l.start <= r.end AND r.start <= l.end`` (closed intervals, the SQL
+    overlap predicate) and equal key when ``on`` is given — the
+    interval×interval generalization of ``interval_join`` (temporal
+    validity joins, downtime×incident overlap, span intersection).
+
+    Same cell scheme: BOTH sides replicate to every time cell they cover;
+    an overlapping pair shares every cell of its intersection, so it is
+    counted ONLY in the cell containing the overlap START
+    ``max(l.start, r.start)`` — each pair meets in exactly one cell with
+    no dedup exchange. ONE ``sort(key..., cell)`` co-locates a cell's
+    copies; the per-block kernel probes the ``_stab_pairs`` composite axis
+    (left copies ordered by clipped start, right rows probe with their
+    end: clipped_lstart <= r.end is exact inside the cell) and filters the
+    candidates on ``l.end >= r.start`` and overlap-start-in-this-cell.
+
+    Scale assumptions: replication factor = ceil(len / cell_us) + 1 PER
+    SIDE; candidate fan-out per right copy = left intervals in the cell
+    starting at-or-before its end — stacked-interval density drives both
+    candidates and true output. ``cell_us=None`` samples both sides
+    (p90 of the pooled lengths). NULL keys / NULL bounds never join.
+    Output: key cols, ``start_l/end_l/start_r/end_r`` (int64 us), then
+    payload columns with ``suffixes`` on collisions."""
+    on = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    if left.schema() is None or right.schema() is None:
+        return left.limit(0)
+
+    if cell_us is None:
+        lens = []
+        for ds_, s_, e_ in ((left, left_start, left_end),
+                            (right, right_start, right_end)):
+            parts = list(ds_.limit(2048).select_columns([s_, e_])
+                         .iter_batches(batch_format="pyarrow",
+                                       batch_size=2048))
+            if parts:
+                t = pa.concat_tables(parts)
+                s = t[s_].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                e = t[e_].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                lens.append(np.maximum(e - s, 0))
+        if not lens:
+            return left.limit(0)
+        pooled = np.concatenate(lens)
+        if not len(pooled):
+            return left.limit(0)
+        cell_us = max(int(np.quantile(pooled, 0.9)) + 1, 1)
+    cell = int(cell_us)
+
+    lschema, rschema = left.schema(), right.schema()
+    ltypes = {n: t for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
+    lcols = [c for c in (left_cols if left_cols is not None
+                         else lschema.names)
+             if c not in on and c not in (left_start, left_end)]
+    rcols = [c for c in (right_cols if right_cols is not None
+                         else rschema.names)
+             if c not in on and c not in (right_start, right_end)]
+    sl, sr = suffixes
+    lmap = {c: (c + sl if c in rcols else c) for c in lcols}
+    rmap = {c: (c + sr if c in lcols else c) for c in rcols}
+
+    def _drop_null(b: pa.Table, need):
+        mask = None
+        for k in need:
+            v = pc.is_valid(b[k])
+            mask = v if mask is None else pc.and_(mask, v)
+        if mask is not None and not pc.all(mask).as_py():
+            b = b.filter(mask)
+        return b
+
+    def _tagger(side: int):
+        s_col = left_start if side == 0 else right_start
+        e_col = left_end if side == 0 else right_end
+        own, other = (lcols, rcols) if side == 0 else (rcols, lcols)
+        own_t = ltypes if side == 0 else rtypes
+        oth_t = rtypes if side == 0 else ltypes
+        pfx, opfx = ("L__", "R__") if side == 0 else ("R__", "L__")
+        sn, en = ("__sl", "__el") if side == 0 else ("__sr", "__er")
+        osn, oen = ("__sr", "__er") if side == 0 else ("__sl", "__el")
+
+        def tag(b: pa.Table) -> pa.Table:
+            b = _drop_null(b, on + [s_col, e_col])
+            s = b[s_col].cast(pa.int64())
+            e = b[e_col].cast(pa.int64())
+            s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+            e = e.combine_chunks() if isinstance(e, pa.ChunkedArray) else e
+            s_np = s.to_numpy(zero_copy_only=False)
+            e_np = e.to_numpy(zero_copy_only=False)
+            keep = e_np >= s_np
+            if not keep.all():
+                b = b.filter(pa.array(keep))
+                s_np, e_np = s_np[keep], e_np[keep]
+            lo_c = s_np // cell
+            hi_c = e_np // cell
+            counts = (hi_c - lo_c + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(s_np)), counts)
+            offs = np.arange(counts.sum()) - np.repeat(
+                np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+            cells = lo_c[idx] + offs
+            take = pa.array(idx)
+            cols = {k: (b[k].combine_chunks()
+                        if isinstance(b[k], pa.ChunkedArray)
+                        else b[k]).take(take) for k in on}
+            cols[sn] = pa.array(s_np[idx], type=pa.int64())
+            cols[en] = pa.array(e_np[idx], type=pa.int64())
+            cols[osn] = pa.nulls(len(idx), type=pa.int64())
+            cols[oen] = pa.nulls(len(idx), type=pa.int64())
+            for c in own:
+                v = b[c]
+                v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+                cols[pfx + c] = v.take(take)
+            for c in other:
+                cols[opfx + c] = pa.nulls(len(idx), type=oth_t[c])
+            cols["__cell"] = pa.array(cells, type=pa.int64())
+            cols["__side"] = pa.array(
+                np.full(len(idx), side, dtype=np.int8))
+            arrs = [(cols[n].combine_chunks()
+                     if isinstance(cols[n], pa.ChunkedArray) else cols[n])
+                    for n in sorted(cols)]
+            return pa.Table.from_arrays(arrs, names=sorted(cols))
+        return tag
+
+    tl = left.map_batches(_tagger(0), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    tr = right.map_batches(_tagger(1), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    both = tl.union(tr)
+
+    out_schema = pa.schema(
+        [(k, ltypes[k]) for k in on]
+        + [("start_l", pa.int64()), ("end_l", pa.int64()),
+           ("start_r", pa.int64()), ("end_r", pa.int64())]
+        + [(lmap[c], ltypes[c]) for c in lcols]
+        + [(rmap[c], rtypes[c]) for c in rcols])
+
+    def per_block(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        g = g.combine_chunks()
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        cells = g["__cell"].to_numpy(zero_copy_only=False)
+        l_idx = np.flatnonzero(side == 0)
+        r_idx = np.flatnonzero(side != 0)
+        if not len(l_idx) or not len(r_idx):
+            return out_schema.empty_table()
+        if on:
+            code_cols = on + ["__cell"]
+            codes, _ = pd.factorize(pd.MultiIndex.from_frame(
+                g.select(code_cols).to_pandas()))
+            codes = codes.astype(np.int64)
+        else:
+            codes = cells - cells.min()
+        sL = g["__sl"].to_numpy(zero_copy_only=False)[l_idx].astype(np.int64)
+        eL = g["__el"].to_numpy(zero_copy_only=False)[l_idx].astype(np.int64)
+        sR = g["__sr"].to_numpy(zero_copy_only=False)[r_idx].astype(np.int64)
+        eR = g["__er"].to_numpy(zero_copy_only=False)[r_idx].astype(np.int64)
+        cell_lo_l = cells[l_idx] * cell
+        sL_clip = np.maximum(sL, cell_lo_l)
+        # probe: right copies with their end; candidates = left copies in
+        # the same (key, cell) whose clipped start <= r.end — exact for
+        # the lower bound inside the cell (both cover this cell)
+        ri, li = _stab_pairs(codes[r_idx], eR, codes[l_idx], sL_clip)
+        if not len(ri):
+            return out_schema.empty_table()
+        # true overlap + meet-in-exactly-this-cell (overlap start here)
+        os_ = np.maximum(sL[li], sR[ri])
+        c0 = cells[r_idx[ri]] * cell
+        keep = (eL[li] >= sR[ri]) & (os_ >= c0) & (os_ < c0 + cell)
+        li, ri = li[keep], ri[keep]
+        if not len(li):
+            return out_schema.empty_table()
+        gl = g.take(pa.array(l_idx[li]))
+        gr = g.take(pa.array(r_idx[ri]))
+        cols = {k: gl[k] for k in on}
+        cols["start_l"] = gl["__sl"]
+        cols["end_l"] = gl["__el"]
+        cols["start_r"] = gr["__sr"]
+        cols["end_r"] = gr["__er"]
+        for c in lcols:
+            cols[lmap[c]] = gl["L__" + c]
+        for c in rcols:
+            cols[rmap[c]] = gr["R__" + c]
+        return pa.Table.from_arrays(
+            [(v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v)
+             for v in cols.values()], schema=out_schema)
+
+    sort_cols = on + ["__cell"] if on else ["__cell"]
+    return both.sort(sort_cols).map_batches(per_block, batch_format="pyarrow",
+                                            zero_copy_batch=True)

@@ -157,3 +157,74 @@ def test_empty_sides(ray_session):
         "start": pa.array([], pa.int64()),
         "end": pa.array([], pa.int64())}))
     assert to_pandas(interval_join(pts2, ivs2)).shape[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join (interval x interval)
+# ---------------------------------------------------------------------------
+
+from saber_ray.stages.join import interval_overlap_join  # noqa: E402
+
+
+def _iv(sf_dir, mod, days, name):
+    def f(t: pa.Table) -> pa.Table:
+        m = (t["o_orderkey"].to_numpy(zero_copy_only=False) % mod) == 0
+        t = t.filter(pa.array(m))
+        s = t["o_orderdate"].cast(pa.int64())
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "bucket": pa.array(
+                t["o_orderkey"].to_numpy(zero_copy_only=False) % 3,
+                pa.int64()),
+            "start": s, "end": pc.add(s, days * _DAY),
+            "tag": pa.array([name] * t.num_rows)})
+    return rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(f, batch_format="pyarrow")
+
+
+def _overlap_oracle(sf_dir, key=False):
+    con = _duck(sf_dir)
+    keycond = " AND a.o_orderkey % 3 = b.o_orderkey % 3" if key else ""
+    keysel = "a.o_orderkey % 3 AS bucket, " if key else ""
+    return con.execute(f"""
+WITH a AS (SELECT o_orderkey, epoch_us(o_orderdate) AS s,
+           epoch_us(o_orderdate) + {3 * _DAY} AS e
+           FROM orders WHERE o_orderkey % 7 = 0),
+b AS (SELECT o_orderkey, epoch_us(o_orderdate) AS s,
+      epoch_us(o_orderdate) + {5 * _DAY} AS e
+      FROM orders WHERE o_orderkey % 11 = 0)
+SELECT {keysel}a.s AS start_l, a.e AS end_l, b.s AS start_r, b.e AS end_r,
+       a.o_orderkey AS o_orderkey_l, 'a' AS tag_l,
+       b.o_orderkey AS o_orderkey_r, 'b' AS tag_r
+FROM a JOIN b ON a.s <= b.e AND b.s <= a.e{keycond}""").df()
+
+
+def test_overlap_keyless(ray_session, sf_dir):
+    res = interval_overlap_join(
+        _iv(sf_dir, 7, 3, "a"), _iv(sf_dir, 11, 5, "b"),
+        left_cols=["o_orderkey", "tag"], right_cols=["o_orderkey", "tag"])
+    got = canon(to_pandas(res))
+    assert len(got) > 50        # dense enough to exercise the kernel
+    _assert_eq(res, _overlap_oracle(sf_dir))
+
+
+def test_overlap_keyed(ray_session, sf_dir):
+    res = interval_overlap_join(
+        _iv(sf_dir, 7, 3, "a"), _iv(sf_dir, 11, 5, "b"), on="bucket",
+        left_cols=["o_orderkey", "tag"], right_cols=["o_orderkey", "tag"])
+    _assert_eq(res, _overlap_oracle(sf_dir, key=True))
+
+
+def test_overlap_cell_invariance(ray_session, sf_dir):
+    base = canon(to_pandas(interval_overlap_join(
+        _iv(sf_dir, 7, 3, "a"), _iv(sf_dir, 11, 5, "b"),
+        left_cols=["o_orderkey"], right_cols=["o_orderkey"],
+        cell_us=10 * _DAY)))
+    for cell in (_DAY // 2, 2 * _DAY, 100 * _DAY):
+        other = canon(to_pandas(interval_overlap_join(
+            _iv(sf_dir, 7, 3, "a"), _iv(sf_dir, 11, 5, "b"),
+            left_cols=["o_orderkey"], right_cols=["o_orderkey"],
+            cell_us=cell)))
+        pd.testing.assert_frame_equal(base, other)
