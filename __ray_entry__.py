@@ -1387,6 +1387,50 @@ def _q_profile_docs(sf):
     return profile(read_table(sf, "documents"))
 
 
+def _q_ewma(sf):
+    """Per-key exponential smoothing — ORDER-DEPENDENT, so it can't ride
+    the mergeable algebra and has no SQL twin (DuckDB has no EWMA); its
+    value oracle is the pandas sequential recurrence in tests/test_ewma.py
+    (rtol 1e-9 against a chunked closed-form scan — a genuinely different
+    evaluation order). ONE key sort exchange, chunk-vectorized kernel."""
+    from saber_ray.stages.ewma import ewma
+    ds = read_table(sf, "events",
+                    columns=["ts", "user_id", "event_id", "value"])
+    return ewma(ds, "value", keys="user_id", order_by=["ts", "event_id"],
+                alpha=0.3)
+
+
+def _q_streaming_ewma(sf):
+    """Streaming twin of ewma: rows emit the moment they seal, per-key
+    O(1) carry (running S/W pair). Union == batch (pytest-proven for both
+    adjust modes, kill/resume, epoch-size invariance)."""
+    import shutil
+    import pyarrow.parquet as pq
+    from saber_ray.streaming_ewma import StreamingEwma
+
+    work = os.path.join(
+        "/tmp/saber_ray_gate",
+        f"stream_ewma-{hashlib.md5(sf.encode()).hexdigest()[:8]}")
+    shutil.rmtree(work, ignore_errors=True)
+    src_dir = os.path.join(work, "in")
+    os.makedirs(src_dir)
+    tbl = pq.read_table(os.path.join(sf, "events.parquet"),
+                        columns=["ts", "user_id", "event_id", "value"]) \
+        .sort_by("ts")
+    files = []
+    n = tbl.num_rows
+    for i in range(8):
+        p = os.path.join(src_dir, f"f{i:03d}.parquet")
+        pq.write_table(tbl.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8),
+                       p)
+        files.append(p)
+    job = StreamingEwma(os.path.join(work, "out"), col="value", alpha=0.3,
+                        keys=["user_id"], ts_col="ts",
+                        tiebreak=["event_id"], num_partitions=3)
+    job.run(files, epoch_size=2)
+    return job.results()
+
+
 def _q_normalize_zscore(sf):
     """Per-group z-score feature scaling (training-pipeline normalization).
     Pass 1 reduces EXACT int64 scaled power sums combiner-style per block
@@ -2013,6 +2057,8 @@ def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
     containment, pairs ⊆ exact, recall ≥ 0.9 (test_dedup_text,
     test_similarity, test_multimodal, test_driver_contract)."""
     return {
+        "ewma": _q_ewma,
+        "streaming_ewma": _q_streaming_ewma,
         "winnowing_fingerprint": _q_winnowing,
         "near_dedup_incremental": _q_near_dedup_incremental,
         "simhash_near_pairs": _q_simhash_pairs,

@@ -28,6 +28,8 @@ Environment:
                       (SABER_BENCH_DOCS overrides the corpus size)
   --text              retrieval/LM ops throughput (inverted index, BM25,
                       LM train, perplexity, bigram vocabulary)
+  --relational        interval joins / resample / normalize / winsorize
+                      throughput over the real sf tables
   --streaming         sustained micro-batch load on the streaming engines:
                       >= 20 epochs each of windowed aggregate + band join
                       + CEP + quantile view, sustained rows/s + p50/p95
@@ -585,6 +587,89 @@ def run_curation() -> dict:
     }
 
 
+def run_relational() -> dict:
+    """--relational: throughput of the late-round-4 relational/time-series
+    family over the REAL sf tables — interval stabbing + overlap joins,
+    dense-grid resample, z-score normalize, winsorize (rows_out/sec)."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from saber_ray.core.aggregates import cnt, sum_
+    from saber_ray.stages.join import interval_join, interval_overlap_join
+    from saber_ray.stages.normalize import normalize, winsorize
+    from saber_ray.stages.resample import resample
+
+    HOUR = 3_600_000_000
+    DAY = 24 * HOUR
+
+    def events():
+        return rd.read_parquet(f"{SF_DIR}/events.parquet",
+                               columns=["ts", "user_id", "event_type",
+                                        "value"])
+
+    def points():
+        def f(t: pa.Table) -> pa.Table:
+            m = (t["l_partkey"].to_numpy(zero_copy_only=False) % 101) == 0
+            return t.filter(pa.array(m))
+        return rd.read_parquet(
+            f"{SF_DIR}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey", "l_shipdate"]) \
+            .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    def intervals(mod, days):
+        def f(t: pa.Table) -> pa.Table:
+            m = (t["o_orderkey"].to_numpy(zero_copy_only=False) % mod) == 0
+            t = t.filter(pa.array(m))
+            s = t["o_orderdate"].cast(pa.int64())
+            return pa.table({"o_orderkey": t["o_orderkey"], "start": s,
+                             "end": pc.add(s, days * DAY)})
+        return rd.read_parquet(
+            f"{SF_DIR}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate"]) \
+            .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    legs = {
+        "interval_join": lambda: interval_join(
+            points(), intervals(37, 2), point_ts="l_shipdate").count(),
+        "interval_overlap_join": lambda: interval_overlap_join(
+            intervals(7, 3), intervals(11, 5),
+            left_cols=["o_orderkey"], right_cols=["o_orderkey"]).count(),
+        "resample_ffill": lambda: resample(
+            events(), step=6 * HOUR, keys="user_id",
+            aggs=[cnt(alias="n"), sum_("value", "sum_value", scale=2)],
+            fill="ffill", round_decimals=6).count(),
+        "normalize_zscore": lambda: normalize(
+            events(), "value", keys="event_type", method="zscore",
+            scale=2, round_decimals=6).count(),
+        "winsorize": lambda: winsorize(
+            events(), "value", keys="event_type", p=(0.01, 0.99)).count(),
+    }
+    for fn in legs.values():                     # untimed warmup
+        fn()
+    times, rows_out = {}, {}
+    for name, fn in legs.items():
+        t0 = time.monotonic()
+        rows_out[name] = fn()
+        times[name] = round(time.monotonic() - t0, 3)
+    ray.shutdown()
+    return {
+        "metric": "relational/time-series op wall time over the sf tables "
+                  "(interval joins, resample, normalize, winsorize)",
+        "value": round(sum(times.values()), 3), "unit": "sec",
+        "ops_sec": times, "rows_out": rows_out,
+        "rows_out_per_sec": {k: int(rows_out[k] / times[k])
+                             for k in times if times[k] > 0},
+        "sf": SF_DIR, "num_cpus": NUM_CPUS,
+    }
+
+
 def run_text() -> dict:
     """--text: throughput of the retrieval / language-model ops over the
     curation bench corpus — inverted index, BM25 search, unigram-LM
@@ -662,6 +747,8 @@ if __name__ == "__main__":
         result = run_streaming()
     elif "--text" in sys.argv:
         result = run_text()
+    elif "--relational" in sys.argv:
+        result = run_relational()
     else:
         result = run_suite()
     print(json.dumps(result))
