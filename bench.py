@@ -646,10 +646,14 @@ def run_relational() -> dict:
             aggs=[cnt(alias="n"), sum_("value", "sum_value", scale=2)],
             fill="ffill", round_decimals=6).count(),
         "normalize_zscore": lambda: normalize(
-            events(), "value", keys="event_type", method="zscore",
+            rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                            columns=["l_returnflag", "l_extendedprice"]),
+            "l_extendedprice", keys="l_returnflag", method="zscore",
             scale=2, round_decimals=6).count(),
         "winsorize": lambda: winsorize(
-            events(), "value", keys="event_type", p=(0.01, 0.99)).count(),
+            rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                            columns=["l_returnflag", "l_extendedprice"]),
+            "l_extendedprice", keys="l_returnflag", p=(0.01, 0.99)).count(),
     }
     for fn in legs.values():                     # untimed warmup
         fn()

@@ -1109,8 +1109,13 @@ def interval_join(
              for v in cols.values()], schema=out_schema)
 
     sort_cols = on + ["__cell"] if on else ["__cell"]
-    return both.sort(sort_cols).map_batches(per_block, batch_format="pyarrow",
-                                            zero_copy_batch=True)
+    # coalesce the (usually filtered-small) tagged blocks to ~one per core
+    # before the range shuffle: sort cost at this shape is dominated by
+    # per-block fixed overhead (window_agg.py sortmerge note)
+    import ray as _ray
+    nparts = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+    return both.repartition(nparts).sort(sort_cols) \
+        .map_batches(per_block, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def interval_overlap_join(
@@ -1308,5 +1313,9 @@ def interval_overlap_join(
              for v in cols.values()], schema=out_schema)
 
     sort_cols = on + ["__cell"] if on else ["__cell"]
-    return both.sort(sort_cols).map_batches(per_block, batch_format="pyarrow",
-                                            zero_copy_batch=True)
+    # coalesce tagged blocks to ~one per core before the range shuffle
+    # (sort fixed-overhead note in windowed_aggregate's sortmerge path)
+    import ray as _ray
+    nparts = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+    return both.repartition(nparts).sort(sort_cols) \
+        .map_batches(per_block, batch_format="pyarrow", zero_copy_batch=True)

@@ -55,23 +55,37 @@ def _stats_table(ds, keys, col, *, scale, want_moments, want_minmax):
     combiner-style per block, merged once (tiny fan-in)."""
     enc, dec, sort_keys = _enc_keys(keys)
 
+    DEC = pa.decimal128(38, 0)
+    # per-element bound: xi*xi must fit int64 before the exact decimal sum
+    XI_MAX = 3_037_000_499
+
     def partial(t: pa.Table) -> pa.Table:
         x = pc.cast(_combine_chunks(t[col]), pa.float64())
         cols = {k: t[k] for k in keys}
         cols["__n"] = pc.cast(pc.is_valid(x), pa.int64())
         if want_moments:
             if scale is not None:
+                valid = pc.is_valid(x)
                 xi = pc.cast(pc.round(pc.multiply(
                     pc.fill_null(x, 0.0), pa.scalar(10.0 ** scale))),
                     pa.int64())
-                zero = pa.scalar(0, pa.int64())
+                xi = pc.if_else(valid, xi, pa.scalar(0, pa.int64()))
+                xin = xi.to_numpy(zero_copy_only=False)
+                if len(xin) and np.abs(xin).max() > XI_MAX:
+                    raise ValueError(
+                        f"|{col}|*10^{scale} exceeds {XI_MAX} — xi^2 "
+                        f"would overflow int64; use a smaller scale")
+                # SUMS accumulate as decimal128(38,0) — exact int128-class
+                # like DuckDB's SUM(BIGINT) -> HUGEINT, so giant groups /
+                # 100 TB row counts cannot overflow the moments
+                cols["__s"] = pc.cast(xi, DEC)
+                cols["__ss"] = pc.cast(pc.multiply(xi, xi), DEC)
             else:
-                xi = pc.fill_null(x, 0.0)
-                zero = pa.scalar(0.0)
-            valid = pc.is_valid(x)
-            xi = pc.if_else(valid, xi, zero)        # nulls contribute 0
-            cols["__s"] = xi
-            cols["__ss"] = pc.multiply(xi, xi)
+                valid = pc.is_valid(x)
+                xi = pc.if_else(valid, pc.fill_null(x, 0.0),
+                                pa.scalar(0.0))
+                cols["__s"] = xi
+                cols["__ss"] = pc.multiply(xi, xi)
         if want_minmax:
             cols["__min"] = x
             cols["__max"] = x
@@ -103,12 +117,16 @@ def _stats_table(ds, keys, col, *, scale, want_moments, want_minmax):
         ren = {f"{c}_{fn}": c for c, fn in spec}
         return g.rename_columns([ren.get(c, c) for c in g.column_names])
 
-    parts = merged.map_batches(merge, batch_format="pyarrow",
-                               zero_copy_batch=True) \
-        .take_all()                               # dimension-sized result
-    if not parts:
+    out = merged.map_batches(merge, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    # dimension-sized result — collect as ARROW blocks (keeps the exact
+    # decimal sum types; take_all would round-trip through Python objects)
+    blocks = [ray.get(r) for r in out.to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows]
+    if not blocks:
         return None
-    return pa.Table.from_pylist(parts)
+    return pa.concat_tables(blocks, promote_options="default") \
+        .combine_chunks()
 
 
 def _join_stats(t: pa.Table, stats: pa.Table, keys, enc) -> pa.Table:
