@@ -1387,6 +1387,20 @@ def _q_profile_docs(sf):
     return profile(read_table(sf, "documents"))
 
 
+def _q_bpe_tokenize(sf):
+    """BPE tokenizer train + encode: merges depend only on the (word,
+    count) table (Sennrich et al. 2016), so training is ONE distributed
+    count exchange + a driver-side incremental merge loop over the
+    bounded vocabulary; encoding broadcasts the ranks once and encodes
+    only each batch's UNIQUE words. No SQL twin (iterative algorithm) —
+    the pytest oracle is an independent full-recount reference trainer
+    plus encode roundtrip (tests/test_bpe.py)."""
+    from saber_ray.stages.bpe import bpe_encode, train_bpe
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    model = train_bpe(docs, num_merges=150, min_count=2)
+    return bpe_encode(docs, model)
+
+
 def _q_ewma(sf):
     """Per-key exponential smoothing — ORDER-DEPENDENT, so it can't ride
     the mergeable algebra and has no SQL twin (DuckDB has no EWMA); its
@@ -2059,6 +2073,7 @@ def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "ewma": _q_ewma,
         "streaming_ewma": _q_streaming_ewma,
+        "bpe_tokenize": _q_bpe_tokenize,
         "winnowing_fingerprint": _q_winnowing,
         "near_dedup_incremental": _q_near_dedup_incremental,
         "simhash_near_pairs": _q_simhash_pairs,
