@@ -1958,6 +1958,18 @@ def _q_transcripts_from_csv(sf):
     return transcripts_from_events_ds(ds)
 
 
+def _q_mel_spectrogram(sf):
+    """Audio DSP over opaque WAV payloads: batched-rfft log-mel frames
+    pooled to a fixed mean+std vector per clip (REAL kernel, numpy-only).
+    Rows-only check; the value oracles are the pure-tone physics check
+    and an O(n^2) matmul-DFT twin in tests/test_multimodal.py."""
+    import ray.data as rd
+    from saber_ray.stages.multimodal import mel_spectrogram, synthesize_media
+    ds = rd.from_arrow(synthesize_media(128, seed=9)).filter(
+        lambda r: r["media_type"] == "audio/wav")
+    return mel_spectrogram(ds, n_mels=24)
+
+
 def _q_multimodal_features(sf):
     """Multimodal pipeline with REAL codecs: synthesized PPM images / WAV
     audio / raw-video payloads → actor-pool decode (numpy/stdlib kernels,
@@ -2074,6 +2086,7 @@ def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
         "ewma": _q_ewma,
         "streaming_ewma": _q_streaming_ewma,
         "bpe_tokenize": _q_bpe_tokenize,
+        "mel_spectrogram": _q_mel_spectrogram,
         "winnowing_fingerprint": _q_winnowing,
         "near_dedup_incremental": _q_near_dedup_incremental,
         "simhash_near_pairs": _q_simhash_pairs,
