@@ -566,6 +566,16 @@ def _q_match_pattern(sf):
         ts_col="ts", within=24 * HOUR)
 
 
+def _q_sft_pairs(sf):
+    """SFT training-pair extraction (pipelines/sft.py): every user turn
+    paired with its immediate assistant successor in the same
+    conversation, reply gap <= 6 h — the composition that turns the
+    north-rule transcript table into supervised fine-tuning rows. One
+    sort co-location exchange (via stages/shift.py); strings stay Arrow."""
+    from saber_ray.pipelines.sft import sft_pairs
+    return sft_pairs(transcripts_from_events(sf), max_gap_us=6 * HOUR)
+
+
 def _q_dedup_exact(sf):
     from saber_ray.stages.dedup import exact_dedup
     docs = read_table(sf, "documents", columns=["doc_id", "text", "lang"])
@@ -1829,6 +1839,34 @@ def _q_json_extract(sf):
                         keep=["event_id", "event_type"])
 
 
+PAGERANK_EDGES_SQL = "SELECT user_id AS src, event_id % 100 AS dst FROM events"
+PAGERANK_ITERS = 3
+
+
+def _q_pagerank(sf):
+    """PageRank (stages/graph.py) — the iterative-algorithm family: a
+    driver-coordinated fixpoint loop of edge-scan passes over a
+    materialized edge Dataset, rank vector broadcast per iteration,
+    INTEGER fixed-point algebra so the DuckDB unrolled-CTE twin
+    (pagerank_sql, generated from the same parameters) matches
+    bit-for-bit. Edges derive from events: user --acts-on--> shard."""
+    import pyarrow as pa
+    from saber_ray.stages.graph import pagerank
+
+    ds = read_table(sf, "events", columns=["user_id", "event_id"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].cast(pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": t["user_id"].cast(pa.int64()),
+            "dst": pa.array(eid % 100, pa.int64())})
+
+    edges = ds.map_batches(to_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return pagerank(edges, iterations=PAGERANK_ITERS)
+
+
 def _q_perplexity(sf):
     """Perplexity filtering, the canonical pretraining quality gate: train
     an add-one-smoothed unigram LM on half the corpus (even doc_ids — so
@@ -1856,6 +1894,12 @@ def _q_bm25_search(sf):
     from saber_ray.stages.search import bm25_search
     docs = read_table(sf, "documents", columns=["doc_id", "text"])
     return bm25_search(docs, _BM25_QUERIES, k=_BM25_K)
+
+
+def _pagerank_oracle() -> str:
+    """Generated from the same parameters as _q_pagerank — cannot drift."""
+    from saber_ray.stages.graph import pagerank_sql
+    return pagerank_sql(PAGERANK_EDGES_SQL, iterations=PAGERANK_ITERS)
 
 
 def _bm25_oracle() -> str:
@@ -2027,7 +2071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": _q_hash_split,
         "mix_corpora": _q_mix_corpora,
         "pack_sequences": _q_pack_sequences,
-        "strip_html": _q_strip_html,
+        "sft_pairs": _q_sft_pairs,
         "quality_filter_p90": _q_quality_filter,
         "streaming_match_pattern": _q_streaming_match_pattern,
         "chunk_documents": _q_chunk_documents,
@@ -2070,7 +2114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
-        "json_extract": _q_json_extract,
+        "pagerank": _q_pagerank,
     }
 
 
@@ -2213,9 +2257,16 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": pack_sql(
             "SELECT doc_id, n_chars FROM documents", 1200,
             tokens_col="n_chars", buckets=8, salt=4),
-        "strip_html": (
-            f"SELECT doc_id, text, {strip_html_sql('text')} AS clean "
-            "FROM documents"),
+        "sft_pairs": _tx(f"""
+            SELECT conv_id, turn_idx, text AS prompt, next_text AS response
+            FROM (SELECT conv_id, turn_idx, role, text, epoch_us(ts) AS tu,
+                    LEAD(role) OVER w AS next_role,
+                    LEAD(text) OVER w AS next_text,
+                    LEAD(epoch_us(ts)) OVER w AS next_tu
+                  FROM transcripts
+                  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+            WHERE role = 'user' AND next_role = 'assistant'
+              AND next_tu - tu <= {6 * HOUR}"""),
         "lang_id": _lang_id_sql(),
         "quality_score": _quality_sql(),
         "streaming_match_pattern": _tx(f"""
@@ -2530,9 +2581,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, string_agg(para, ' the ' ORDER BY pos) AS text
             FROM kept GROUP BY doc_id""",
         "bm25_search": _bm25_oracle(),
-        "json_extract": (
-            "SELECT event_id, event_type, "
-            "CAST(props->>'k' AS BIGINT) AS k FROM events"),
+        "pagerank": _pagerank_oracle(),
         "resample_ffill": (
             f"WITH t AS (SELECT user_id, epoch_us(ts)//{6 * HOUR} "
             "AS window_id, value FROM events), "

@@ -1,0 +1,94 @@
+"""PageRank: integer fixed-point iterative graph algorithm.
+
+Checks three independent properties:
+- bit-exact match vs the generated DuckDB unrolled-CTE twin
+  (``pagerank_sql`` is built from the SAME parameters, so the oracle
+  cannot drift from the implementation);
+- convergence sanity vs a float numpy reference (the fixed-point values
+  divided by scale approximate the float PageRank to ~iterations * n/scale);
+- mass accounting: total rank <= scale (dangling/floor loss only shrinks).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tests.oracle_util import duck
+
+
+def _toy_edges():
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 40, 400).astype(np.int64)
+    dst = rng.integers(0, 50, 400).astype(np.int64)
+    keep = src != dst
+    return pa.table({"src": src[keep], "dst": dst[keep]})
+
+
+def _ranks_float(src, dst, iterations, d=0.85):
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s in src:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        nxt = np.full(n, (1 - d) / n)
+        for s, t in zip(src, dst):
+            nxt[idx[t]] += d * r[idx[s]] / out[idx[s]]
+        r = nxt
+    return nodes, r
+
+
+@pytest.mark.parametrize("iterations", [1, 4])
+def test_pagerank_vs_duckdb(ray_session, tmp_path, iterations):
+    import pyarrow.parquet as pq
+    import ray
+
+    from saber_ray.stages.graph import pagerank, pagerank_sql
+
+    edges = _toy_edges()
+    p = tmp_path / "edges.parquet"
+    pq.write_table(edges, p)
+
+    got = pagerank(ray.data.read_parquet(str(p)), iterations=iterations)
+
+    con = duck(str(tmp_path))
+    sql = pagerank_sql(f"SELECT src, dst FROM read_parquet('{p}')",
+                       iterations=iterations)
+    want = con.sql(sql).fetch_arrow_table()
+    con.close()
+
+    assert got.num_rows == want.num_rows
+    assert got["node"].to_pylist() == want["node"].to_pylist()
+    assert got["rank"].to_pylist() == want["rank"].to_pylist()
+
+    # mass conservation: floor-division and dangling nodes only LOSE mass
+    total = sum(got["rank"].to_pylist())
+    assert total <= 10 ** 12
+    assert total > 0.5 * 10 ** 12
+
+    # float sanity: fixed-point/scale tracks the float reference
+    nodes, ref = _ranks_float(edges["src"].to_numpy(), edges["dst"].to_numpy(),
+                              iterations)
+    np.testing.assert_allclose(
+        np.array(got["rank"].to_pylist(), dtype=float) / 1e12, ref, atol=1e-6)
+
+
+def test_pagerank_empty_and_dangling(ray_session):
+    import ray
+
+    from saber_ray.stages.graph import pagerank
+
+    empty = pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64())})
+    out = pagerank(ray.data.from_arrow(empty))
+    assert out.num_rows == 0
+
+    # node 3 is a pure sink (dangling): present in output, contributes nothing
+    edges = pa.table({"src": pa.array([1, 2], pa.int64()),
+                      "dst": pa.array([3, 3], pa.int64())})
+    out = pagerank(ray.data.from_arrow(edges), iterations=2)
+    assert out["node"].to_pylist() == [1, 2, 3]
+    ranks = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
+    assert ranks[3] > ranks[1] == ranks[2]

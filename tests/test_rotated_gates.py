@@ -308,6 +308,13 @@ ROTATED = {
         "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
         "AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_total "
         "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"),
+    "strip_html": (
+        entry_mod._q_strip_html,
+        None),  # SQL generated lazily below (needs the stage's step table)
+    "json_extract": (
+        entry_mod._q_json_extract,
+        "SELECT event_id, event_type, "
+        "CAST(props->>'k' AS BIGINT) AS k FROM events"),
     "match_pattern": (
         entry_mod._q_match_pattern,
         entry_mod._tx(f"""
@@ -332,4 +339,8 @@ ROTATED = {
 @pytest.mark.parametrize("name", sorted(ROTATED))
 def test_rotated_gate_vs_oracle(name, ray_session, sf_dir):
     fn, sql = ROTATED[name]
+    if name == "strip_html":
+        from saber_ray.stages.curation import strip_html_sql
+        sql = (f"SELECT doc_id, text, {strip_html_sql('text')} AS clean "
+               "FROM documents")
     assert_matches_oracle(fn(sf_dir), sql, sf_dir)
