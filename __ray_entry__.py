@@ -1867,6 +1867,17 @@ def _q_pagerank(sf):
     return pagerank(edges, iterations=PAGERANK_ITERS)
 
 
+def _q_char_entropy(sf):
+    """Per-doc byte-distribution Shannon entropy (stages/text.py): the
+    compressibility quality signal. One int64 key sort per batch, no
+    rows x 256 histogram. Full DuckDB entropy() oracle at float
+    tolerance in tests/test_text_entropy.py (genuinely-float output, so
+    pytest-oracled rather than hash-gated)."""
+    from saber_ray.stages.text import char_entropy
+    return char_entropy(read_table(sf, "documents",
+                                   columns=["doc_id", "text"]))
+
+
 def _q_perplexity(sf):
     """Perplexity filtering, the canonical pretraining quality gate: train
     an add-one-smoothed unigram LM on half the corpus (even doc_ids — so
@@ -2142,6 +2153,7 @@ def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_pq": _q_ann_pq,
         # full DuckDB value oracles for these two live in tests/test_lm.py
         # (the 50-gate window is at capacity; coverage is NOT weaker here)
+        "char_entropy": _q_char_entropy,
         "ngram_counts": _q_ngram_counts,
         "collocations": _q_collocations,
         "streaming_heavy_hitters": _q_streaming_hh,

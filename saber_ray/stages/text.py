@@ -329,3 +329,50 @@ def winnowing_fingerprint(ds, text_col: str = "text", k: int = 8, window: int = 
                           concurrency=concurrency, num_cpus=0.5,
                           fn_constructor_kwargs={"text_col": text_col,
                                                  "k": k, "window": window})
+
+
+def char_entropy(ds, text_col: str = "text", *, out: str = "entropy"):
+    """Append per-document Shannon entropy (bits) of the byte distribution
+    — the cheap "compressibility" quality signal (low entropy ≈ repetitive
+    boilerplate, high ≈ binary junk). On ASCII text byte entropy equals
+    character entropy, so the DuckDB twin is
+    ``entropy(unnest(string_split(text, '')))`` per doc (pytest-oracled at
+    float tolerance in tests/test_text_entropy.py; not a driver hash gate
+    — the final log2/divide is genuinely float).
+
+    Kernel shape: flat UTF-8 buffer → ONE int64 sort of (row*256 + byte)
+    keys → run-length counts → per-row Σ c·log2(c) via one weighted
+    bincount. No per-row loops, no rows×256 histogram allocation, strings
+    never leave Arrow.
+    """
+    from saber_ray.core.aggregates import round_oracle_np
+    from saber_ray.core.hashing import string_buffers
+    from saber_ray.core.tokens import _single
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t[text_col], "")
+        n_rows = t.num_rows
+        if n_rows == 0:
+            return t.append_column(out, pa.array([], pa.float64()))
+        data, starts, ends = string_buffers(_single(txt))
+        lens = (ends - starts).astype(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return t.append_column(
+                out, pa.array(np.zeros(n_rows), pa.float64()))
+        owners = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        row_off = np.cumsum(lens) - lens
+        idx = np.repeat(starts.astype(np.int64), lens) \
+            + np.arange(total, dtype=np.int64) - np.repeat(row_off, lens)
+        key = np.sort(owners * 256 + data[idx])
+        run_starts = np.flatnonzero(
+            np.concatenate(([True], key[1:] != key[:-1])))
+        c = np.diff(np.concatenate((run_starts, [total]))).astype(np.float64)
+        run_row = key[run_starts] >> 8
+        clogc = np.bincount(run_row, weights=c * np.log2(c),
+                            minlength=n_rows)
+        n = np.maximum(lens, 1).astype(np.float64)
+        ent = np.where(lens > 0, np.log2(n) - clogc / n, 0.0)
+        return t.append_column(out, pa.array(round_oracle_np(ent, 6)))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

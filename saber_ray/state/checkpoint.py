@@ -76,6 +76,21 @@ def _rows_in(dirpath: str) -> tuple[int, list[str]]:
     return rows, files
 
 
+def _rows_in_jsonl(dirpath: str) -> tuple[int, list[str]]:
+    """Line-count NDJSON shards (no footer metadata to read). Streamed in
+    1 MiB chunks — I/O-bound, one pass over what was just written."""
+    rows, files = 0, []
+    for root, _, names in os.walk(dirpath):
+        for n in sorted(names):
+            if n.endswith((".json", ".jsonl")):
+                p = os.path.join(root, n)
+                with open(p, "rb") as f:
+                    while chunk := f.read(1 << 20):
+                        rows += chunk.count(b"\n")
+                files.append(os.path.relpath(p, dirpath))
+    return rows, files
+
+
 def completed_partitions(out_dir: str) -> set[str]:
     return set(_load(out_dir)["partitions"])
 
@@ -86,10 +101,18 @@ def run_partitioned(
     out_dir: str,
     *,
     resume: bool = True,
+    format: str = "parquet",
     on_progress: Optional[Callable[[PartitionResult], None]] = None,
 ) -> dict:
     """Run ``build(spec)`` per (partition_id, spec), committing each partition
-    exactly once. Returns the final manifest. Safe to kill + rerun."""
+    exactly once. Returns the final manifest. Safe to kill + rerun.
+
+    ``format="jsonl"`` writes NDJSON shards instead of Parquet — the
+    training-export path (most fine-tuning loaders consume JSONL); the
+    commit protocol (tmp dir + atomic rename + manifest) is identical, so
+    exactly-once and resume hold for either format."""
+    if format not in ("parquet", "jsonl"):
+        raise ValueError(f"format must be 'parquet' or 'jsonl', got {format!r}")
     os.makedirs(out_dir, exist_ok=True)
     manifest = _load(out_dir) if resume else {"partitions": {}, "epoch": 0}
     if not resume:
@@ -111,8 +134,12 @@ def run_partitioned(
             shutil.rmtree(final_dir)              # renamed but un-manifested → redo
         t0 = time.monotonic()
         ds = build(spec)
-        ds.write_parquet(tmp_dir)
-        rows, files = _rows_in(tmp_dir)
+        if format == "jsonl":
+            ds.write_json(tmp_dir)
+            rows, files = _rows_in_jsonl(tmp_dir)
+        else:
+            ds.write_parquet(tmp_dir)
+            rows, files = _rows_in(tmp_dir)
         os.replace(tmp_dir, final_dir)            # atomic visibility
         res = PartitionResult(pid, rows, files, spec, time.monotonic() - t0, epoch)
         manifest["partitions"][pid] = {

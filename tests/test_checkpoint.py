@@ -178,3 +178,50 @@ def test_curation_job_end_to_end_and_resume(ray_session, sf_dir, tmp_path):
         lambda d: (_ for _ in ()).throw(AssertionError("must not rebuild")),
         parts, out)
     assert m2["partitions"] == m1["partitions"]
+
+
+def test_jsonl_export_roundtrip_and_resume(ray_session, sf_dir, tmp_path):
+    """format='jsonl': the training-export path — NDJSON shards under the
+    same exactly-once commit protocol; content roundtrips through a JSON
+    reader, manifest rows come from line counts, resume is a no-op."""
+    import json
+
+    import ray
+
+    from saber_ray.pipelines.sft import sft_pairs
+    from saber_ray.sources.transcripts import transcripts_from_events
+
+    out = str(tmp_path / "export")
+
+    def build(_spec):
+        return sft_pairs(transcripts_from_events(sf_dir))
+
+    man = run_partitioned(build, [("all", None)], out, format="jsonl")
+    assert set(man["partitions"]) == {"all"}
+    n = emitted_rows(out)
+    assert n > 0
+
+    files = sorted(glob.glob(os.path.join(out, "part=all", "*.json")))
+    assert files
+    rows = [json.loads(line) for f in files for line in open(f)]
+    assert len(rows) == n
+    assert set(rows[0]) == {"conv_id", "turn_idx", "prompt", "response"}
+    want = sft_pairs(transcripts_from_events(sf_dir)).to_pandas()
+    # JSON carries no integer width: int32 turn_idx comes back int64
+    want["turn_idx"] = want["turn_idx"].astype("int64")
+    got = pd.DataFrame(rows)
+    key = ["conv_id", "turn_idx"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[want.columns],
+        want.sort_values(key).reset_index(drop=True))
+
+    # resume skips the committed partition entirely (build never called)
+    def explode(_spec):
+        raise AssertionError("resume must skip completed partitions")
+
+    man2 = run_partitioned(explode, [("all", None)], out, format="jsonl")
+    assert emitted_rows(out) == n and set(man2["partitions"]) == {"all"}
+
+    with pytest.raises(ValueError):
+        run_partitioned(build, [("x", None)], str(tmp_path / "bad"),
+                        format="csv")
