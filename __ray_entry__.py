@@ -1775,6 +1775,20 @@ def _q_streaming_shift(sf):
     return job.results()
 
 
+def _q_streaming_sft_pairs(sf):
+    """Streaming SFT-pair extraction (pipelines/sft.streaming_sft_pairs):
+    the flagship transcript payload as a CONTINUOUS job — StreamingShift's
+    watermark-sealed LEAD emissions with the same vectorized pair
+    predicate mapped over them; whole-stream output equals the batch
+    composition / the SQL LEAD() oracle, exactly-once under kill/resume
+    (inherited from the keyed engine)."""
+    from saber_ray.pipelines.sft import streaming_sft_pairs
+    files, out = _stream_gate_files(
+        sf, ["conv_id", "turn_idx", "role", "text", "ts"], "stream_sft")
+    return streaming_sft_pairs(out, files, epoch_size=2,
+                               max_gap_us=6 * HOUR, num_partitions=3)
+
+
 def _q_streaming_topk(sf):
     """Streaming grouped top-k view (streaming_topk.py): each
     conversation's 3 most recent turns as a continuously-maintained
@@ -2085,7 +2099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sft_pairs": _q_sft_pairs,
         "quality_filter_p90": _q_quality_filter,
         "streaming_match_pattern": _q_streaming_match_pattern,
-        "chunk_documents": _q_chunk_documents,
+        "streaming_sft_pairs": _q_streaming_sft_pairs,
         "sliding_grouped_agg": _q_sliding_grouped,
         "streaming_rolling": _q_streaming_rolling,
         "row_window_global": _q_row_window_global,
@@ -2293,24 +2307,16 @@ def oracle_sql() -> dict[str, str]:
                   FROM transcripts)
             WHERE role = 'user' AND r1 = 'assistant' AND r2 = 'user'
               AND t2 - tu <= {24 * HOUR}"""),
-        "chunk_documents": r"""
-            WITH d AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(COALESCE(text, ''),
-                                 '\s+'), w -> w <> '') AS ws
-              FROM documents),
-            n AS (SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) > 0),
-            c AS (SELECT doc_id, ws, n,
-                         1 + greatest(0, CAST(ceil((n - 64) / 48.0)
-                                              AS BIGINT)) AS n_chunks
-                  FROM n),
-            e AS (SELECT doc_id, ws, n, n_chunks,
-                         unnest(range(n_chunks)) AS i FROM c)
-            SELECT doc_id, i AS chunk_idx, n_chunks,
-                   array_to_string(ws[1 + i * 48 : i * 48 + 64], ' ')
-                     AS chunk_text,
-                   least(64, n - i * 48) AS n_tokens
-            FROM e""",
+        "streaming_sft_pairs": _tx(f"""
+            SELECT conv_id, turn_idx, text AS prompt, next_text AS response
+            FROM (SELECT conv_id, turn_idx, role, text, epoch_us(ts) AS tu,
+                    LEAD(role) OVER w AS next_role,
+                    LEAD(text) OVER w AS next_text,
+                    LEAD(epoch_us(ts)) OVER w AS next_tu
+                  FROM transcripts
+                  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx))
+            WHERE role = 'user' AND next_role = 'assistant'
+              AND next_tu - tu <= {6 * HOUR}"""),
         "sliding_grouped_agg": _sliding_sql(
             4, 12 * HOUR,
             f"user_id, window_id, ROUND({_DECV} / COUNT(value), 6) AS avg_value, "

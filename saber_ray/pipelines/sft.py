@@ -1,15 +1,21 @@
-"""SFT training-pair extraction from agent transcripts.
+"""SFT training-pair extraction from agent transcripts — batch + streaming.
 
 The composition a training-data user actually runs over the north-rule
 transcript table: pair every user turn with the immediately-following
 assistant turn of the same conversation → (prompt, response) rows for
-supervised fine-tuning. Built entirely from existing engine stages —
-``shift`` (one null-safe sort co-location exchange, then per-block Arrow
-takes; stages/shift.py) + a vectorized predicate — so it inherits their
-100 TB shape: the only exchange is the (conv_id, turn_idx) sort, strings
-never leave Arrow, and the output streams.
+supervised fine-tuning. Built entirely from existing engine stages so it
+inherits their 100 TB shape:
 
-SQL twin (exact, no floats):
+- batch: ``stages/shift.py`` (one null-safe sort co-location exchange,
+  per-block Arrow takes) + the vectorized pair predicate;
+- streaming: ``streaming_shift.StreamingShift`` (watermark-sealed
+  LAG/LEAD emission, bounded per-key context, exactly-once resume) with
+  the SAME pair predicate mapped over its emissions — the engine's
+  flagship payload at 10^12-turn scale: training pairs extracted
+  continuously from an unbounded transcript stream.
+
+Both paths share ``_pairs_batch``; the whole-stream SQL twin is exact
+(no floats):
 
     SELECT conv_id, turn_idx, text AS prompt, next_text AS response
     FROM (... LEAD(role/text/ts) OVER (PARTITION BY conv_id
@@ -26,6 +32,28 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from saber_ray.stages.shift import shift
+
+
+def _pairs_batch(t: pa.Table, *, user_role: str, assistant_role: str,
+                 max_gap_us: Optional[int], min_prompt_chars: int,
+                 min_response_chars: int) -> pa.Table:
+    """Vectorized pair predicate + projection over a shifted table
+    (columns role, text, next_role, next_text [, ts, next_ts])."""
+    m = pc.and_kleene(pc.equal(t["role"], user_role),
+                      pc.equal(t["next_role"], assistant_role))
+    if min_prompt_chars > 1:
+        m = pc.and_kleene(m, pc.greater_equal(
+            pc.utf8_length(t["text"]), min_prompt_chars))
+    if min_response_chars > 1:
+        m = pc.and_kleene(m, pc.greater_equal(
+            pc.utf8_length(t["next_text"]), min_response_chars))
+    if max_gap_us is not None:
+        gap = pc.subtract(t["next_ts"].cast(pa.int64()),
+                          t["ts"].cast(pa.int64()))
+        m = pc.and_kleene(m, pc.less_equal(gap, max_gap_us))
+    t = t.filter(pc.fill_null(m, False))
+    return pa.table({"conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+                     "prompt": t["text"], "response": t["next_text"]})
 
 
 def sft_pairs(ts_ds, *, user_role: str = "user",
@@ -46,21 +74,45 @@ def sft_pairs(ts_ds, *, user_role: str = "user",
     shifted = shift(ts_ds, "conv_id", "turn_idx", specs, keep=keep)
 
     def to_pairs(t: pa.Table) -> pa.Table:
-        m = pc.and_kleene(pc.equal(t["role"], user_role),
-                          pc.equal(t["next_role"], assistant_role))
-        if min_prompt_chars > 1:
-            m = pc.and_kleene(m, pc.greater_equal(
-                pc.utf8_length(t["text"]), min_prompt_chars))
-        if min_response_chars > 1:
-            m = pc.and_kleene(m, pc.greater_equal(
-                pc.utf8_length(t["next_text"]), min_response_chars))
-        if need_ts:
-            gap = pc.subtract(t["next_ts"].cast(pa.int64()),
-                              t["ts"].cast(pa.int64()))
-            m = pc.and_kleene(m, pc.less_equal(gap, max_gap_us))
-        t = t.filter(pc.fill_null(m, False))
-        return pa.table({"conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
-                         "prompt": t["text"], "response": t["next_text"]})
+        return _pairs_batch(
+            t, user_role=user_role, assistant_role=assistant_role,
+            max_gap_us=max_gap_us, min_prompt_chars=min_prompt_chars,
+            min_response_chars=min_response_chars)
 
     return shifted.map_batches(to_pairs, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def streaming_sft_pairs(out_dir: str, files, *, epoch_size: int = 2,
+                        user_role: str = "user",
+                        assistant_role: str = "assistant",
+                        max_gap_us: Optional[int] = None,
+                        min_prompt_chars: int = 1,
+                        min_response_chars: int = 1,
+                        num_partitions: int = 4,
+                        allowed_lateness: int = 0):
+    """The streaming twin: drive ``StreamingShift`` over the ordered file
+    stream (epoch/checkpoint/exactly-once protocol inherited from the
+    keyed engine), then map the same pair predicate over its sealed
+    emissions. Returns the pairs Dataset; whole-stream output equals
+    :func:`sft_pairs` on the concatenated input."""
+    from saber_ray.streaming_shift import StreamingShift
+
+    need_ts = max_gap_us is not None
+    specs = {"next_role": ("role", -1), "next_text": ("text", -1)}
+    if need_ts:
+        specs["next_ts"] = ("ts", -1)
+    job = StreamingShift(out_dir, specs=specs, keys=["conv_id"],
+                         ts_col="ts", tiebreak=["turn_idx"],
+                         keep=["role", "text"],
+                         num_partitions=num_partitions,
+                         allowed_lateness=allowed_lateness)
+    job.run(files, epoch_size=epoch_size)
+
+    # results() is an in-memory Table (emissions, read back from the
+    # exactly-once output shards) — apply the predicate directly
+    return _pairs_batch(
+        job.results().combine_chunks(), user_role=user_role,
+        assistant_role=assistant_role, max_gap_us=max_gap_us,
+        min_prompt_chars=min_prompt_chars,
+        min_response_chars=min_response_chars)

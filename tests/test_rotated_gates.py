@@ -311,6 +311,26 @@ ROTATED = {
     "strip_html": (
         entry_mod._q_strip_html,
         None),  # SQL generated lazily below (needs the stage's step table)
+    "chunk_documents": (
+        entry_mod._q_chunk_documents,
+        r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(COALESCE(text, ''),
+                                 '\s+'), w -> w <> '') AS ws
+              FROM documents),
+            n AS (SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) > 0),
+            c AS (SELECT doc_id, ws, n,
+                         1 + greatest(0, CAST(ceil((n - 64) / 48.0)
+                                              AS BIGINT)) AS n_chunks
+                  FROM n),
+            e AS (SELECT doc_id, ws, n, n_chunks,
+                         unnest(range(n_chunks)) AS i FROM c)
+            SELECT doc_id, i AS chunk_idx, n_chunks,
+                   array_to_string(ws[1 + i * 48 : i * 48 + 64], ' ')
+                     AS chunk_text,
+                   least(64, n - i * 48) AS n_tokens
+            FROM e"""),
     "json_extract": (
         entry_mod._q_json_extract,
         "SELECT event_id, event_type, "

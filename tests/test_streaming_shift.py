@@ -165,3 +165,29 @@ def test_streaming_shift_lag_only_context_survives(ray_session, tmp_path):
     assert df.loc[("A", 1000), "prev_v"] == 20
     assert pd.isna(df.loc[("A", 1), "prev_v"])   # true run start
     assert df.loc[("B", 1001), "prev_v"] == 99
+
+
+def test_streaming_sft_pairs_matches_batch(ray_session, tmp_path):
+    """pipelines/sft.streaming_sft_pairs over the epoch stream equals the
+    batch composition over the concatenated input (ts order == turn_idx
+    order in the generated transcripts), including the gap/length gates."""
+    import ray.data as rd
+
+    from saber_ray.pipelines.sft import sft_pairs, streaming_sft_pairs
+
+    t = _gen_chunk(5, 600, 10, seed=47) \
+        .select(["conv_id", "turn_idx", "role", "text", "ts"]).sort_by("ts")
+    files, n = [], t.num_rows
+    for i in range(8):
+        part = t.slice(i * n // 8, (i + 1) * n // 8 - i * n // 8)
+        p = str(tmp_path / f"s{i:03d}.parquet")
+        pq.write_table(part, p)
+        files.append(p)
+
+    kw = dict(max_gap_us=3_600_000_000, min_prompt_chars=5,
+              min_response_chars=5)
+    got = canon(to_pandas(streaming_sft_pairs(
+        str(tmp_path / "out"), files, epoch_size=2, num_partitions=3, **kw)))
+    want = canon(to_pandas(sft_pairs(rd.from_arrow(t), **kw)))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
