@@ -2165,9 +2165,11 @@ def pytest_only_queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_pq": _q_ann_pq,
+        # full DuckDB value oracle at float tolerance in
+        # tests/test_text_entropy.py (genuinely-float output)
+        "char_entropy": _q_char_entropy,
         # full DuckDB value oracles for these two live in tests/test_lm.py
         # (the 50-gate window is at capacity; coverage is NOT weaker here)
-        "char_entropy": _q_char_entropy,
         "ngram_counts": _q_ngram_counts,
         "collocations": _q_collocations,
         "streaming_heavy_hitters": _q_streaming_hh,

@@ -41,10 +41,10 @@ def _pairs_batch(t: pa.Table, *, user_role: str, assistant_role: str,
     (columns role, text, next_role, next_text [, ts, next_ts])."""
     m = pc.and_kleene(pc.equal(t["role"], user_role),
                       pc.equal(t["next_role"], assistant_role))
-    if min_prompt_chars > 1:
+    if min_prompt_chars > 0:
         m = pc.and_kleene(m, pc.greater_equal(
             pc.utf8_length(t["text"]), min_prompt_chars))
-    if min_response_chars > 1:
+    if min_response_chars > 0:
         m = pc.and_kleene(m, pc.greater_equal(
             pc.utf8_length(t["next_text"]), min_response_chars))
     if max_gap_us is not None:
@@ -59,13 +59,13 @@ def _pairs_batch(t: pa.Table, *, user_role: str, assistant_role: str,
 def sft_pairs(ts_ds, *, user_role: str = "user",
               assistant_role: str = "assistant",
               max_gap_us: Optional[int] = None,
-              min_prompt_chars: int = 1,
-              min_response_chars: int = 1):
+              min_prompt_chars: int = 0,
+              min_response_chars: int = 0):
     """(conv_id, turn_idx, prompt, response) pairs: each ``user_role``
     turn joined to its immediate ``assistant_role`` successor within the
     conversation, optionally gated on reply latency (``max_gap_us``) and
-    minimum text lengths. Expects the transcript schema (conv_id,
-    turn_idx, role, text, ts)."""
+    minimum text lengths (0 = disabled; 1 already drops empty strings).
+    Expects the transcript schema (conv_id, turn_idx, role, text, ts)."""
     need_ts = max_gap_us is not None
     specs = {"next_role": ("role", -1), "next_text": ("text", -1)}
     keep = ["role", "text"] + (["ts"] if need_ts else [])
@@ -87,15 +87,17 @@ def streaming_sft_pairs(out_dir: str, files, *, epoch_size: int = 2,
                         user_role: str = "user",
                         assistant_role: str = "assistant",
                         max_gap_us: Optional[int] = None,
-                        min_prompt_chars: int = 1,
-                        min_response_chars: int = 1,
+                        min_prompt_chars: int = 0,
+                        min_response_chars: int = 0,
                         num_partitions: int = 4,
                         allowed_lateness: int = 0):
     """The streaming twin: drive ``StreamingShift`` over the ordered file
     stream (epoch/checkpoint/exactly-once protocol inherited from the
-    keyed engine), then map the same pair predicate over its sealed
-    emissions. Returns the pairs Dataset; whole-stream output equals
-    :func:`sft_pairs` on the concatenated input."""
+    keyed engine), then apply the same pair predicate to its sealed
+    emissions. Returns an in-memory pyarrow Table (the keyed engines'
+    ``results()`` convention — emissions read back from the exactly-once
+    output shards), unlike batch :func:`sft_pairs` which returns a
+    streaming Dataset; whole-stream rows are equal."""
     from saber_ray.streaming_shift import StreamingShift
 
     need_ts = max_gap_us is not None

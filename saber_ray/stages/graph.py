@@ -93,13 +93,21 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
         return pa.table({"node": node[starts],
                          "val": np.add.reduceat(val, starts)})
 
-    deg_tbl = pa.Table.from_pylist(
+    def _collect(ds) -> pa.Table:
+        """O(n_nodes) result → one Arrow table, zero-copy per block (no
+        take_all(): 50M dict rows on the driver would dwarf the ~400 MB
+        int64 vectors this path is designed around)."""
+        blocks = [b for b in ray.get(ds.to_arrow_refs()) if b.num_rows]
+        if not blocks:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64())})
+        return pa.concat_tables(blocks).combine_chunks()
+
+    deg_tbl = _collect(
         edges.map_batches(block_deg, batch_format="pyarrow",
                           zero_copy_batch=True)
         .sort("node")
-        .map_batches(run_sum, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all(),
-        schema=pa.schema([("node", pa.int64()), ("val", pa.int64())]))
+        .map_batches(run_sum, batch_format="pyarrow", zero_copy_batch=True))
     n_nodes = deg_tbl.num_rows
     if n_nodes == 0:
         return pa.table({"node": pa.array([], pa.int64()),
@@ -141,12 +149,12 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
             _Contrib, batch_format="pyarrow", zero_copy_batch=True,
             concurrency=(1, 8),
             fn_constructor_args=(nodes_ref, contrib_ref))
-        summed = parts.sort("node").map_batches(
-            run_sum, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        summed = _collect(parts.sort("node").map_batches(
+            run_sum, batch_format="pyarrow", zero_copy_batch=True))
         new = np.full(n_nodes, base, np.int64)
-        if summed:
-            snode = np.fromiter((r["node"] for r in summed), np.int64, len(summed))
-            sval = np.fromiter((r["val"] for r in summed), np.int64, len(summed))
+        if summed.num_rows:
+            snode = _np_i64(summed["node"])
+            sval = _np_i64(summed["val"])
             new[np.searchsorted(nodes, snode)] += sval
         ranks = new
 

@@ -8,6 +8,12 @@ import __ray_entry__ as entry_mod
 from saber_ray.stages.sample import sample_sql_predicate
 from tests.oracle_util import assert_matches_oracle
 
+def _strip_html_oracle() -> str:
+    from saber_ray.stages.curation import strip_html_sql
+    return (f"SELECT doc_id, text, {strip_html_sql('text')} AS clean "
+            "FROM documents")
+
+
 ROTATED = {
     "noop": (entry_mod._q_noop, "SELECT * FROM region"),
     "string_ops": (
@@ -310,7 +316,7 @@ ROTATED = {
         "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"),
     "strip_html": (
         entry_mod._q_strip_html,
-        None),  # SQL generated lazily below (needs the stage's step table)
+        _strip_html_oracle),  # lazy: generated from the stage's step table
     "chunk_documents": (
         entry_mod._q_chunk_documents,
         r"""
@@ -359,8 +365,6 @@ ROTATED = {
 @pytest.mark.parametrize("name", sorted(ROTATED))
 def test_rotated_gate_vs_oracle(name, ray_session, sf_dir):
     fn, sql = ROTATED[name]
-    if name == "strip_html":
-        from saber_ray.stages.curation import strip_html_sql
-        sql = (f"SELECT doc_id, text, {strip_html_sql('text')} AS clean "
-               "FROM documents")
+    if callable(sql):
+        sql = sql()
     assert_matches_oracle(fn(sf_dir), sql, sf_dir)

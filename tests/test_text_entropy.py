@@ -23,9 +23,15 @@ def test_char_entropy_vs_duckdb(ray_session, sf_dir):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     got = char_entropy(ds)
-    sql = ("SELECT doc_id, text, ROUND(entropy(ch), 6) AS entropy "
-           "FROM (SELECT doc_id, text, unnest(string_split(text, '')) AS ch "
-           "FROM documents) GROUP BY doc_id, text")
+    # LEFT JOIN keeps empty/NULL docs (kernel emits 0.0 for them; the
+    # per-char aggregate would silently drop their group) — total over
+    # every doc_id even if the corpus gains degenerate rows
+    sql = ("SELECT d.doc_id, d.text, COALESCE(e.entropy, 0.0) AS entropy "
+           "FROM documents d LEFT JOIN ("
+           "  SELECT doc_id, ROUND(entropy(ch), 6) AS entropy "
+           "  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch "
+           "        FROM documents) GROUP BY doc_id"
+           ") e ON d.doc_id = e.doc_id")
     assert_matches_oracle(got, sql, sf_dir)
 
 
