@@ -587,6 +587,54 @@ def run_curation() -> dict:
     }
 
 
+def run_graph() -> dict:
+    """--graph: PageRank throughput — the iterative family's bench leg.
+    Synthetic hash-mixed edge table (10% of destinations remapped to one
+    hot node for skew realism), 4 fixed-point iterations; reports
+    edge-traversals/sec (edges x iterations / wall)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from saber_ray.stages.graph import pagerank
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    tier = os.path.basename(os.path.normpath(SF_DIR))
+    n_edges = int(os.environ.get(
+        "SABER_BENCH_EDGES",
+        {"sf0.001": 200_000, "sf0.01": 2_000_000}.get(tier, 20_000_000)))
+    n_nodes = max(n_edges // 10, 1)
+    iters = 4
+
+    def to_edge(t: pa.Table) -> pa.Table:
+        i = t["id"].to_numpy().astype(np.int64)
+        src = (i * 2654435761) % n_nodes
+        dst = (i * 97 + (i >> 7) * 31) % n_nodes
+        dst[i % 10 == 0] = 0                      # 10% hot destination
+        return pa.table({"src": src, "dst": dst})
+
+    edges = rd.range(n_edges, override_num_blocks=2 * NUM_CPUS) \
+        .map_batches(to_edge, batch_format="pyarrow")
+    t0 = time.monotonic()
+    out = pagerank(edges, iterations=iters)
+    wall = time.monotonic() - t0
+    ray.shutdown()
+    return {
+        "metric": "PageRank wall time (4 integer fixed-point iterations, "
+                  "hash-mixed edges, 10% hot destination)",
+        "value": round(wall, 3), "unit": "sec",
+        "n_edges": n_edges, "n_nodes": int(out.num_rows), "iterations": iters,
+        "edge_traversals_per_sec": int(n_edges * iters / wall),
+        "total_rank": int(sum(out["rank"].to_pylist())),
+        "sf": SF_DIR, "num_cpus": NUM_CPUS,
+    }
+
+
 def run_relational() -> dict:
     """--relational: throughput of the late-round-4 relational/time-series
     family over the REAL sf tables — interval stabbing + overlap joins,
@@ -753,6 +801,8 @@ if __name__ == "__main__":
         result = run_text()
     elif "--relational" in sys.argv:
         result = run_relational()
+    elif "--graph" in sys.argv:
+        result = run_graph()
     else:
         result = run_suite()
     print(json.dumps(result))

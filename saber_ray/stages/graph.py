@@ -22,31 +22,39 @@ UNROLLED as chained CTEs (``pagerank_sql``) reproduces the Ray result
 hash-for-hash, no float tolerance anywhere. Dangling nodes (outdeg 0)
 drop their mass — the simplified variant; both sides implement it
 identically. floor(rank*num/(den*outdeg)) stays < 2^63 for
-scale ≤ 10^15 (rank ≤ scale·iterations bounded by total mass ≤ scale).
+scale ≤ 10^15 (rank ≤ total mass ≤ scale); the same bound makes the
+float64 ``bincount`` partial sums exact (integer values whose running
+totals stay ≤ scale < 2^53).
 
 Scale shape (100 TB edges, cites the round-1 CC design in
 stages/dedup.py:105 which this generalizes):
 
 - the edge Dataset is materialized ONCE (object-store blocks, spillable)
   and re-scanned per iteration — the unavoidable cost of an iterative
-  algorithm; no per-iteration parquet re-read.
+  algorithm; no per-iteration parquet re-read. The per-iteration pass is
+  a plain TASK map (no actor pool, no sort): measured on this box, actor
+  -pool spin-up plus a Ray sort exchange cost ~10 s of fixed overhead
+  PER ITERATION, dwarfing the compute at any test scale.
 - the rank vector is O(nodes), not O(edges): nodes are factorized to a
   dense index on the driver ONCE and each iteration broadcasts ONE
   ``ray.put`` of the per-source contribution array (already divided by
-  outdegree, so map tasks do a single gather + segment-sum, no division
-  in the hot path). ``max_nodes`` (default 50M ≈ 400 MB int64 vector)
-  guards the broadcast assumption explicitly; beyond it the rank table
-  must become a partitioned Dataset joined per iteration — documented,
-  not silently attempted.
+  outdegree, so map tasks do a single gather + bincount segment-sum, no
+  division in the hot path). ``max_nodes`` (default 50M ≈ 400 MB int64
+  vector) guards the broadcast assumption explicitly; beyond it the
+  rank table must become a partitioned Dataset joined per iteration —
+  documented, not silently attempted.
 - per iteration, each edge block emits ≤ distinct-dst-per-block partial
-  rows (block-local combiner: factorize dst + bincount) and ONE small
-  ``groupby(dst).sum`` exchange of ≤ n_nodes rows closes the round —
-  edges themselves are never shuffled after the initial materialize.
+  (node, val) rows; the round closes with a driver-side exact combine
+  (searchsorted gather + one weighted bincount into the dense vector).
+  Driver inbound volume is Σ_blocks distinct_dst_block ≤ blocks ×
+  n_nodes; when the block count is large a conditional TREE level
+  (``repartition`` + in-block combine — correct without key
+  co-location because the combine is associative; co-location only
+  changes the compression ratio) shrinks it first. Edges are never
+  shuffled after the initial materialize.
 """
 
 from __future__ import annotations
-
-from typing import Optional
 
 import numpy as np
 import pyarrow as pa
@@ -57,13 +65,34 @@ def _np_i64(col) -> np.ndarray:
     return col.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
 
 
+def _combine_block(t: pa.Table) -> pa.Table:
+    """Sum val by node within one block (associative partial combine —
+    needs no key co-location). argsort + int64 reduceat: exact, and
+    measured ~6x cheaper than np.unique(return_inverse)+bincount at the
+    35M-row driver-combine size (no inverse-permutation scatter, no
+    float64 detour)."""
+    if t.num_rows == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "val": pa.array([], pa.int64())})
+    node = _np_i64(t["node"])
+    val = _np_i64(t["val"])
+    order = np.argsort(node, kind="stable")
+    node = node[order]
+    val = val[order]
+    starts = np.flatnonzero(np.concatenate(([True], node[1:] != node[:-1])))
+    return pa.table({"node": node[starts],
+                     "val": np.add.reduceat(val, starts)})
+
+
 def pagerank(edges, *, src: str = "src", dst: str = "dst",
              iterations: int = 4, damping_num: int = 85,
              damping_den: int = 100, scale: int = 10 ** 12,
-             max_nodes: int = 50_000_000):
+             max_nodes: int = 50_000_000, tree_threshold: int = 128):
     """PageRank over the (src, dst) int edge Dataset; returns a pyarrow
     Table (node:int64, rank:int64) with rank in units of 1/scale, sorted
-    by node. Exact integer algebra — see module docstring."""
+    by node. Exact integer algebra — see module docstring.
+    ``tree_threshold``: block count above which a repartition+combine
+    tree level runs before the driver-side final combine."""
     import ray
 
     edges = edges.materialize()
@@ -72,42 +101,34 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
     def block_deg(t: pa.Table) -> pa.Table:
         s = t[src].cast(pa.int64()).combine_chunks()
         d = t[dst].cast(pa.int64()).combine_chunks()
-        su, counts = np.unique(s.to_numpy(zero_copy_only=False), return_counts=True)
+        su, counts = np.unique(s.to_numpy(zero_copy_only=False),
+                               return_counts=True)
         du = pc.unique(d).to_numpy(zero_copy_only=False).astype(np.int64)
         node = np.concatenate([su.astype(np.int64), du])
-        deg = np.concatenate([counts.astype(np.int64), np.zeros(len(du), np.int64)])
+        deg = np.concatenate([counts.astype(np.int64),
+                              np.zeros(len(du), np.int64)])
         return pa.table({"node": node, "val": deg})
 
-    def run_sum(t: pa.Table) -> pa.Table:
-        """Sorted (node, val) rows → one summed row per node. Ray's sort
-        never splits equal keys across blocks (same contract the CC
-        exchange in dedup.py:105 relies on), so block-local reduceat is
-        globally correct."""
-        if t.num_rows == 0:
-            return pa.table({"node": pa.array([], pa.int64()),
-                             "val": pa.array([], pa.int64())})
-        t = t.combine_chunks()
-        node = _np_i64(t["node"])
-        val = _np_i64(t["val"])
-        starts = np.flatnonzero(np.concatenate(([True], node[1:] != node[:-1])))
-        return pa.table({"node": node[starts],
-                         "val": np.add.reduceat(val, starts)})
+    n_edge_blocks = edges.num_blocks()
 
-    def _collect(ds) -> pa.Table:
-        """O(n_nodes) result → one Arrow table, zero-copy per block (no
-        take_all(): 50M dict rows on the driver would dwarf the ~400 MB
-        int64 vectors this path is designed around)."""
-        blocks = [b for b in ray.get(ds.to_arrow_refs()) if b.num_rows]
+    def _reduce(parts_ds) -> pa.Table:
+        """Partial (node, val) blocks → ≤ n_nodes-row table: optional tree
+        combine level, then zero-copy block collect (no take_all(): 50M
+        dict rows on the driver would dwarf the ~400 MB int64 vectors
+        this path is designed around) + driver-side exact combine.
+        Partials inherit the (materialized) edge block count 1:1."""
+        if n_edge_blocks > tree_threshold:
+            parts_ds = parts_ds.repartition(tree_threshold // 2) \
+                .map_batches(_combine_block, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        blocks = [b for b in ray.get(parts_ds.to_arrow_refs()) if b.num_rows]
         if not blocks:
             return pa.table({"node": pa.array([], pa.int64()),
                              "val": pa.array([], pa.int64())})
-        return pa.concat_tables(blocks).combine_chunks()
+        return _combine_block(pa.concat_tables(blocks).combine_chunks())
 
-    deg_tbl = _collect(
-        edges.map_batches(block_deg, batch_format="pyarrow",
-                          zero_copy_batch=True)
-        .sort("node")
-        .map_batches(run_sum, batch_format="pyarrow", zero_copy_batch=True))
+    deg_tbl = _reduce(edges.map_batches(block_deg, batch_format="pyarrow",
+                                        zero_copy_batch=True))
     n_nodes = deg_tbl.num_rows
     if n_nodes == 0:
         return pa.table({"node": pa.array([], pa.int64()),
@@ -116,46 +137,47 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
         raise ValueError(
             f"pagerank broadcast path supports <= {max_nodes} nodes "
             f"(got {n_nodes}); partition the rank table instead")
-    nodes = _np_i64(deg_tbl["node"])
+    nodes = _np_i64(deg_tbl["node"])      # np.unique output: sorted
     outdeg = _np_i64(deg_tbl["val"])
 
     base = (scale * (damping_den - damping_num)) // (damping_den * n_nodes)
     ranks = np.full(n_nodes, scale // n_nodes, np.int64)
     safe_deg = np.maximum(outdeg, 1)  # dangling: contrib never read (deg 0)
 
-    class _Contrib:
-        """Per-block partial: gather each edge's precomputed source
-        contribution, combine by dst in-block (factorize + bincount)."""
-
-        def __init__(self, nodes_ref, contrib_ref):
-            self.nodes = ray.get(nodes_ref)
-            self.contrib = ray.get(contrib_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            s = _np_i64(t[src])
-            d = _np_i64(t[dst])
-            c = self.contrib[np.searchsorted(self.nodes, s)]
-            uniq_d, inv = np.unique(d, return_inverse=True)
-            # int64-exact segment sum (bincount would detour through float)
-            acc = np.zeros(len(uniq_d), np.int64)
-            np.add.at(acc, inv, c)
-            return pa.table({"node": uniq_d, "val": acc})
-
     nodes_ref = ray.put(nodes)
     for _ in range(iterations):
         contrib = (ranks * damping_num) // (damping_den * safe_deg)
         contrib_ref = ray.put(contrib)
-        parts = edges.map_batches(
-            _Contrib, batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=(1, 8),
-            fn_constructor_args=(nodes_ref, contrib_ref))
-        summed = _collect(parts.sort("node").map_batches(
-            run_sum, batch_format="pyarrow", zero_copy_batch=True))
+
+        def block_contrib(t: pa.Table, _n=nodes_ref, _c=contrib_ref
+                          ) -> pa.Table:
+            """Gather each edge's precomputed source contribution, combine
+            by dst in-block. Broadcast refs resolve zero-copy from the
+            local object store (plain task — no actor-pool startup)."""
+            nvec = ray.get(_n)
+            cvec = ray.get(_c)
+            s = _np_i64(t[src])
+            d = _np_i64(t[dst])
+            c = cvec[np.searchsorted(nvec, s)]
+            uniq_d, inv = np.unique(d, return_inverse=True)
+            acc = np.bincount(inv, weights=c.astype(np.float64))
+            return pa.table({"node": uniq_d, "val": acc.astype(np.int64)})
+
+        parts = edges.map_batches(block_contrib, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        if n_edge_blocks > tree_threshold:
+            parts = parts.repartition(tree_threshold // 2) \
+                .map_batches(_combine_block, batch_format="pyarrow",
+                             zero_copy_batch=True)
         new = np.full(n_nodes, base, np.int64)
-        if summed.num_rows:
-            snode = _np_i64(summed["node"])
-            sval = _np_i64(summed["val"])
-            new[np.searchsorted(nodes, snode)] += sval
+        # every partial block is unique-per-node (np.unique output), so a
+        # direct dense scatter-add per block is exact — no driver-side
+        # np.unique over the concatenated partials (the previous combine
+        # was the measured per-iteration bottleneck at 20M edges)
+        for b in ray.get(parts.to_arrow_refs()):
+            if b.num_rows:
+                new[np.searchsorted(nodes, _np_i64(b["node"]))] \
+                    += _np_i64(b["val"])
         ranks = new
 
     return pa.table({"node": nodes, "rank": ranks})
