@@ -177,6 +177,10 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/saber_ray_curated")
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--format", choices=["parquet", "jsonl"],
+                    default="parquet",
+                    help="output shard format; jsonl = the training-export "
+                         "path (same exactly-once commit protocol)")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -206,8 +210,9 @@ def main() -> int:
     parts = bucket_dirs(shards)
     manifest = run_partitioned(
         lambda d: build_curation(d, bl_ref, min_quality=args.min_quality),
-        parts, args.out, resume=not args.no_resume)
+        parts, args.out, resume=not args.no_resume, format=args.format)
     out = {"out_dir": args.out, "buckets": args.buckets,
+           "format": args.format,
            "nonempty_buckets": len(parts),
            "corpus_scan_passes": 1,          # the partition pass is the ONLY
                                              # read of the source corpus
