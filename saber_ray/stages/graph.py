@@ -85,28 +85,44 @@ def _combine_block(t: pa.Table) -> pa.Table:
 
 
 def pagerank(edges, *, src: str = "src", dst: str = "dst",
+             weight: str | None = None,
              iterations: int = 4, damping_num: int = 85,
              damping_den: int = 100, scale: int = 10 ** 12,
              max_nodes: int = 50_000_000, tree_threshold: int = 128):
     """PageRank over the (src, dst) int edge Dataset; returns a pyarrow
     Table (node:int64, rank:int64) with rank in units of 1/scale, sorted
     by node. Exact integer algebra — see module docstring.
+
+    ``weight``: optional POSITIVE-int edge-weight column — a source's
+    mass splits proportionally to weight instead of uniformly:
+    ``contrib(u,v) = floor(rank(u) * num * w(u,v) / (den * W(u)))`` with
+    W(u) the source's total out-weight. Still bit-exact vs
+    ``pagerank_sql(weight=...)``; weights must satisfy
+    ``scale * num * max_w < 2^63`` (~10^5 at the default scale).
     ``tree_threshold``: block count above which a repartition+combine
     tree level runs before the driver-side final combine."""
     import ray
 
     edges = edges.materialize()
 
-    # -- node universe + outdegrees (one pass, block-local combine) --------
+    # -- node universe + out-degrees / out-weights (one combined pass) -----
     def block_deg(t: pa.Table) -> pa.Table:
         s = t[src].cast(pa.int64()).combine_chunks()
         d = t[dst].cast(pa.int64()).combine_chunks()
-        su, counts = np.unique(s.to_numpy(zero_copy_only=False),
-                               return_counts=True)
+        sn = s.to_numpy(zero_copy_only=False)
+        if weight is None:
+            su, counts = np.unique(sn, return_counts=True)
+            wsum = counts.astype(np.int64)
+        else:
+            w = _np_i64(t[weight])
+            order = np.argsort(sn, kind="stable")
+            sn_s, w_s = sn[order], w[order]
+            st = np.flatnonzero(
+                np.concatenate(([True], sn_s[1:] != sn_s[:-1])))
+            su, wsum = sn_s[st], np.add.reduceat(w_s, st)
         du = pc.unique(d).to_numpy(zero_copy_only=False).astype(np.int64)
         node = np.concatenate([su.astype(np.int64), du])
-        deg = np.concatenate([counts.astype(np.int64),
-                              np.zeros(len(du), np.int64)])
+        deg = np.concatenate([wsum, np.zeros(len(du), np.int64)])
         return pa.table({"node": node, "val": deg})
 
     n_edge_blocks = edges.num_blocks()
@@ -145,20 +161,30 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
     safe_deg = np.maximum(outdeg, 1)  # dangling: contrib never read (deg 0)
 
     nodes_ref = ray.put(nodes)
+    denw_ref = ray.put(damping_den * safe_deg) if weight is not None else None
     for _ in range(iterations):
-        contrib = (ranks * damping_num) // (damping_den * safe_deg)
-        contrib_ref = ray.put(contrib)
+        if weight is None:
+            # uniform split: the whole division pre-computes per SOURCE
+            contrib_ref = ray.put((ranks * damping_num)
+                                  // (damping_den * safe_deg))
+        else:
+            # weighted split divides per EDGE; broadcast the numerator
+            contrib_ref = ray.put(ranks * damping_num)
 
-        def block_contrib(t: pa.Table, _n=nodes_ref, _c=contrib_ref
-                          ) -> pa.Table:
-            """Gather each edge's precomputed source contribution, combine
-            by dst in-block. Broadcast refs resolve zero-copy from the
-            local object store (plain task — no actor-pool startup)."""
+        def block_contrib(t: pa.Table, _n=nodes_ref, _c=contrib_ref,
+                          _dw=denw_ref) -> pa.Table:
+            """Gather each edge's source contribution, combine by dst
+            in-block. Broadcast refs resolve zero-copy from the local
+            object store (plain task — no actor-pool startup)."""
             nvec = ray.get(_n)
             cvec = ray.get(_c)
             s = _np_i64(t[src])
             d = _np_i64(t[dst])
-            c = cvec[np.searchsorted(nvec, s)]
+            si = np.searchsorted(nvec, s)
+            if weight is None:
+                c = cvec[si]
+            else:
+                c = (cvec[si] * _np_i64(t[weight])) // ray.get(_dw)[si]
             uniq_d, inv = np.unique(d, return_inverse=True)
             acc = np.bincount(inv, weights=c.astype(np.float64))
             return pa.table({"node": uniq_d, "val": acc.astype(np.int64)})
@@ -184,18 +210,26 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
 
 
 def pagerank_sql(edges_sql: str, *, src: str = "src", dst: str = "dst",
+                 weight: str | None = None,
                  iterations: int = 4, damping_num: int = 85,
                  damping_den: int = 100, scale: int = 10 ** 12) -> str:
     """DuckDB twin of :func:`pagerank`, iterations unrolled as chained
     CTEs — generated from the SAME parameters so the two sides cannot
-    drift. ``edges_sql`` is any query producing (src, dst) columns.
-    Integer floor-division throughout (// in DuckDB): bit-exact."""
+    drift. ``edges_sql`` is any query producing (src, dst[, weight])
+    columns. Integer floor-division throughout (// in DuckDB): bit-exact
+    for the uniform AND weighted variants."""
     num, den = damping_num, damping_den
+    w_sel = (f", CAST({weight} AS BIGINT) AS w" if weight is not None
+             else ", CAST(1 AS BIGINT) AS w")
+    outw = ("COUNT(*)" if weight is None else "SUM(pr_e.w)")
+    contrib = ("r.rank * {num} // ({den} * d.outdeg)" if weight is None
+               else "r.rank * {num} * pr_e.w // ({den} * d.outdeg)"
+               ).format(num=num, den=den)
     cte = [f"pr_e AS (SELECT CAST({src} AS BIGINT) AS src, "
-           f"CAST({dst} AS BIGINT) AS dst FROM ({edges_sql}))",
+           f"CAST({dst} AS BIGINT) AS dst{w_sel} FROM ({edges_sql}))",
            "pr_n AS (SELECT src AS node FROM pr_e UNION SELECT dst FROM pr_e)",
            "pr_nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM pr_n)",
-           "pr_deg AS (SELECT node, (SELECT COUNT(*) FROM pr_e "
+           f"pr_deg AS (SELECT node, (SELECT {outw} FROM pr_e "
            "WHERE pr_e.src = pr_n.node) AS outdeg FROM pr_n)",
            f"pr_r0 AS (SELECT node, CAST({scale} // (SELECT c FROM pr_nn) "
            "AS BIGINT) AS rank FROM pr_n)"]
@@ -203,7 +237,7 @@ def pagerank_sql(edges_sql: str, *, src: str = "src", dst: str = "dst",
         cte.append(
             f"pr_r{i + 1} AS (SELECT pr_n.node, "
             f"CAST({scale} * {den - num} // ({den} * (SELECT c FROM pr_nn)) AS BIGINT)"
-            f" + COALESCE((SELECT SUM(r.rank * {num} // ({den} * d.outdeg)) "
+            f" + COALESCE((SELECT SUM({contrib}) "
             f"FROM pr_e JOIN pr_r{i} r ON r.node = pr_e.src "
             f"JOIN pr_deg d ON d.node = pr_e.src "
             f"WHERE pr_e.dst = pr_n.node), 0) AS rank FROM pr_n)")

@@ -92,3 +92,37 @@ def test_pagerank_empty_and_dangling(ray_session):
     assert out["node"].to_pylist() == [1, 2, 3]
     ranks = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
     assert ranks[3] > ranks[1] == ranks[2]
+
+
+def test_weighted_pagerank_vs_duckdb(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray
+
+    from saber_ray.stages.graph import pagerank, pagerank_sql
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 30, 300).astype(np.int64)
+    dst = rng.integers(0, 40, 300).astype(np.int64)
+    w = rng.integers(1, 9, 300).astype(np.int64)
+    keep = src != dst
+    edges = pa.table({"src": src[keep], "dst": dst[keep], "w": w[keep]})
+    p = tmp_path / "wedges.parquet"
+    pq.write_table(edges, p)
+
+    got = pagerank(ray.data.read_parquet(str(p)), weight="w", iterations=3)
+    con = duck(str(tmp_path))
+    want = con.sql(pagerank_sql(
+        f"SELECT src, dst, w FROM read_parquet('{p}')",
+        weight="w", iterations=3)).fetch_arrow_table()
+    con.close()
+    assert got["node"].to_pylist() == want["node"].to_pylist()
+    assert got["rank"].to_pylist() == want["rank"].to_pylist()
+
+    # weight=1 everywhere must equal the uniform variant exactly
+    ones = edges.set_column(2, "w", pa.array(np.ones(edges.num_rows,
+                                                     np.int64)))
+    p1 = tmp_path / "ones.parquet"
+    pq.write_table(ones, p1)
+    uw = pagerank(ray.data.read_parquet(str(p1)), weight="w", iterations=3)
+    plain = pagerank(ray.data.read_parquet(str(p1)), iterations=3)
+    assert uw["rank"].to_pylist() == plain["rank"].to_pylist()
