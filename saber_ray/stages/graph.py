@@ -244,3 +244,48 @@ def pagerank_sql(edges_sql: str, *, src: str = "src", dst: str = "dst",
     return ("WITH " + ",\n".join(cte)
             + f"\nSELECT node, CAST(rank AS BIGINT) AS rank "
             f"FROM pr_r{iterations} ORDER BY node")
+
+
+def degrees(edges, *, src: str = "src", dst: str = "dst"):
+    """Per-node in/out degree over the edge Dataset → pyarrow Table
+    (node, out_deg, in_deg), sorted by node. Same partial-combine shape
+    as the pagerank degree pass (block-local counts, associative driver
+    combine); SQL twin: FULL OUTER JOIN of the two GROUP BY counts."""
+    import ray
+
+    def block(t: pa.Table) -> pa.Table:
+        s = t[src].cast(pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        d = t[dst].cast(pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        su, sc = np.unique(s, return_counts=True)
+        du, dc = np.unique(d, return_counts=True)
+        return pa.table({
+            "node": np.concatenate([su, du]).astype(np.int64),
+            "out_deg": np.concatenate([sc.astype(np.int64),
+                                       np.zeros(len(du), np.int64)]),
+            "in_deg": np.concatenate([np.zeros(len(su), np.int64),
+                                      dc.astype(np.int64)])})
+
+    parts = edges.map_batches(block, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    blocks = [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        e = pa.array([], pa.int64())
+        return pa.table({"node": e, "out_deg": e, "in_deg": e})
+    t = pa.concat_tables(blocks).combine_chunks()
+    node = _np_i64(t["node"])
+    order = np.argsort(node, kind="stable")
+    node = node[order]
+    starts = np.flatnonzero(np.concatenate(([True], node[1:] != node[:-1])))
+    return pa.table({
+        "node": node[starts],
+        "out_deg": np.add.reduceat(_np_i64(t["out_deg"])[order], starts),
+        "in_deg": np.add.reduceat(_np_i64(t["in_deg"])[order], starts)})
+
+
+# connected components (min-label propagation, Dataset-native) lives with
+# the near-dup machinery it was built for; re-exported here so the graph
+# family is discoverable in one module. String node ids: hash them to
+# int64 first (core.hashing.hash_column), as the dedup callers do.
+from saber_ray.stages.dedup import connected_components  # noqa: E402,F401

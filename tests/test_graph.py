@@ -126,3 +126,28 @@ def test_weighted_pagerank_vs_duckdb(ray_session, tmp_path):
     uw = pagerank(ray.data.read_parquet(str(p1)), weight="w", iterations=3)
     plain = pagerank(ray.data.read_parquet(str(p1)), iterations=3)
     assert uw["rank"].to_pylist() == plain["rank"].to_pylist()
+
+
+def test_degrees_vs_duckdb(ray_session, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray
+
+    from saber_ray.stages.graph import degrees
+
+    edges = _toy_edges()
+    p = tmp_path / "edges.parquet"
+    pq.write_table(edges, p)
+    got = degrees(ray.data.read_parquet(str(p)))
+    want = duckdb.sql(f"""
+        WITH e AS (SELECT * FROM read_parquet('{p}')),
+        o AS (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY 1),
+        i AS (SELECT dst AS node, COUNT(*) AS in_deg FROM e GROUP BY 1)
+        SELECT COALESCE(o.node, i.node) AS node,
+               COALESCE(out_deg, 0) AS out_deg,
+               COALESCE(in_deg, 0) AS in_deg
+        FROM o FULL OUTER JOIN i ON o.node = i.node ORDER BY node
+    """).fetch_arrow_table()
+    assert got["node"].to_pylist() == want["node"].to_pylist()
+    assert got["out_deg"].to_pylist() == want["out_deg"].to_pylist()
+    assert got["in_deg"].to_pylist() == want["in_deg"].to_pylist()
