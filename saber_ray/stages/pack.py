@@ -188,8 +188,8 @@ __pk_x AS (
   FROM __pk_s)
 SELECT d.{order_col}, d.{tokens_col}{extra},
        d.__bkt * {2**31} + x.__seq AS seq_id,
-       d.__rn - x.__start AS seq_pos,
-       d.__cs - d.{tokens_col} - x.__base AS seq_off,
+       CAST(d.__rn - x.__start AS BIGINT) AS seq_pos,
+       CAST(d.__cs - d.{tokens_col} - x.__base AS BIGINT) AS seq_off,
        d.{tokens_col} > {capacity} AS oversize
 FROM __pk_d d JOIN __pk_x x
   ON d.__bkt = x.__bkt AND d.__rn >= x.__start AND d.__rn < x.__next"""
