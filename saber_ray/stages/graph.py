@@ -115,6 +115,20 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
             wsum = counts.astype(np.int64)
         else:
             w = _np_i64(t[weight])
+            if len(w):
+                # documented preconditions, enforced (int64 products wrap
+                # silently otherwise): positive weights, and the largest
+                # per-edge numerator rank*num*w must fit in int64
+                wmin, wmax = int(w.min()), int(w.max())
+                if wmin < 1:
+                    raise ValueError(
+                        f"pagerank weights must be positive ints "
+                        f"(got min={wmin})")
+                if scale * damping_num * wmax >= 2 ** 63:
+                    raise ValueError(
+                        f"pagerank overflow: scale*damping_num*max_weight "
+                        f"= {scale}*{damping_num}*{wmax} >= 2^63; lower "
+                        f"scale or rescale weights")
             order = np.argsort(sn, kind="stable")
             sn_s, w_s = sn[order], w[order]
             st = np.flatnonzero(
@@ -185,9 +199,18 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
                 c = cvec[si]
             else:
                 c = (cvec[si] * _np_i64(t[weight])) // ray.get(_dw)[si]
-            uniq_d, inv = np.unique(d, return_inverse=True)
-            acc = np.bincount(inv, weights=c.astype(np.float64))
-            return pa.table({"node": uniq_d, "val": acc.astype(np.int64)})
+            if len(d) == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "val": pa.array([], pa.int64())})
+            # pure-int64 scatter-add (argsort + reduceat, the block_deg
+            # idiom): a float64-weighted bincount loses bit-exactness
+            # once per-destination sums pass 2^53 (scale >= ~10^16)
+            order = np.argsort(d, kind="stable")
+            d_s, c_s = d[order], c[order]
+            st = np.flatnonzero(
+                np.concatenate(([True], d_s[1:] != d_s[:-1])))
+            return pa.table({"node": d_s[st],
+                             "val": np.add.reduceat(c_s, st)})
 
         parts = edges.map_batches(block_contrib, batch_format="pyarrow",
                                   zero_copy_batch=True)

@@ -966,10 +966,19 @@ def interval_join(
         sample = pa.concat_tables(parts) if parts else None
         if sample is None or sample.num_rows == 0:
             return points.limit(0)
-        s = sample[start_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        e = sample[end_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ln = np.maximum(e - s, 0)
-        cell_us = max(int(np.quantile(ln, 0.9)) + 1, 1)
+        # null-bound rows never join (dropped at the tagger) — exclude
+        # them from the cell estimate instead of poisoning the quantile
+        # with NaN (int64-with-nulls → float64 NaN via to_numpy)
+        sample = sample.drop_null()
+        if sample.num_rows == 0:
+            cell_us = 3_600_000_000  # all-null sample: 1 h fallback cell
+        else:
+            s = sample[start_col].cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            e = sample[end_col].cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            ln = np.maximum(e - s, 0)
+            cell_us = max(int(np.quantile(ln, 0.9)) + 1, 1)
     cell = int(cell_us)
 
     pschema, ischema = points.schema(), intervals.schema()
@@ -1029,8 +1038,11 @@ def interval_join(
         hi_c = e_np // cell
         counts = (hi_c - lo_c + 1).astype(np.int64)
         idx = np.repeat(np.arange(len(s_np)), counts)
-        offs = np.arange(counts.sum()) - np.repeat(
-            np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        # csum[idx] (not repeat of a 1-prefixed cumsum) so a batch whose
+        # rows are ALL dropped (null bounds / end<start / empty block)
+        # yields empty arrays instead of a broadcast ValueError
+        csum = np.concatenate(([0], np.cumsum(counts)))
+        offs = np.arange(int(counts.sum())) - csum[idx]
         cells = lo_c[idx] + offs
         take = pa.array(idx)
         cols = {k: b[k].combine_chunks().take(take)
@@ -1155,23 +1167,27 @@ def interval_overlap_join(
         return left.limit(0)
 
     if cell_us is None:
-        lens = []
+        lens, sampled = [], False
         for ds_, s_, e_ in ((left, left_start, left_end),
                             (right, right_start, right_end)):
             parts = list(ds_.limit(2048).select_columns([s_, e_])
                          .iter_batches(batch_format="pyarrow",
                                        batch_size=2048))
             if parts:
-                t = pa.concat_tables(parts)
+                sampled = True
+                t = pa.concat_tables(parts).drop_null()  # null bounds
+                if t.num_rows == 0:                      # never join
+                    continue
                 s = t[s_].cast(pa.int64()).to_numpy(zero_copy_only=False)
                 e = t[e_].cast(pa.int64()).to_numpy(zero_copy_only=False)
                 lens.append(np.maximum(e - s, 0))
         if not lens:
-            return left.limit(0)
-        pooled = np.concatenate(lens)
-        if not len(pooled):
-            return left.limit(0)
-        cell_us = max(int(np.quantile(pooled, 0.9)) + 1, 1)
+            if not sampled:
+                return left.limit(0)       # both inputs genuinely empty
+            cell_us = 3_600_000_000        # all-null samples: 1 h cell
+        else:
+            pooled = np.concatenate(lens)
+            cell_us = max(int(np.quantile(pooled, 0.9)) + 1, 1)
     cell = int(cell_us)
 
     lschema, rschema = left.schema(), right.schema()
@@ -1222,8 +1238,10 @@ def interval_overlap_join(
             hi_c = e_np // cell
             counts = (hi_c - lo_c + 1).astype(np.int64)
             idx = np.repeat(np.arange(len(s_np)), counts)
-            offs = np.arange(counts.sum()) - np.repeat(
-                np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+            # csum[idx] formulation — safe for all-dropped/empty batches
+            # (same fix as interval_join's tag_intervals)
+            csum = np.concatenate(([0], np.cumsum(counts)))
+            offs = np.arange(int(counts.sum())) - csum[idx]
             cells = lo_c[idx] + offs
             take = pa.array(idx)
             cols = {k: (b[k].combine_chunks()

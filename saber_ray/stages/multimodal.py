@@ -248,8 +248,11 @@ def frame_sample(media_ds, *, every_n: int = 10, batch_size: int = 16,
         n = df["meta_n_frames"].fillna(0).astype("int64").to_numpy()
         counts = np.maximum(0, (n + every_n - 1) // every_n)
         owners = np.repeat(np.arange(len(df)), counts)
-        offs = np.arange(counts.sum()) - np.repeat(
-            np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        # csum[owners] offsets — safe when counts is length 0 (zero-row
+        # block) or all-zero (no frames), unlike repeat of a 1-prefixed
+        # cumsum which broadcasts length 1 vs 0
+        csum = np.concatenate(([0], np.cumsum(counts)))
+        offs = np.arange(int(counts.sum())) - csum[owners]
         frame_idx = (offs * every_n).astype("int64")
         out = {"media_id": df["media_id"].to_numpy()[owners],
                "frame_idx": frame_idx}

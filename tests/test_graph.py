@@ -151,3 +151,55 @@ def test_degrees_vs_duckdb(ray_session, tmp_path):
     assert got["node"].to_pylist() == want["node"].to_pylist()
     assert got["out_deg"].to_pylist() == want["out_deg"].to_pylist()
     assert got["in_deg"].to_pylist() == want["in_deg"].to_pylist()
+
+
+def test_pagerank_bit_exact_high_scale(ray_session, tmp_path):
+    """Integer scatter-add keeps bit-exactness where a float64-weighted
+    bincount would round: scale=10^15 with a hot destination whose
+    incoming partials sum near the full mass (VERDICT r4 item 3)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from saber_ray.stages.graph import pagerank, pagerank_sql
+
+    # 4000 sources all pointing at node 0 (plus a back-edge so 0 is not
+    # dangling): per-destination sums ~ scale, far above 2^53/n precision
+    n = 4000
+    src = np.concatenate([np.arange(1, n + 1), [0]]).astype(np.int64)
+    dst = np.concatenate([np.zeros(n, np.int64), [1]])
+    edges = pa.table({"src": src, "dst": dst})
+    p = tmp_path / "star.parquet"
+    pq.write_table(edges, p)
+
+    scale = 10 ** 15
+    got = pagerank(ray.data.read_parquet(str(p)), iterations=3, scale=scale)
+    con = duck(str(tmp_path))
+    want = con.sql(pagerank_sql(
+        f"SELECT src, dst FROM read_parquet('{p}')",
+        iterations=3, scale=scale)).fetch_arrow_table()
+    con.close()
+    assert got["node"].to_pylist() == want["node"].to_pylist()
+    assert got["rank"].to_pylist() == want["rank"].to_pylist()
+
+
+def test_weighted_pagerank_precondition_guards(ray_session):
+    """Documented preconditions are enforced, not silently wrapped:
+    non-positive weights and scale*num*max_w >= 2^63 both raise."""
+    import ray
+
+    from saber_ray.stages.graph import pagerank
+
+    edges = pa.table({"src": pa.array([1, 2], pa.int64()),
+                      "dst": pa.array([2, 1], pa.int64()),
+                      "w": pa.array([0, 3], pa.int64())})
+    with pytest.raises(Exception) as ei:
+        pagerank(ray.data.from_arrow(edges), weight="w", iterations=1)
+    assert "positive" in str(ei.value)
+
+    big = pa.table({"src": pa.array([1, 2], pa.int64()),
+                    "dst": pa.array([2, 1], pa.int64()),
+                    "w": pa.array([1, 10 ** 6], pa.int64())})
+    with pytest.raises(Exception) as ei:
+        pagerank(ray.data.from_arrow(big), weight="w", iterations=1,
+                 scale=10 ** 14)
+    assert "overflow" in str(ei.value)

@@ -228,3 +228,71 @@ def test_overlap_cell_invariance(ray_session, sf_dir):
             left_cols=["o_orderkey"], right_cols=["o_orderkey"],
             cell_us=cell)))
         pd.testing.assert_frame_equal(base, other)
+
+
+# ---------------------------------------------------------------------------
+# degenerate-batch hardening (ADVICE r4): all-NULL bounds / end<start /
+# zero-row blocks must be dropped per the documented contract, not crash
+# the tagger's offset arithmetic
+# ---------------------------------------------------------------------------
+
+def _mk_points(rows):
+    return rd.from_arrow(pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+        "pv": pa.array([r[2] for r in rows], pa.int64())}))
+
+
+def _mk_iv(rows):
+    return rd.from_arrow(pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "start": pa.array([r[1] for r in rows], pa.int64()),
+        "end": pa.array([r[2] for r in rows], pa.int64()),
+        "iv": pa.array([r[3] for r in rows], pa.int64())}))
+
+
+def test_interval_join_all_null_bounds(ray_session):
+    pts = _mk_points([(1, 100, 7), (1, 200, 8)])
+    iv = _mk_iv([(1, None, None, 1), (1, None, 50, 2), (1, 300, None, 3)])
+    out = to_pandas(interval_join(pts, iv, on="k", point_ts="ts"))
+    assert len(out) == 0
+
+
+def test_interval_join_all_inverted_bounds(ray_session):
+    pts = _mk_points([(1, 100, 7)])
+    iv = _mk_iv([(1, 500, 400, 1), (1, 900, 100, 2)])
+    out = to_pandas(interval_join(pts, iv, on="k", point_ts="ts"))
+    assert len(out) == 0
+
+
+def test_interval_join_mixed_null_bounds(ray_session):
+    """NULL-bound rows drop; valid rows in the SAME input still join,
+    and the auto-derived cell ignores the nulls."""
+    pts = _mk_points([(1, 100, 7), (2, 100, 9)])
+    iv = _mk_iv([(1, None, None, 1), (1, 50, 150, 2), (2, None, 120, 3),
+                 (2, 90, 110, 4)])
+    out = to_pandas(interval_join(pts, iv, on="k", point_ts="ts"))
+    got = sorted(zip(out["k"], out["iv"]))
+    assert got == [(1, 2), (2, 4)]
+
+
+def test_overlap_join_all_null_bounds(ray_session):
+    a = _mk_iv([(1, None, None, 1), (1, 10, None, 2)])
+    b = _mk_iv([(1, 5, 20, 3)])
+    out = to_pandas(interval_overlap_join(
+        a, b, on="k", left_cols=["iv"], right_cols=["iv"]))
+    assert len(out) == 0
+    # symmetric: null side on the right, plus an inverted-bound left row
+    a2 = _mk_iv([(1, 5, 20, 1), (1, 30, 20, 2)])
+    b2 = _mk_iv([(1, None, 9, 3), (1, None, None, 4)])
+    out2 = to_pandas(interval_overlap_join(
+        a2, b2, on="k", left_cols=["iv"], right_cols=["iv"]))
+    assert len(out2) == 0
+
+
+def test_overlap_join_mixed_null_bounds(ray_session):
+    a = _mk_iv([(1, 10, 30, 1), (1, None, 25, 2)])
+    b = _mk_iv([(1, 20, 40, 3), (1, 90, None, 4)])
+    out = to_pandas(interval_overlap_join(
+        a, b, on="k", left_cols=["iv"], right_cols=["iv"]))
+    assert sorted(zip(out["iv_l"], out["iv_r"])) == [(1, 3)]

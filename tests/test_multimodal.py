@@ -153,3 +153,16 @@ def test_mel_spectrogram_short_audio_and_wrong_type(ray_session):
     assert n == 0 and len(f) == 16 and not f.any()
     with pytest.raises(NotImplementedError):
         st._one("image/ppm", b"P6")
+
+
+def test_frame_sample_empty_blocks(ray_session):
+    """Zero-row blocks (from an upstream filter) and all-zero frame counts
+    must yield empty output, not an offset-broadcast ValueError
+    (ADVICE r4)."""
+    media = rd.from_arrow(synthesize_media(16))
+    none = media.filter(lambda r: False)
+    out = to_pandas(frame_sample(none, every_n=10))
+    assert len(out) == 0
+    images_only = media.filter(lambda r: r["media_type"] == "image/ppm")
+    out2 = to_pandas(frame_sample(images_only, every_n=10))
+    assert len(out2) == 0
