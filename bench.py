@@ -30,6 +30,8 @@ Environment:
                       LM train, perplexity, bigram vocabulary)
   --relational        interval joins / resample / normalize / winsorize
                       throughput over the real sf tables
+  --dedup             near-dup family throughput (minhash signatures,
+                      LSH candidate pairs, LSH clusters, simhash)
   --streaming         sustained micro-batch load on the streaming engines:
                       >= 20 epochs each of windowed aggregate + band join
                       + CEP + quantile view, sustained rows/s + p50/p95
@@ -788,6 +790,58 @@ def run_text() -> dict:
     }
 
 
+def run_dedup() -> dict:
+    """--dedup: near-dup family throughput over the curation bench corpus —
+    minhash signatures, banded LSH candidate pairs, full LSH clustering
+    (pairs + distributed connected components), and simhash fingerprints
+    (docs/sec each). The signature stage is the per-byte hot path of a
+    100-TB curation run; this leg is the regression guard for the
+    round-5 Arrow-native (bytescan token runs + rolling w-gram) rewrite."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from saber_ray.stages.dedup import (minhash_candidate_pairs,
+                                        minhash_lsh_clusters,
+                                        minhash_signatures, simhash)
+
+    tier = os.path.basename(os.path.normpath(SF_DIR))
+    n_docs = int(os.environ.get("SABER_BENCH_DOCS",
+                                _DOCS_BY_SF.get(tier, 1_000_000)))
+    # 2% exact dups -> real LSH buckets/pairs/components to cluster
+    path = generate_documents("/tmp/saber_ray_bench", n_docs, dup_frac=0.02)
+
+    def ds():
+        return rd.read_parquet(path, override_num_blocks=2 * NUM_CPUS)
+
+    times, rows = {}, {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        rows[name] = fn()
+        times[name] = round(time.monotonic() - t0, 3)
+
+    ds().count()                                # warm page cache
+    timed("minhash_signatures", lambda: minhash_signatures(ds()).count())
+    timed("lsh_candidate_pairs",
+          lambda: minhash_candidate_pairs(ds(), threshold=0.9).count())
+    timed("lsh_clusters",
+          lambda: minhash_lsh_clusters(ds(), threshold=0.9).count())
+    timed("simhash", lambda: simhash(ds()).count())
+    ray.shutdown()
+    return {
+        "metric": "near-dup family wall time over synthetic documents "
+                  "(minhash signatures, LSH pairs, LSH clusters, simhash)",
+        "value": round(sum(times.values()), 3), "unit": "sec",
+        "ops_sec": times, "rows_out": rows, "n_docs": n_docs,
+        "docs_per_sec": {k: int(n_docs / v) for k, v in times.items()},
+        "sf": SF_DIR, "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         result = run_scaling()
@@ -803,6 +857,8 @@ if __name__ == "__main__":
         result = run_relational()
     elif "--graph" in sys.argv:
         result = run_graph()
+    elif "--dedup" in sys.argv:
+        result = run_dedup()
     else:
         result = run_suite()
     print(json.dumps(result))

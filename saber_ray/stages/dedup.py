@@ -3,11 +3,12 @@
 Scale extensions beyond the reference (which has no dedup/set ops at all —
 SURVEY.md §2.7). All follow the sketch-then-shuffle discipline:
 
-- exact:   content hash per batch (vectorized) → groupby(hash) → winner per
-           group with a text-equality guard against hash collisions.
-- minhash: vectorized signature per batch (explode shingles → hash_array →
-           k permutations → np.minimum.at) → banding → groupby(band, hash)
-           buckets → candidate pairs (signature-estimated Jaccard verify) →
+- exact:   content hash per batch (buffer-level hash_column) → groupby(hash)
+           → winner per group with a text-equality guard against collisions.
+- minhash: Arrow-buffer token runs → rolling w-gram shingle hashes →
+           k permutations → per-doc segment reduceat minima (no pandas, no
+           per-doc Python) → banding → groupby(band, hash) buckets →
+           candidate pairs (signature-estimated Jaccard verify) →
            min-label connected components → (doc_id, cluster_id).
 - simhash: 64-bit weighted-token-bit fingerprint; near-dup = equal fingerprint
            or Hamming ≤ r via 4-chunk banding (pigeonhole: any pair with
@@ -28,7 +29,6 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -76,8 +76,8 @@ def exact_dedup(ds, *, on: str = "text", id_col: str = "doc_id"):
             raise ValueError(
                 f"exact_dedup: column {on!r} contains "
                 f"{t[on].null_count} NULL value(s); drop or fill them first")
-        vals = _col_np(t, on)
-        h = pd.util.hash_array(np.asarray(vals, dtype=object)).astype("int64")
+        from saber_ray.core.hashing import hash_column
+        h = hash_column(t[on]).view(np.int64)   # buffer-level, no object
         return t.append_column("__h", pa.array(h, type=pa.int64()))
 
     def pick(t: pa.Table) -> pa.Table:
@@ -134,8 +134,15 @@ def connected_components(pairs, ids_ds, *, id_col: str = "doc_id",
         b = t[b_col].cast(pa.int64())
         return pa.table({"key": pa.chunked_array([a, b]).combine_chunks(),
                          "dst": pa.chunked_array([b, a]).combine_chunks()})
+    # coalesce to ~one block per core: the pair miner leaves MANY small
+    # blocks, and every propagation round pays per-block fixed cost in two
+    # sort exchanges — at 192 inherited blocks the fixed cost was ~90% of
+    # each round (the interval_join / window_agg sortmerge note)
+    import ray as _ray
+    nparts = max(8, int(_ray.cluster_resources().get("CPU", 8)))
     edges = pairs.map_batches(to_edges, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
+                              zero_copy_batch=True) \
+        .repartition(nparts).materialize()
 
     def min_label_per_node(t: pa.Table) -> pa.Table:
         """(node, label) rows sorted by node → one min-label row per node."""
@@ -272,56 +279,160 @@ def connected_components(pairs, ids_ds, *, id_col: str = "doc_id",
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
+# Python str.split()'s ASCII whitespace; tokens are maximal runs of every
+# other byte. UTF-8 lead/continuation bytes are >= 0x80 and never
+# whitespace, so byte-run tokenization is UTF-8-safe (multi-byte chars stay
+# inside their token). Unicode-only spaces (U+00A0 etc.) do NOT split —
+# documented divergence from str.split(), irrelevant to a similarity sketch.
+def _token_lut() -> np.ndarray:
+    from saber_ray.core.bytescan import class_lut
+    return ~class_lut(b"\t\n\x0b\x0c\r ")
+
+
+_LUT_TOKEN = _token_lut()
+_SHINGLE_P = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _token_hashes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, int]:
+    """(owner row per token, uint64 token hash, n_rows) straight from the
+    lowered string column's byte buffers — zero per-document Python. The
+    whole path is three vectorized passes: one utf8_lower, one LUT gather
+    for token runs, one polynomial-prefix hash over the flat buffer."""
+    from saber_ray.core.bytescan import token_runs
+    from saber_ray.core.hashing import string_buffers, substring_hashes
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    arr = pc.utf8_lower(arr)
+    data, starts, ends = string_buffers(arr)
+    rs, re_, owner = token_runs(data, starts, ends, _LUT_TOKEN)
+    return owner, substring_hashes(data, rs, re_), len(starts)
+
+
+def _shingle_hashes(arr: pa.Array, w: int) -> tuple[np.ndarray, np.ndarray,
+                                                    int]:
+    """(owner row per shingle, uint64 shingle hash, n_rows): rolling
+    w-token-gram polynomial hashes over the exploded token-hash array.
+    Docs with 1..w-1 tokens contribute ONE shingle over all their tokens
+    (the MinHasher fall-back rule, shared with ngram_jaccard); empty docs
+    contribute none. Equal token sequences hash equal at any batch size."""
+    from saber_ray.core.hashing import splitmix64
+    owner, tokh, n = _token_hashes(arr)
+    T = len(tokh)
+    if T == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64), n
+    out_own, out_h = [], []
+    if T >= w:
+        head = owner[:T - w + 1]
+        valid = head == owner[w - 1:]       # all w tokens in the same doc
+        acc = np.zeros(T - w + 1, dtype=np.uint64)
+        for k in range(w):
+            acc = acc * _SHINGLE_P + tokh[k:T - w + 1 + k]
+        out_own.append(head[valid])
+        out_h.append(splitmix64(acc[valid]))
+    cnt = np.bincount(owner, minlength=n)
+    first_tok = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+    for c in range(1, w):                   # short docs: w-1 vector passes
+        rows = np.flatnonzero(cnt == c)
+        if not len(rows):
+            continue
+        st = first_tok[rows]
+        acc = np.zeros(len(rows), dtype=np.uint64)
+        for k in range(c):
+            acc = acc * _SHINGLE_P + tokh[st + k]
+        out_own.append(rows.astype(np.int64))
+        out_h.append(splitmix64(acc))
+    if not out_own:
+        return np.empty(0, np.int64), np.empty(0, np.uint64), n
+    return np.concatenate(out_own), np.concatenate(out_h), n
+
+
+def _sig_matrix(sigcol, n: int) -> np.ndarray:
+    """(n, num_perm) uint64 view of a signature column — fixed-size-list
+    fast path (zero-copy flatten), tolerant of list/tensor-extension reprs
+    from older checkpoints."""
+    if isinstance(sigcol, pa.ChunkedArray):
+        sigcol = sigcol.combine_chunks()
+    if pa.types.is_fixed_size_list(sigcol.type):
+        return sigcol.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64, copy=False).reshape(n, -1)
+    try:
+        sig = np.asarray(sigcol.to_numpy(zero_copy_only=False))
+    except (pa.ArrowNotImplementedError, ValueError):
+        sig = np.asarray(sigcol.to_pylist())
+    if sig.dtype == object:
+        sig = np.stack(sig)
+    return sig.astype(np.uint64, copy=False).reshape(n, -1)
+
+
 class MinHasher:
-    """Vectorized per-batch MinHash signatures over word shingles.
+    """Arrow-native per-batch MinHash signatures over word shingles.
 
     Permutation parameters are generated ONCE per actor from a fixed seed
-    (deterministic across actors/runs). Per batch: shingle strings are built
-    per doc (cheap list ops), then ALL hashing/permutation math is numpy over
-    the exploded shingle array — no per-row hash loops.
+    (deterministic across actors/runs). Per batch: token runs + rolling
+    w-gram hashes come straight off the Arrow string buffers
+    (core/bytescan.py / core/hashing.py — the embed_hashed discipline),
+    then the permutation minima are ONE sorted-segment reduceat — no
+    per-document Python, no pandas object arrays anywhere.
     """
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  num_perm: int = 64, shingle_words: int = 3, seed: int = 42):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        # odd multiplier -> mul is a bijection of Z/2^64; with the xorshift
+        # and add (both bijective) each permutation k is a true permutation
+        # of the shingle-hash space — exactly the minhash requirement,
+        # WITHOUT the uint64 modulo that dominated the Mersenne variant
+        # (~20x the cycles of a multiply; measured 6.6s of a 9.4s batch)
+        self.a = rng.integers(1, np.iinfo(np.int64).max, size=num_perm,
+                              dtype=np.int64).astype(np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, np.iinfo(np.int64).max, size=num_perm,
+                              dtype=np.int64).astype(np.uint64)
         self.text_col, self.id_col = text_col, id_col
         self.num_perm, self.w = num_perm, shingle_words
 
-    def _shingles(self, texts) -> tuple[np.ndarray, np.ndarray]:
-        """→ (doc_index per shingle, shingle hash) exploded arrays."""
-        owners, shingles = [], []
-        w = self.w
-        for i, t in enumerate(texts):
-            toks = (t or "").lower().split()
-            if len(toks) < w:
-                ss = [" ".join(toks)] if toks else []
-            else:
-                ss = [" ".join(toks[j:j + w]) for j in range(len(toks) - w + 1)]
-            owners.extend([i] * len(ss))
-            shingles.extend(ss)
-        if not shingles:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
-        hashes = pd.util.hash_array(np.asarray(shingles, dtype=object)).astype(np.uint64)
-        return np.asarray(owners, dtype=np.int64), hashes
-
-    def signatures(self, texts) -> np.ndarray:
-        """(n_docs, num_perm) uint64 signature matrix."""
-        n = len(texts)
-        owners, hashes = self._shingles(texts)
-        sig = np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    def signatures_of(self, arr: pa.Array) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix of a string array."""
+        owners, hashes, n = _shingle_hashes(arr, self.w)
+        sig = np.full((n, self.num_perm), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
         if len(hashes) == 0:
             return sig
-        # permuted[i, k] = (a_k * h_i + b_k) mod M  (universal hashing)
-        permuted = (hashes[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
-        np.minimum.at(sig, owners, permuted)
+        # shingles arrive grouped-by-doc within each source (full-gram run
+        # + per-count short-doc passes) but not globally — one stable sort
+        # restores doc segments; then one vector pass per permutation
+        # (mul-xorshift-add + segment reduceat) keeps temporaries at one
+        # shingle-length vector instead of an (n_shingles, num_perm)
+        # matrix, and minimum.reduceat is ~10x minimum.at
+        order = np.argsort(owners, kind="stable")
+        owners, hashes = owners[order], hashes[order]
+        seg = np.flatnonzero(np.concatenate(([True],
+                                             owners[1:] != owners[:-1])))
+        rows = owners[seg]
+        sh = np.uint64(29)
+        for k in range(self.num_perm):
+            p = hashes * self.a[k]
+            p ^= p >> sh
+            p += self.b[k]
+            sig[rows, k] = np.minimum.reduceat(p, seg)
         return sig
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sig = self.signatures(df[self.text_col].tolist())
-        return pd.DataFrame({self.id_col: df[self.id_col].to_numpy(),
-                             "signature": list(sig)})
+    def signatures(self, texts) -> np.ndarray:
+        """Compat shim for list-of-str inputs (tests/microbenches)."""
+        return self.signatures_of(pa.array(
+            [t if t is not None else "" for t in texts], type=pa.string()))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        sig = self.signatures_of(t[self.text_col])
+        sigcol = pa.FixedSizeListArray.from_arrays(
+            pa.array(sig.reshape(-1)), self.num_perm)
+        ids = t[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.Table.from_arrays([ids, sigcol],
+                                    names=[self.id_col, "signature"])
 
 
 from functools import lru_cache
@@ -339,38 +450,43 @@ def minhash_signatures(ds, *, text_col="text", id_col="doc_id", num_perm=64,
     state is seeds, not data); concurrency=(lo, hi) pins an actor pool."""
     if concurrency is None:
         return ds.map_batches(
-            lambda df, _a=(text_col, id_col, num_perm, shingle_words, seed):
-                _minhasher(*_a)(df),
-            batch_format="pandas")
+            lambda t, _a=(text_col, id_col, num_perm, shingle_words, seed):
+                _minhasher(*_a)(t),
+            batch_format="pyarrow", zero_copy_batch=True)
     return ds.map_batches(
-        MinHasher, batch_format="pandas", concurrency=concurrency, num_cpus=0.5,
+        MinHasher, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, num_cpus=0.5,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
                                    num_perm=num_perm, shingle_words=shingle_words,
                                    seed=seed))
 
 
-def _band_rows(df: pd.DataFrame, id_col: str, bands: int, rows: int) -> pd.DataFrame:
-    """Explode signatures into (band_id, band_hash, doc_id, signature) rows."""
-    sig = np.stack(df["signature"].to_numpy())          # (n, num_perm)
-    n = len(df)
-    out_band, out_hash, out_doc, out_sig = [], [], [], []
+def _band_rows(t: pa.Table, id_col: str, bands: int, rows: int) -> pa.Table:
+    """Explode signatures into THIN (band_id, band_hash, doc_id) rows —
+    24 bytes/row. The signature matrix itself does NOT ride the banding
+    shuffle (bands× replication of num_perm uint64s was ~95% of the
+    exchange volume); the est-Jaccard verify joins signatures back onto
+    the (much smaller) deduped pair set instead."""
+    t = t.combine_chunks()
+    n = t.num_rows
+    sig = _sig_matrix(t["signature"], n)
     mult = np.uint64(0x9E3779B97F4A7C15)
+    hashes = np.empty(bands * n, dtype=np.uint64)
     for b in range(bands):
         chunk = sig[:, b * rows:(b + 1) * rows]
         # order-dependent mix of the band's rows → one uint64 bucket key
         h = np.zeros(n, dtype=np.uint64)
         for r in range(rows):
             h = (h ^ chunk[:, r]) * mult
-        out_band.append(np.full(n, b, dtype=np.int64))
-        out_hash.append(h.astype(np.int64))
-        out_doc.append(df[id_col].to_numpy())
-        out_sig.extend(df["signature"].tolist())
-    return pd.DataFrame({
-        "band_id": np.concatenate(out_band),
-        "band_hash": np.concatenate(out_hash),
-        id_col: np.concatenate(out_doc),
-        "signature": out_sig,
-    })
+        hashes[b * n:(b + 1) * n] = h
+    ids = t[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.Table.from_arrays(
+        [pa.array(np.repeat(np.arange(bands, dtype=np.int64), n)),
+         pa.array(hashes.view(np.int64)),
+         ids.take(pa.array(np.tile(np.arange(n, dtype=np.int64), bands)))],
+        names=["band_id", "band_hash", id_col])
 
 
 def _dedup_pairs(pairs):
@@ -391,22 +507,29 @@ def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
                             threshold=0.7, seed=42, max_bucket=512):
     """Distinct candidate pairs (a < b) whose signature-estimated Jaccard ≥
     threshold. Bucketing is ONE range shuffle (sort by band key; equal keys
-    co-locate) + per-block vectorized run scan — each block processes ALL its
-    buckets in one call. Buckets larger than ``max_bucket`` are truncated
-    (marked in the ``truncated`` column — no silent caps)."""
+    co-locate) over THIN 24-byte rows + per-block vectorized run scan —
+    each block processes ALL its buckets in one call. The est-Jaccard
+    verify then joins the (materialized) signature table back onto the
+    deduped pairs — two skinny sort exchanges on the pair ids instead of
+    shipping the full signature matrix bands× through the banding shuffle
+    (the matrix was ~95% of the exchange bytes at num_perm=64/bands=16).
+    Buckets larger than ``max_bucket`` are truncated (marked in the
+    ``truncated`` column — no silent caps)."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     rows = num_perm // bands
+    # materialized: referenced by the banding scan AND both verify joins —
+    # blocks live in the object store (spillable), never on the driver
     sigs = minhash_signatures(ds, text_col=text_col, id_col=id_col,
                               num_perm=num_perm, shingle_words=shingle_words,
-                              seed=seed)
+                              seed=seed).materialize()
     banded = sigs.map_batches(
-        lambda df: _band_rows(df, id_col, bands, rows), batch_format="pandas")
+        lambda t: _band_rows(t, id_col, bands, rows),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     def block_pairs(t: pa.Table) -> pa.Table:
         empty = pa.table({"a": pa.array([], pa.int64()),
                           "b": pa.array([], pa.int64()),
-                          "est_jaccard": pa.array([], pa.float64()),
                           "truncated": pa.array([], pa.bool_())})
         if t.num_rows < 2:
             return empty
@@ -415,24 +538,13 @@ def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
         # bucket key ONLY (a sort key including the unique id would let a
         # bucket split across block boundaries: Ray co-locates equal full
         # sort TUPLES, not equal prefixes)
-        t = t.take(pa.array(np.lexsort((
-            _col_np(t, id_col), _col_np(t, "band_hash"),
-            _col_np(t, "band_id")))))
-        bid = _col_np(t, "band_id")
-        bh = _col_np(t, "band_hash")
-        ids = _col_np(t, id_col)
-        sigcol = t["signature"].combine_chunks()
-        # the column may be a plain list array OR Ray's tensor extension —
-        # both expose to_numpy; object arrays (ragged repr) get stacked
-        try:
-            sig = np.asarray(sigcol.to_numpy(zero_copy_only=False))
-        except (pa.ArrowNotImplementedError, ValueError):
-            sig = np.asarray(sigcol.to_pylist())
-        if sig.dtype == object:
-            sig = np.stack(sig)
-        sig = sig.reshape(t.num_rows, -1)
+        order = np.lexsort((_col_np(t, id_col), _col_np(t, "band_hash"),
+                            _col_np(t, "band_id")))
+        bid = _col_np(t, "band_id")[order]
+        bh = _col_np(t, "band_hash")[order]
+        ids = _col_np(t, id_col)[order]
         starts, ends = _runs(bid, bh)
-        out_a, out_b, out_e, out_t = [], [], [], []
+        out_a, out_b, out_t = [], [], []
         for s, e in zip(starts, ends):
             m = e - s
             if m < 2:
@@ -442,27 +554,52 @@ def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
                 e = s + max_bucket          # rows sorted by id within bucket
                 m = max_bucket
             ii, jj = np.triu_indices(m, k=1)
-            est = (sig[s + ii] == sig[s + jj]).mean(axis=1)
-            keep = est >= threshold
-            if not keep.any():
-                continue
-            a, b = ids[s + ii[keep]], ids[s + jj[keep]]
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            out_a.append(lo)
-            out_b.append(hi)
-            out_e.append(est[keep])
-            out_t.append(np.full(int(keep.sum()), trunc))
+            a, b = ids[s + ii], ids[s + jj]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_t.append(np.full(len(a), trunc))
         if not out_a:
             return empty
         return pa.table({"a": np.concatenate(out_a),
                          "b": np.concatenate(out_b),
-                         "est_jaccard": np.concatenate(out_e),
                          "truncated": np.concatenate(out_t)})
 
     raw = banded.sort(["band_id", "band_hash"]).map_batches(
         block_pairs, batch_format="pyarrow", zero_copy_batch=True)
-    # the same pair surfaces from multiple bands → distinct
-    return _dedup_pairs(raw)
+    # the same pair surfaces from multiple bands → distinct FIRST (est is
+    # band-independent, so filter-after-dedup ≡ the old filter-per-band).
+    # materialized: merge_join's schema() probe re-executes a lazy sort
+    # lineage, and the pair set is the SMALL side by construction
+    pairs = _dedup_pairs(raw).materialize()
+
+    from saber_ray.stages.join import merge_join
+    j = merge_join(pairs, sigs, on="a", right_on=id_col,
+                   right_cols=["signature"]).materialize()
+    j = merge_join(j, sigs, on="b", right_on=id_col,
+                   right_cols=["signature"], right_suffix="_b")
+
+    def verify(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "est_jaccard": pa.array([], pa.float64()),
+                          "truncated": pa.array([], pa.bool_())})
+        if t.num_rows == 0:
+            return empty
+        t = t.combine_chunks()
+        sa = _sig_matrix(t["signature"], t.num_rows)
+        sb = _sig_matrix(t["signature_b"], t.num_rows)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        if not keep.any():
+            return empty
+        return pa.table({"a": pa.array(_col_np(t, "a")[keep]),
+                         "b": pa.array(_col_np(t, "b")[keep]),
+                         "est_jaccard": pa.array(est[keep]),
+                         "truncated": pa.array(
+                             _col_np(t, "truncated")[keep])})
+
+    return j.map_batches(verify, batch_format="pyarrow",
+                         zero_copy_batch=True)
 
 
 def minhash_lsh_clusters(ds, *, text_col="text", id_col="doc_id", num_perm=64,
@@ -506,37 +643,43 @@ def minhash_dedup(ds, **kw):
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """64-bit SimHash over word tokens, vectorized via exploded token arrays."""
+    """64-bit SimHash over word tokens — Arrow-buffer token runs + engine
+    token hashes (same byte-level path as MinHasher), per-bit majority
+    votes as ONE 2-D segment reduceat over the doc-grouped bit matrix."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col, self.id_col = text_col, id_col
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        texts = df[self.text_col].tolist()
-        owners, toks = [], []
-        for i, t in enumerate(texts):
-            ws = (t or "").lower().split()
-            owners.extend([i] * len(ws))
-            toks.extend(ws)
-        n = len(df)
+    def fingerprints_of(self, arr: pa.Array) -> np.ndarray:
+        owner, h, n = _token_hashes(arr)
         fp = np.zeros(n, dtype=np.uint64)
-        if toks:
-            owners = np.asarray(owners, dtype=np.int64)
-            h = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
-            # accumulate per-bit votes: (n_docs, 64) via minimum loop over bits
-            votes = np.zeros((n, 64), dtype=np.int64)
-            for bit in range(64):
-                bitval = ((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1
-                np.add.at(votes[:, bit], owners, bitval)
-            bits = (votes > 0).astype(np.uint64)
-            fp = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
-                axis=1, dtype=np.uint64)
-        return pd.DataFrame({self.id_col: df[self.id_col].to_numpy(),
-                             "simhash": fp.astype(np.int64)})
+        if len(h):
+            shifts = np.arange(64, dtype=np.uint64)[None, :]
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+            # token_runs emits tokens grouped by doc in row order — the
+            # doc segments are already contiguous, no sort needed
+            seg = np.flatnonzero(np.concatenate(([True],
+                                                 owner[1:] != owner[:-1])))
+            ones = np.add.reduceat(bits, seg, axis=0, dtype=np.int64)
+            cnt = np.diff(np.append(seg, len(h)))
+            # majority vote per bit: +1 per set bit, -1 per clear bit > 0
+            maj = (2 * ones > cnt[:, None]).astype(np.uint64)
+            fp[owner[seg]] = (maj << shifts).sum(axis=1, dtype=np.uint64)
+        return fp
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        fp = self.fingerprints_of(t[self.text_col])
+        ids = t[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.Table.from_arrays([ids, pa.array(fp.view(np.int64))],
+                                    names=[self.id_col, "simhash"])
 
 
 def simhash(ds, *, text_col="text", id_col="doc_id", concurrency=(1, 4)):
-    return ds.map_batches(SimHasher, batch_format="pandas",
+    return ds.map_batches(SimHasher, batch_format="pyarrow",
+                          zero_copy_batch=True,
                           concurrency=concurrency, num_cpus=0.5,
                           fn_constructor_kwargs=dict(text_col=text_col,
                                                      id_col=id_col))
@@ -826,8 +969,8 @@ def dedup_against(new_ds, prior_ds, *, on: str = "text",
                 raise ValueError(
                     f"dedup_against: {on!r} contains NULLs "
                     f"({'prior' if src == 0 else 'new'} side)")
-            h = pd.util.hash_array(
-                np.asarray(_col_np(t, on), dtype=object)).astype("int64")
+            from saber_ray.core.hashing import hash_column
+            h = hash_column(t[on]).view(np.int64)
             cols = {c: (t[c] if not pad or c == on
                         else pa.nulls(t.num_rows, types[c]))
                     for c in names}
