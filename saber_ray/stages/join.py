@@ -49,6 +49,30 @@ import pyarrow.compute as pc
 import ray
 
 
+def _group_codes(g: pa.Table, cols: Sequence[str]) -> np.ndarray:
+    """Block-local int64 group code per row over the key tuple — pure
+    Arrow/numpy (no pandas MultiIndex staging of key columns through
+    Python objects). Single key: one ``dictionary_encode``. Multi-key:
+    per-column dictionary codes combined pairwise with an exact
+    ``code * (max+1) + next`` mix, re-densified by ``np.unique`` after
+    every step so magnitudes stay < block rows (no overflow for any key
+    count). Codes are equality labels only — numbering is arbitrary."""
+    def col_codes(c):
+        a = g[c]
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        idx = a.dictionary_encode().indices
+        if idx.null_count:          # pd.factorize parity: every null -> -1
+            idx = pc.fill_null(idx, -1)
+        return idx.to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = col_codes(cols[0])
+    for c in cols[1:]:
+        ci = col_codes(c)
+        comb = codes * (int(ci.max(initial=0)) + 1) + ci
+        _, codes = np.unique(comb, return_inverse=True)
+        codes = codes.astype(np.int64)
+    return codes
+
+
 # ---------------------------------------------------------------------------
 # broadcast hash join (small side in object store)
 # ---------------------------------------------------------------------------
@@ -349,13 +373,7 @@ def merge_join(
             return out_schema.empty_table()
         g = g.combine_chunks()
         side = g["__side"].to_numpy(zero_copy_only=False)
-        if len(key_cols) == 1:
-            codes = g[key_cols[0]].combine_chunks().dictionary_encode() \
-                .indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        else:
-            codes, _ = pd.factorize(pd.MultiIndex.from_frame(
-                g.select(key_cols).to_pandas()))
-            codes = codes.astype(np.int64)
+        codes = _group_codes(g, key_cols)
         # rows whose original key was NULL can never match (SQL semantics)
         kv = g["__kv"].to_numpy(zero_copy_only=False)
         codes = np.where(kv == 0, -1, codes)
@@ -497,13 +515,7 @@ def asof_join(
         g = g.combine_chunks()
         side = g["__side"].to_numpy(zero_copy_only=False)
         ts = g["__ts"].to_numpy(zero_copy_only=False)
-        if len(on) == 1:
-            codes = g[on[0]].combine_chunks().dictionary_encode() \
-                .indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        else:
-            codes, _ = pd.factorize(pd.MultiIndex.from_frame(
-                g.select(on).to_pandas()))
-            codes = codes.astype(np.int64)
+        codes = _group_codes(g, on)
         l_idx = np.flatnonzero(side == 0)
         r_idx = np.flatnonzero(side != 0)
         if not len(l_idx) or not len(r_idx):
@@ -742,14 +754,8 @@ def windowed_join(
         if keyless:
             codes = g["__cell"].to_numpy(zero_copy_only=False)
             codes = codes - codes.min()        # dense-ish, block-local
-        elif len(on) == 1 and not band:
-            codes = g[on[0]].combine_chunks().dictionary_encode() \
-                .indices.to_numpy(zero_copy_only=False).astype(np.int64)
         else:
-            code_cols = on + (["__cell"] if band else [])
-            codes, _ = pd.factorize(pd.MultiIndex.from_frame(
-                g.select(code_cols).to_pandas()))
-            codes = codes.astype(np.int64)
+            codes = _group_codes(g, on + (["__cell"] if band else []))
         l_idx = np.flatnonzero(side == 0)
         r_idx = np.flatnonzero(side != 0)
         if not len(l_idx) or not len(r_idx):
@@ -1086,10 +1092,7 @@ def interval_join(
         if not len(p_idx) or not len(i_idx):
             return out_schema.empty_table()
         if on:
-            code_cols = on + ["__cell"]
-            codes, _ = pd.factorize(pd.MultiIndex.from_frame(
-                g.select(code_cols).to_pandas()))
-            codes = codes.astype(np.int64)
+            codes = _group_codes(g, on + ["__cell"])
         else:
             codes = cells - cells.min()
         tP = g["__ts"].to_numpy(zero_copy_only=False)[p_idx].astype(np.int64)
@@ -1290,10 +1293,7 @@ def interval_overlap_join(
         if not len(l_idx) or not len(r_idx):
             return out_schema.empty_table()
         if on:
-            code_cols = on + ["__cell"]
-            codes, _ = pd.factorize(pd.MultiIndex.from_frame(
-                g.select(code_cols).to_pandas()))
-            codes = codes.astype(np.int64)
+            codes = _group_codes(g, on + ["__cell"])
         else:
             codes = cells - cells.min()
         sL = g["__sl"].to_numpy(zero_copy_only=False)[l_idx].astype(np.int64)
