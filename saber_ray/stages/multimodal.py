@@ -10,13 +10,17 @@ implemented here — they need only numpy / the Python stdlib:
 - ``video/raw``  — a documented toy container (``RAWV`` magic, w, h, n
   frames, then n raw RGB frames) standing in for a real demuxer
 
-Compressed formats (PNG/JPEG/MP4/...) genuinely require codec libraries this
-container lacks; for those ``MediaDecoder`` raises ``NotImplementedError``
-unless ``deterministic_fake=True`` (a seeded content-derived fake so
-downstream plumbing stays exercisable). The Ray-side shape is the real
-point at scale: actor-pool map_batches (codec state loaded once per actor),
-SMALL batches sized by payload bytes not rows, and only features — never
-payloads — flowing into any shuffle.
+- ``image/png`` — REAL PNG codec over stdlib ``zlib``: IDAT inflate +
+  per-scanline unfiltering (all 5 filter types), bit depth 8, color types
+  gray/RGB/gray-alpha/RGBA, no interlace. Filter-0 encoder for tests.
+
+Lossy compressed formats (JPEG/MP3/MP4/...) genuinely require codec
+libraries this container lacks; for those ``MediaDecoder`` raises
+``NotImplementedError`` unless ``deterministic_fake=True`` (a seeded
+content-derived fake so downstream plumbing stays exercisable). The
+Ray-side shape is the real point at scale: actor-pool map_batches (codec
+state loaded once per actor), SMALL batches sized by payload bytes not
+rows, and only features — never payloads — flowing into any shuffle.
 """
 
 from __future__ import annotations
@@ -87,6 +91,126 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
         if f.getnchannels() > 1:
             x = x.reshape(-1, f.getnchannels()).mean(axis=1).astype(np.int16)
     return x, sr
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per pixel by PNG color type (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def png_encode(img: np.ndarray) -> bytes:
+    """(h, w) or (h, w, c) uint8 (c ∈ 1/2/3/4) → PNG bytes — stdlib zlib
+    only: 8-bit depth, no interlace, filter 0 on every scanline, one IDAT.
+    Any standards-compliant reader decodes the output."""
+    import zlib
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body)) + tag + body + \
+            struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8),                    # filter byte 0
+         img.astype(np.uint8).reshape(h, w * c)], axis=1).tobytes()
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + \
+        chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, c) uint8 — stdlib zlib IDAT inflate + vectorized
+    per-scanline unfiltering (all five filter types: None/Sub/Up/Average/
+    Paeth). Supports bit depth 8, color types 0/2/4/6, no interlace — the
+    overwhelmingly common web/PNG profile; anything else raises loudly
+    (16-bit, palette and Adam7 need no new dependency but are out of
+    scope until a pipeline needs them)."""
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8:
+                raise ValueError(f"png_decode: bit depth {depth} "
+                                 "unsupported (8 only)")
+            if ctype not in _PNG_CHANNELS:
+                raise ValueError(f"png_decode: color type {ctype} "
+                                 "unsupported (0/2/4/6)")
+            if interlace:
+                raise ValueError("png_decode: Adam7 interlace unsupported")
+            meta = (w, h, _PNG_CHANNELS[ctype])
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if meta is None or not idat:
+        raise ValueError("png_decode: missing IHDR/IDAT")
+    w, h, c = meta
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("png_decode: IDAT size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    filters = raw[:, 0]
+    data = raw[:, 1:].astype(np.int64)      # headroom for filter math
+    out = np.zeros((h, stride), dtype=np.int64)
+    lanes = data.reshape(h, w, c)
+    for y in range(h):
+        f = int(filters[y])
+        row = lanes[y]                       # (w, c) view into data
+        up = out[y - 1].reshape(w, c) if y else np.zeros((w, c), np.int64)
+        if f == 0:                           # None
+            rec = row
+        elif f == 1:                         # Sub: cumsum over pixel lanes
+            rec = np.cumsum(row, axis=0) % 256
+        elif f == 2:                         # Up
+            rec = (row + up) % 256
+        elif f == 3:                         # Average (left is sequential)
+            rec = np.empty((w, c), np.int64)
+            left = np.zeros(c, np.int64)
+            for x in range(w):
+                left = (row[x] + (left + up[x]) // 2) % 256
+                rec[x] = left
+        elif f == 4:                         # Paeth (left is sequential)
+            rec = np.empty((w, c), np.int64)
+            left = np.zeros(c, np.int64)
+            ul = np.zeros(c, np.int64)
+            for x in range(w):
+                p = left + up[x] - ul
+                pa_ = np.abs(p - left)
+                pb = np.abs(p - up[x])
+                pc_ = np.abs(p - ul)
+                pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                                np.where(pb <= pc_, up[x], ul))
+                left = (row[x] + pred) % 256
+                ul = up[x]
+                rec[x] = left
+        else:
+            raise ValueError(f"png_decode: unknown filter {f}")
+        out[y] = rec.reshape(stride)
+    return out.astype(np.uint8).reshape(h, w, c)
+
+
+def _as_rgb(img: np.ndarray) -> np.ndarray:
+    """(h, w[, c]) uint8 → (h, w, 3): gray replicates, alpha drops."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    c = img.shape[2]
+    if c == 1:
+        return np.repeat(img, 3, axis=2)
+    if c == 2:                               # gray + alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]
 
 
 _RAWV_MAGIC = b"RAWV"
@@ -160,8 +284,8 @@ class MediaDecoder:
     """Actor-pool stage: payload → fixed-size feature vector.
 
     Codec dispatch lives in ``__init__`` (per-actor, once); real decode for
-    image/ppm, audio/wav and video/raw; other media types raise unless
-    ``deterministic_fake`` (module docstring)."""
+    image/ppm, image/png, audio/wav and video/raw; other media types raise
+    unless ``deterministic_fake`` (module docstring)."""
 
     def __init__(self, feature_dim: int = 16, deterministic_fake: bool = False):
         self.feature_dim = feature_dim
@@ -172,6 +296,8 @@ class MediaDecoder:
         payload = payload or b""
         if media_type == "image/ppm":
             return _image_features(ppm_decode(payload), d)
+        if media_type == "image/png":
+            return _image_features(_as_rgb(png_decode(payload)), d)
         if media_type == "audio/wav":
             return _audio_features(*wav_decode(payload), d)
         if media_type == "video/raw":
@@ -209,7 +335,8 @@ def decode_features(media_ds, *, feature_dim: int = 16,
 
 
 class ImageResizer:
-    """Actor-pool stage: decode PPM → nearest-neighbor resize → re-encode."""
+    """Actor-pool stage: decode PPM/PNG → nearest-neighbor resize →
+    re-encode in the same container format."""
 
     def __init__(self, out_h: int, out_w: int):
         self.out_h, self.out_w = out_h, out_w
@@ -220,14 +347,18 @@ class ImageResizer:
             if t == "image/ppm":
                 out.append(ppm_encode(resize_nearest(
                     ppm_decode(p), self.out_h, self.out_w)))
+            elif t == "image/png":
+                out.append(png_encode(resize_nearest(
+                    png_decode(p), self.out_h, self.out_w)))
             else:
                 out.append(p)
         res = df.copy()
         res["payload"] = out
-        res["meta_width"] = np.where(df["media_type"] == "image/ppm",
-                                     self.out_w, df["meta_width"]).astype("int32")
-        res["meta_height"] = np.where(df["media_type"] == "image/ppm",
-                                      self.out_h, df["meta_height"]).astype("int32")
+        is_img = df["media_type"].isin(["image/ppm", "image/png"])
+        res["meta_width"] = np.where(is_img, self.out_w,
+                                     df["meta_width"]).astype("int32")
+        res["meta_height"] = np.where(is_img, self.out_h,
+                                      df["meta_height"]).astype("int32")
         return res
 
 
@@ -273,20 +404,25 @@ def frame_sample(media_ds, *, every_n: int = 10, batch_size: int = 16,
     return media_ds.map_batches(f, batch_format="pandas", batch_size=batch_size)
 
 
-def synthesize_media(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic media table with REAL payloads (PPM / WAV / RAWV)."""
+def synthesize_media(n: int = 64, seed: int = 42, *,
+                     include_png: bool = False) -> pa.Table:
+    """Deterministic media table with REAL payloads (PPM / WAV / RAWV,
+    plus PNG when ``include_png`` — kept opt-in so existing fixtures'
+    type mix is unchanged)."""
     rng = np.random.default_rng(seed)
-    types = np.array(["image/ppm", "audio/wav", "video/raw"])[
-        rng.integers(0, 3, size=n)]
+    kinds = ["image/ppm", "audio/wav", "video/raw"] + \
+        (["image/png"] if include_png else [])
+    types = np.array(kinds)[rng.integers(0, len(kinds), size=n)]
     rows = {k: [] for k in ("payload", "w", "h", "sr", "nf")}
     for t in types:
-        if t == "image/ppm":
+        if t in ("image/ppm", "image/png"):
             h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             yy, xx = np.mgrid[0:h, 0:w]
             img = np.stack([(yy * 255 // max(1, h - 1)),
                             (xx * 255 // max(1, w - 1)),
                             rng.integers(0, 256, (h, w))], axis=2).astype(np.uint8)
-            rows["payload"].append(ppm_encode(img))
+            rows["payload"].append(ppm_encode(img) if t == "image/ppm"
+                                   else png_encode(img))
             rows["w"].append(w); rows["h"].append(h)
             rows["sr"].append(0); rows["nf"].append(0)
         elif t == "audio/wav":

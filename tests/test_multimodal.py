@@ -38,7 +38,7 @@ def test_resize_nearest_shape_and_identity():
 def test_decode_stub_raises_for_compressed_formats():
     dec = MediaDecoder()
     with pytest.raises(NotImplementedError):
-        dec._decode_one("image/png", b"xx")
+        dec._decode_one("image/jpeg", b"xx")
 
 
 def test_real_decode_features_deterministic(ray_session):
@@ -166,3 +166,129 @@ def test_frame_sample_empty_blocks(ray_session):
     images_only = media.filter(lambda r: r["media_type"] == "image/ppm")
     out2 = to_pandas(frame_sample(images_only, every_n=10))
     assert len(out2) == 0
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (stdlib zlib — round-5)
+# ---------------------------------------------------------------------------
+
+def _grad_img(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([(yy * 255 // max(1, h - 1)),
+                     (xx * 255 // max(1, w - 1)),
+                     rng.integers(0, 256, (h, w))], axis=2).astype(np.uint8)
+
+
+def test_png_roundtrip_all_color_types():
+    from saber_ray.stages.multimodal import png_decode, png_encode
+    rng = np.random.default_rng(0)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (13, 17, c), dtype=np.uint8)
+        got = png_decode(png_encode(img))
+        np.testing.assert_array_equal(got, img)
+    # 2-D grayscale input round-trips as (h, w, 1)
+    g = rng.integers(0, 256, (9, 5), dtype=np.uint8)
+    np.testing.assert_array_equal(png_decode(png_encode(g)), g[:, :, None])
+
+
+def test_png_unfilter_all_filter_types():
+    """Independently FILTER a known image with each of the 5 PNG filter
+    types per scanline (the encode side our encoder doesn't use), build
+    the IDAT by hand, and require the decoder to reconstruct the original
+    — real coverage of Sub/Up/Average/Paeth unfiltering."""
+    import struct as st
+    import zlib
+
+    from saber_ray.stages.multimodal import _PNG_SIG, png_decode
+    rng = np.random.default_rng(4)
+    h, w, c = 7, 11, 3
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8).astype(np.int64)
+    stride = w * c
+    rows = img.reshape(h, stride)
+    raw = bytearray()
+    for y in range(h):
+        f = y % 5
+        cur = rows[y]
+        prev = rows[y - 1] if y else np.zeros(stride, np.int64)
+        left = np.concatenate([np.zeros(c, np.int64), cur[:-c]])
+        ul = np.concatenate([np.zeros(c, np.int64), prev[:-c]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = (cur - left) % 256
+        elif f == 2:
+            filt = (cur - prev) % 256
+        elif f == 3:
+            filt = (cur - (left + prev) // 2) % 256
+        else:
+            p = left + prev - ul
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                            np.where(pb <= pc_, prev, ul))
+            filt = (cur - pred) % 256
+        raw.append(f)
+        raw.extend(filt.astype(np.uint8).tobytes())
+
+    def chunk(tag, body):
+        return st.pack(">I", len(body)) + tag + body + \
+            st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    payload = _PNG_SIG \
+        + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)) \
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    np.testing.assert_array_equal(png_decode(payload),
+                                  img.astype(np.uint8))
+
+
+def test_png_decode_parity_with_ppm_path():
+    """Same pixels through PNG and PPM containers → identical decode and
+    identical MediaDecoder features (VERDICT r5 item 4)."""
+    from saber_ray.stages.multimodal import png_decode, png_encode
+    img = _grad_img(24, 31)
+    np.testing.assert_array_equal(png_decode(png_encode(img)),
+                                  ppm_decode(ppm_encode(img)))
+    dec = MediaDecoder(feature_dim=12)
+    np.testing.assert_allclose(
+        dec._decode_one("image/png", png_encode(img)),
+        dec._decode_one("image/ppm", ppm_encode(img)))
+
+
+def test_png_decode_unsupported_profiles_raise():
+    import struct as st
+    import zlib
+
+    from saber_ray.stages.multimodal import _PNG_SIG, png_decode
+
+    def chunk(tag, body):
+        return st.pack(">I", len(body)) + tag + body + \
+            st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    with pytest.raises(ValueError):
+        png_decode(b"nope")
+    for ihdr, msg in [
+            (st.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0), "bit depth"),
+            (st.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0), "color type"),
+            (st.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1), "interlace")]:
+        payload = _PNG_SIG + chunk(b"IHDR", ihdr) \
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 13)) \
+            + chunk(b"IEND", b"")
+        with pytest.raises(ValueError) as ei:
+            png_decode(payload)
+        assert msg.split()[0] in str(ei.value)
+
+
+def test_png_in_decode_and_resize_stages(ray_session):
+    from saber_ray.stages.multimodal import (decode_features, png_decode,
+                                             synthesize_media)
+    media = rd.from_arrow(synthesize_media(48, seed=9, include_png=True))
+    src = synthesize_media(48, seed=9, include_png=True).to_pandas()
+    assert (src["media_type"] == "image/png").any()
+    out = to_pandas(decode_features(media, feature_dim=8))
+    assert len(out) == 48
+    res = to_pandas(resize_images(media, 10, 14))
+    pngs = res[res["media_type"] == "image/png"]
+    assert len(pngs) > 0
+    for p in pngs["payload"]:
+        assert png_decode(p).shape == (10, 14, 3)
+    assert (pngs["meta_width"] == 14).all() and (pngs["meta_height"] == 10).all()
