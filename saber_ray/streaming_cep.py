@@ -29,10 +29,22 @@ the batch kernel over the whole stream):
   ``len(pattern)-1``-row tail, so its start row is dropped — the same
   match can never re-emit. Bounded state for unbounded streams.
 
-``non_overlapping`` is not offered here: SKIP PAST LAST ROW couples a
-match's acceptance to every earlier match of its key, which breaks the
-sealed-prefix argument (an unsealed earlier match could retroactively
-suppress a sealed one) — it stays a batch-only mode (stages/cep.py).
+``non_overlapping`` (SKIP PAST LAST ROW) is supported — round-5 upgrade of
+the round-4 batch-only limitation. Why the sealed-prefix argument extends
+to greedy acceptance: per key, rows are ts-sorted and ``sealed`` is a
+PREFIX of the run, so candidate ENDS are ordered with candidate starts —
+every candidate whose end row is sealed has only sealed-end candidates
+before it in the greedy left-to-right scan. Sealed-end candidates are
+therefore decidable exactly in scan order, now, and for ever (no unsealed
+candidate can precede them). The only cross-epoch state the scan needs is
+the per-key acceptance cursor — "the last accepted match ended at this
+row" — carried as a ``__cep_blk`` flag ON the retained sealed tail rows
+themselves (the streaming-shift context-row trick), so it snapshots,
+restores and hash-partitions with the buffer for free. A future candidate
+whose start falls at-or-before a blocked row is rejected exactly as the
+batch scan would; accepted ends behind the retained tail cannot overlap
+any future start (future starts live inside the tail). Kill/resume safety
+follows from the flag living in the snapshot parquet.
 """
 
 from __future__ import annotations
@@ -58,12 +70,13 @@ class _PatternState:
     evaluated once over the whole buffer, zero per-row/per-key Python."""
 
     def __init__(self, keys: list, pattern: list, within: Optional[int],
-                 tiebreak: list):
+                 tiebreak: list, non_overlapping: bool = False):
         self.keys = list(keys)
         self.pattern = list(pattern)
         self.m = len(pattern)
         self.within = within
         self.tiebreak = list(tiebreak)
+        self.non_overlapping = non_overlapping
         self.open: Optional[pa.Table] = None
         self.pend: list[pa.Table] = []
         self._seen: set = set()
@@ -105,6 +118,13 @@ class _PatternState:
         rid = np.cumsum(~same)               # key run id per row
         sealed = np.ones(n, dtype=bool) if watermark is None \
             else ts < watermark
+        # per-key acceptance cursor carried on the retained rows (module
+        # docstring): last blocked (= consumed by an accepted match) index
+        blk_last: dict[int, int] = {}
+        if self.non_overlapping and "__cep_blk" in t.column_names:
+            bcol = pc.fill_null(t["__cep_blk"].combine_chunks(), False)
+            for i in np.flatnonzero(bcol.to_numpy(zero_copy_only=False)):
+                blk_last[int(rid[i])] = int(i)    # ascending → max wins
         starts = np.zeros(0, dtype=np.int64)
         if n >= m:
             ok = np.ones(n - m + 1, dtype=bool)
@@ -120,6 +140,19 @@ class _PatternState:
                 ok &= (ts[m - 1:] - ts[:n - m + 1]) <= self.within
             ok &= sealed[m - 1:]             # ALL rows sealed (ts sorted)
             starts = np.flatnonzero(ok)
+        if self.non_overlapping and len(starts):
+            # greedy from the left per key run, seeded by the carried
+            # cursor — sealed-end candidates are a PREFIX of each run's
+            # candidate order, so this decision is final (module docstring)
+            keep_s, last_end, last_rid = [], -1, -1
+            for s in starts:
+                r = int(rid[s])
+                if r != last_rid:
+                    last_rid, last_end = r, blk_last.get(r, -1)
+                if s > last_end:
+                    keep_s.append(int(s))
+                    last_end = s + m - 1
+            starts = np.asarray(keep_s, dtype=np.int64)
         # retention: per key run, unsealed rows + last m-1 sealed rows
         # (sealed rows are a ts-sorted prefix of each run)
         if watermark is None:
@@ -135,6 +168,22 @@ class _PatternState:
             totals = np.repeat(per_run_sealed, run_lens)
             pos = idx - run_start                 # 0-based within run
             keep = (~sealed) | (pos >= totals - (m - 1))
+            if self.non_overlapping:
+                # refresh the acceptance-cursor flags BEFORE trimming:
+                # blocked = at-or-before the last accepted end of the run
+                nrun = int(rid[-1]) if n else 0
+                new_last = np.full(nrun + 1, -1, dtype=np.int64)
+                for r, i in blk_last.items():
+                    new_last[r] = i
+                if len(starts):
+                    ends_acc = starts + m - 1
+                    np.maximum.at(new_last, rid[ends_acc], ends_acc)
+                blk_arr = pa.array(idx <= new_last[rid])
+                if "__cep_blk" in t.column_names:
+                    t = t.set_column(t.column_names.index("__cep_blk"),
+                                     "__cep_blk", blk_arr)
+                else:
+                    t = t.append_column("__cep_blk", blk_arr)
             self.open = t.filter(pa.array(keep))
         if not len(starts):
             return self._out_schema(t).empty_table()
@@ -175,6 +224,7 @@ class StreamingMatchPattern(KeyedStreamEngine):
                  keys: Sequence[str] = ("conv_id",), ts_col: str = "ts",
                  within: Optional[int] = None,
                  tiebreak: Sequence[str] = (),
+                 non_overlapping: bool = False,
                  num_partitions: int = 4, allowed_lateness: int = 0,
                  columns: Optional[Sequence[str]] = None,
                  monitor=None):
@@ -188,6 +238,7 @@ class StreamingMatchPattern(KeyedStreamEngine):
         self.ts_col = ts_col
         self.within = within
         self.tiebreak = list(tiebreak)
+        self.non_overlapping = non_overlapping
         self.n = num_partitions
         self.lateness = allowed_lateness
         self.columns = list(columns) if columns else None
@@ -198,5 +249,6 @@ class StreamingMatchPattern(KeyedStreamEngine):
 
     def _spawn_actors(self):
         return [PatternStateActor.remote(
-            self.keys, self.pattern, self.within, self.tiebreak)
+            self.keys, self.pattern, self.within, self.tiebreak,
+            self.non_overlapping)
             for _ in range(self.n)]

@@ -109,3 +109,68 @@ def test_streaming_cep_state_is_bounded(ray_session, cep_stream, tmp_path):
     # sealed tail is <= 2 rows/key; unsealed frontier is the last epoch's
     # lateness window — in this in-order stream that is far below ingest
     assert state_rows < rows_in * 0.6
+
+
+# ---------------------------------------------------------------------------
+# SKIP PAST LAST ROW (non_overlapping=True) — round-5 streaming upgrade
+# ---------------------------------------------------------------------------
+
+def _batch_no(ray_session, files):
+    import ray.data as rd
+    from saber_ray.stages.cep import match_pattern
+    out = match_pattern(rd.read_parquet(files), PATTERN, keys="conv_id",
+                        order_by=["ts", "turn_idx"], ts_col="ts",
+                        within=WITHIN, non_overlapping=True)
+    return canon(to_pandas(out)[["conv_id", "match_start_us",
+                                 "match_end_us"]])
+
+
+def test_streaming_cep_skip_past_last_row_matches_batch(
+        ray_session, cep_stream, tmp_path):
+    """Sealed-prefix greedy acceptance: streaming non_overlapping equals
+    the batch SKIP PAST LAST ROW kernel over the whole stream, and is a
+    SUBSET of the overlapping match set."""
+    job = _job(str(tmp_path / "out"), non_overlapping=True)
+    job.run(cep_stream, epoch_size=3)
+    got = canon(job.results().to_pandas()
+                [["conv_id", "match_start_us", "match_end_us"]])
+    want = _batch_no(ray_session, cep_stream)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    allm = _batch(ray_session, cep_stream)
+    assert len(want) < len(allm)        # greedy actually suppressed overlaps
+    merged = got.merge(allm, how="left", indicator=True)
+    assert (merged["_merge"] == "both").all()
+
+
+def test_streaming_cep_skip_past_epoch_size_invariance(
+        ray_session, cep_stream, tmp_path):
+    """The acceptance cursor must make the result independent of WHERE
+    epoch boundaries fall (the cross-epoch carry is the whole point)."""
+    base = None
+    for i, es in enumerate((1, 2, 5)):
+        job = _job(str(tmp_path / f"out{i}"), non_overlapping=True)
+        job.run(cep_stream, epoch_size=es)
+        got = canon(job.results().to_pandas()
+                    [["conv_id", "match_start_us", "match_end_us"]])
+        if base is None:
+            base = got
+        else:
+            pd.testing.assert_frame_equal(got, base, check_dtype=False)
+
+
+def test_streaming_cep_skip_past_kill_resume(ray_session, cep_stream,
+                                             tmp_path):
+    """Kill mid-stream, resume: the carried __cep_blk cursor survives the
+    snapshot — union of emissions equals batch, zero duplicates."""
+    out = str(tmp_path / "out")
+    j1 = _job(out, non_overlapping=True)
+    ck1 = j1.run(cep_stream, epoch_size=2, max_epochs=2)
+    assert not ck1.get("finalized")
+    j2 = _job(out, non_overlapping=True)
+    j2.run(cep_stream, epoch_size=2)
+    res = j2.results().to_pandas()
+    assert not res.duplicated().any()
+    got = canon(res[["conv_id", "match_start_us", "match_end_us"]])
+    pd.testing.assert_frame_equal(got, _batch_no(ray_session, cep_stream),
+                                  check_dtype=False)
