@@ -620,19 +620,37 @@ def run_graph() -> dict:
         dst[i % 10 == 0] = 0                      # 10% hot destination
         return pa.table({"src": src, "dst": dst})
 
-    edges = rd.range(n_edges, override_num_blocks=2 * NUM_CPUS) \
-        .map_batches(to_edge, batch_format="pyarrow")
+    def edges():
+        return rd.range(n_edges, override_num_blocks=2 * NUM_CPUS) \
+            .map_batches(to_edge, batch_format="pyarrow")
+
     t0 = time.monotonic()
-    out = pagerank(edges, iterations=iters)
+    out = pagerank(edges(), iterations=iters)
     wall = time.monotonic() - t0
+
+    # the past-the-broadcast-bound path on the SAME graph: zero driver
+    # node state, two sort exchanges per iteration — report the honest
+    # cost ratio and assert bit-identical total mass
+    from saber_ray.stages.graph import pagerank_partitioned
+    t0 = time.monotonic()
+    pout = pagerank_partitioned(edges(), iterations=iters)
+    p_total = int(pout.map_batches(
+        lambda t: pa.table({"s": [int(np.sum(
+            t["rank"].to_numpy(zero_copy_only=False)))]}),
+        batch_format="pyarrow").sum("s"))
+    p_wall = time.monotonic() - t0
     ray.shutdown()
+    total = int(sum(out["rank"].to_pylist()))
+    assert p_total == total, (p_total, total)
     return {
         "metric": "PageRank wall time (4 integer fixed-point iterations, "
                   "hash-mixed edges, 10% hot destination)",
         "value": round(wall, 3), "unit": "sec",
         "n_edges": n_edges, "n_nodes": int(out.num_rows), "iterations": iters,
         "edge_traversals_per_sec": int(n_edges * iters / wall),
-        "total_rank": int(sum(out["rank"].to_pylist())),
+        "total_rank": total,
+        "partitioned_sec": round(p_wall, 3),
+        "partitioned_edge_traversals_per_sec": int(n_edges * iters / p_wall),
         "sf": SF_DIR, "num_cpus": NUM_CPUS,
     }
 

@@ -22,9 +22,9 @@ UNROLLED as chained CTEs (``pagerank_sql``) reproduces the Ray result
 hash-for-hash, no float tolerance anywhere. Dangling nodes (outdeg 0)
 drop their mass — the simplified variant; both sides implement it
 identically. floor(rank*num/(den*outdeg)) stays < 2^63 for
-scale ≤ 10^15 (rank ≤ total mass ≤ scale); the same bound makes the
-float64 ``bincount`` partial sums exact (integer values whose running
-totals stay ≤ scale < 2^53).
+scale ≤ 10^15 (rank ≤ total mass ≤ scale); partial scatter-adds are
+pure int64 (argsort + reduceat), so bit-exactness holds at any valid
+``scale`` — no float64 staging anywhere (round-5 fix).
 
 Scale shape (100 TB edges, cites the round-1 CC design in
 stages/dedup.py:105 which this generalizes):
@@ -40,9 +40,10 @@ stages/dedup.py:105 which this generalizes):
   ``ray.put`` of the per-source contribution array (already divided by
   outdegree, so map tasks do a single gather + bincount segment-sum, no
   division in the hot path). ``max_nodes`` (default 50M ≈ 400 MB int64
-  vector) guards the broadcast assumption explicitly; beyond it the
-  rank table must become a partitioned Dataset joined per iteration —
-  documented, not silently attempted.
+  vector) guards the broadcast assumption explicitly; beyond it use
+  :func:`pagerank_partitioned` — the rank table as a partitioned
+  Dataset co-located with edges per iteration (same integer algebra,
+  bit-identical output, zero driver-side node state).
 - per iteration, each edge block emits ≤ distinct-dst-per-block partial
   (node, val) rows; the round closes with a driver-side exact combine
   (searchsorted gather + one weighted bincount into the dense vector).
@@ -166,7 +167,8 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
     if n_nodes > max_nodes:
         raise ValueError(
             f"pagerank broadcast path supports <= {max_nodes} nodes "
-            f"(got {n_nodes}); partition the rank table instead")
+            f"(got {n_nodes}); use pagerank_partitioned for graphs past "
+            f"the broadcast bound")
     nodes = _np_i64(deg_tbl["node"])      # np.unique output: sorted
     outdeg = _np_i64(deg_tbl["val"])
 
@@ -230,6 +232,202 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
         ranks = new
 
     return pa.table({"node": nodes, "rank": ranks})
+
+
+def pagerank_partitioned(edges, *, src: str = "src", dst: str = "dst",
+                         weight: str | None = None,
+                         iterations: int = 4, damping_num: int = 85,
+                         damping_den: int = 100, scale: int = 10 ** 12,
+                         nparts: int | None = None):
+    """PageRank past the broadcast bound: the rank table is a partitioned
+    Dataset co-located with edges per iteration — NO driver-side node
+    state of any size, NO ``ray.put`` of a rank vector. Same integer
+    fixed-point algebra as :func:`pagerank` (module docstring), so the
+    output is bit-identical; returns a Dataset (node:int64, rank:int64).
+
+    Shape per iteration: TWO sort co-location exchanges (Ray's sort never
+    splits equal keys across blocks — the engine-wide invariant):
+
+    1. union(edges keyed by src, state keyed by node) → sort(key) → each
+       block attaches its key run's (rank, outdeg) to the edge copies and
+       emits (dst, contrib) messages plus a zero-value identity row per
+       state node (so zero-in-degree nodes keep a rank);
+    2. sort(node) over the messages+identities → per-block segment sum →
+       new state (node, outdeg, rank = base + damping-sum).
+
+    O(E) shuffle per iteration is the honest cost of exceeding the
+    broadcast bound; prefer :func:`pagerank` while the node universe
+    fits one ``ray.put``. Weighted variant supported with the same
+    preconditions (positive ints, scale*num*max_w < 2^63)."""
+    import ray
+
+    nparts = nparts or max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def norm(t: pa.Table) -> pa.Table:
+        cols = {"key": t[src].cast(pa.int64()).combine_chunks()
+                if isinstance(t[src], pa.ChunkedArray) else t[src].cast(pa.int64()),
+                "dst": t[dst].cast(pa.int64()).combine_chunks()
+                if isinstance(t[dst], pa.ChunkedArray) else t[dst].cast(pa.int64())}
+        if weight is not None:
+            w = _np_i64(t[weight])
+            if len(w):
+                wmin, wmax = int(w.min()), int(w.max())
+                if wmin < 1:
+                    raise ValueError(
+                        f"pagerank weights must be positive ints "
+                        f"(got min={wmin})")
+                if scale * damping_num * wmax >= 2 ** 63:
+                    raise ValueError(
+                        f"pagerank overflow: scale*damping_num*max_weight "
+                        f">= 2^63 ({scale}*{damping_num}*{wmax})")
+            cols["w"] = pa.array(w)
+        else:
+            cols["w"] = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        return pa.table(cols)
+
+    edges = edges.map_batches(norm, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .repartition(nparts).materialize()
+
+    # ---- distributed degree/state init: one sort exchange -----------------
+    def deg_partial(t: pa.Table) -> pa.Table:
+        s = _np_i64(t["key"])
+        w = _np_i64(t["w"])
+        order = np.argsort(s, kind="stable")
+        s, w = s[order], w[order]
+        st = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1]))) \
+            if len(s) else np.zeros(0, np.int64)
+        du = pc.unique(t["dst"].combine_chunks()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": np.concatenate([s[st] if len(s) else s, du]),
+            "val": np.concatenate([np.add.reduceat(w, st)
+                                   if len(s) else w[:0],
+                                   np.zeros(len(du), np.int64)])})
+
+    def deg_combine(t: pa.Table) -> pa.Table:
+        return _combine_block(t)            # equal nodes co-located
+
+    state = edges.map_batches(deg_partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .sort("node").map_batches(deg_combine, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+    n_nodes = state.count()
+    if n_nodes == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "rank": pa.array([], pa.int64())}))
+    base = (scale * (damping_den - damping_num)) \
+        // (damping_den * n_nodes)
+    r0 = scale // n_nodes
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "outdeg": t["val"],
+                         "rank": pa.array(
+                             np.full(t.num_rows, r0, np.int64))})
+
+    state = state.map_batches(init_rank, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    num, den = damping_num, damping_den
+
+    def tag_state(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["node"],
+                         "dst": pa.nulls(t.num_rows, pa.int64()),
+                         "w": pa.nulls(t.num_rows, pa.int64()),
+                         "outdeg": t["outdeg"], "rank": t["rank"]})
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["key"], "dst": t["dst"], "w": t["w"],
+                         "outdeg": pa.nulls(t.num_rows, pa.int64()),
+                         "rank": pa.nulls(t.num_rows, pa.int64())})
+
+    def contrib_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64()),
+                             "outdeg": pa.array([], pa.int64())})
+        t = t.combine_chunks()
+        key = _np_i64(t["key"])
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        rank_col = t["rank"].combine_chunks()
+        is_state = rank_col.is_valid().to_numpy(zero_copy_only=False)[order]
+        rank = pc.fill_null(rank_col, 0).to_numpy(
+            zero_copy_only=False)[order].astype(np.int64)
+        odeg = pc.fill_null(t["outdeg"].combine_chunks(), 0).to_numpy(
+            zero_copy_only=False)[order].astype(np.int64)
+        dstv = pc.fill_null(t["dst"].combine_chunks(), 0).to_numpy(
+            zero_copy_only=False)[order].astype(np.int64)
+        wv = pc.fill_null(t["w"].combine_chunks(), 1).to_numpy(
+            zero_copy_only=False)[order].astype(np.int64)
+        run_id = np.cumsum(np.concatenate(([False], key[1:] != key[:-1])))
+        srows = np.flatnonzero(is_state)
+        nrun = int(run_id[-1]) + 1
+        run_rank = np.zeros(nrun, np.int64)
+        run_deg = np.zeros(nrun, np.int64)
+        run_has = np.zeros(nrun, bool)
+        run_rank[run_id[srows]] = rank[srows]
+        run_deg[run_id[srows]] = odeg[srows]
+        run_has[run_id[srows]] = True
+        erows = np.flatnonzero(~is_state)
+        if not run_has[run_id[erows]].all():
+            raise AssertionError(
+                "edge source without a state row — the universe includes "
+                "every src (init-stage invariant)")
+        safe = np.maximum(run_deg[run_id[erows]], 1)
+        contrib = (run_rank[run_id[erows]] * num * wv[erows]) \
+            // (den * safe)
+        return pa.table({
+            "node": np.concatenate([dstv[erows], key[srows]]),
+            "val": np.concatenate([contrib,
+                                   np.zeros(len(srows), np.int64)]),
+            "outdeg": pa.chunked_array([
+                pa.nulls(len(erows), pa.int64()),
+                pa.array(odeg[srows])]).combine_chunks()})
+
+    def new_state_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "outdeg": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        t = t.combine_chunks()
+        node = _np_i64(t["node"])
+        order = np.argsort(node, kind="stable")
+        node = node[order]
+        val = _np_i64(t["val"])[order]
+        od_col = t["outdeg"].combine_chunks()
+        has_od = od_col.is_valid().to_numpy(zero_copy_only=False)[order]
+        od = pc.fill_null(od_col, 0).to_numpy(
+            zero_copy_only=False)[order].astype(np.int64)
+        st = np.flatnonzero(np.concatenate(([True], node[1:] != node[:-1])))
+        run_id = np.cumsum(np.concatenate(([False], node[1:] != node[:-1])))
+        sums = np.add.reduceat(val, st)
+        nrun = len(st)
+        run_od = np.zeros(nrun, np.int64)
+        idrows = np.flatnonzero(has_od)
+        run_od[run_id[idrows]] = od[idrows]
+        # messages to a node NOT in the universe are impossible (dst ∈
+        # universe); every run carries exactly one identity row
+        if len(idrows) != nrun:
+            raise AssertionError("node run without an identity row")
+        return pa.table({"node": node[st], "outdeg": run_od,
+                         "rank": sums + base})
+
+    for _ in range(iterations):
+        state = state.map_batches(tag_state, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+            .union(edges.map_batches(tag_edges, batch_format="pyarrow",
+                                     zero_copy_batch=True)) \
+            .sort("key") \
+            .map_batches(contrib_block, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .sort("node") \
+            .map_batches(new_state_block, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+
+    return state.map_batches(
+        lambda t: pa.table({"node": t["node"], "rank": t["rank"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def pagerank_sql(edges_sql: str, *, src: str = "src", dst: str = "dst",

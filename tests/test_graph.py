@@ -203,3 +203,40 @@ def test_weighted_pagerank_precondition_guards(ray_session):
         pagerank(ray.data.from_arrow(big), weight="w", iterations=1,
                  scale=10 ** 14)
     assert "overflow" in str(ei.value)
+
+
+def test_pagerank_partitioned_bit_identical(ray_session, tmp_path):
+    """The past-the-broadcast-bound path (rank table as a partitioned
+    Dataset, zero driver node state) must be BIT-identical to the
+    broadcast path — uniform and weighted, with dangling nodes."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from saber_ray.stages.graph import pagerank, pagerank_partitioned
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 60, 500).astype(np.int64)
+    dst = rng.integers(0, 80, 500).astype(np.int64)   # 60-79: dangling
+    w = rng.integers(1, 7, 500).astype(np.int64)
+    keep = src != dst
+    edges = pa.table({"src": src[keep], "dst": dst[keep], "w": w[keep]})
+    p = tmp_path / "pp.parquet"
+    pq.write_table(edges, p)
+
+    for kw in ({}, {"weight": "w"}):
+        want = pagerank(ray.data.read_parquet(str(p)), iterations=3, **kw)
+        got = pagerank_partitioned(ray.data.read_parquet(str(p)),
+                                   iterations=3, nparts=5, **kw) \
+            .sort("node").to_pandas()
+        assert got["node"].tolist() == want["node"].to_pylist()
+        assert got["rank"].tolist() == want["rank"].to_pylist()
+
+
+def test_pagerank_partitioned_empty(ray_session):
+    import ray
+
+    from saber_ray.stages.graph import pagerank_partitioned
+    empty = pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64())})
+    out = pagerank_partitioned(ray.data.from_arrow(empty))
+    assert out.count() == 0
