@@ -424,16 +424,51 @@ def run_streaming() -> dict:
     work = "/tmp/saber_ray_bench/streaming_run"
 
     shutil.rmtree(work, ignore_errors=True)
+    # live metrics endpoint (RESTfulServer.java analogue): the bench polls
+    # it MID-RUN over real HTTP — throughput/watermark-lag visibility on a
+    # long job without touching checkpoint files
+    import threading
+    import urllib.request
+
+    from saber_ray.monitor import MetricsServer
+    agg_dir = os.path.join(work, "agg")
+    os.makedirs(agg_dir, exist_ok=True)
+    srv = MetricsServer(agg_dir)
+    samples: list[dict] = []
+    stop_poll = threading.Event()
+
+    def _poll():
+        while not stop_poll.is_set():
+            try:
+                with urllib.request.urlopen(srv.url, timeout=2) as r:
+                    samples.append(json.loads(r.read()))
+            except Exception:
+                pass
+            stop_poll.wait(0.3)
+
+    poller = threading.Thread(target=_poll, daemon=True)
+    poller.start()
     agg = StreamingWindowedAggregate(
-        os.path.join(work, "agg"),
+        agg_dir,
         window=Window.sliding(4 * HOUR, 30 * MINUTE),
         aggs=[sum_("text_len", "sum_len"), cnt(alias="n_turns")],
         keys=["role"], num_partitions=parts,
-        columns=["role", "text_len", "ts"])
+        columns=["role", "text_len", "ts"], monitor=srv)
     t0 = time.monotonic()
     ck_a = agg.run(files, epoch_size=epoch_size)
     agg_wall = time.monotonic() - t0
+    stop_poll.set()
+    poller.join(timeout=5)
+    srv.stop()
     agg_stats = _latency_stats(ck_a["metrics"]["epoch_stats"])
+    mid = [s for s in samples
+           if s.get("watermark") is not None and not s.get("finalized")]
+    endpoint = {
+        "polls": len(samples), "mid_run_polls": len(mid),
+        "live_ticks_seen": sum(1 for s in samples if s.get("live")),
+        "watermark_lag_us_last_mid_run":
+            (mid[-1].get("watermark_lag_us") if mid else None),
+    }
 
     join = StreamingWindowedJoin(
         os.path.join(work, "join"), on="conv_id",
@@ -486,6 +521,7 @@ def run_streaming() -> dict:
         "num_partitions": parts,
         "agg": {**agg_stats, "wall_sec": round(agg_wall, 3),
                 "rows_out": ck_a["metrics"]["emitted_rows"]},
+        "metrics_endpoint": endpoint,
         "join": {**join_stats, "wall_sec": round(join_wall, 3),
                  "rows_out": ck_j["metrics"]["emitted_rows"]},
         "cep": {**cep_stats, "wall_sec": round(cep_wall, 3),

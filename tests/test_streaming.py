@@ -396,3 +396,45 @@ def test_streaming_skew_kurt_matches_batch(ray_session, stream_files,
         rd.read_parquet(stream_files), window=W, aggs=maggs,
         keys=["role"])))
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+
+
+def test_metrics_endpoint_live_and_committed(ray_session, stream_files,
+                                             tmp_path):
+    """MetricsServer (RESTfulServer.java analogue): serves committed
+    checkpoint state (watermark, epoch_stats tail, totals) AND the live
+    monitor tick over real localhost HTTP; lifecycle is clean."""
+    import json as _json
+    import urllib.request
+
+    from saber_ray.monitor import MetricsServer
+
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    with MetricsServer(out, keep_epochs=3) as srv:
+        # before any run: endpoint answers, no committed state yet
+        with urllib.request.urlopen(srv.url, timeout=5) as r:
+            pre = _json.loads(r.read())
+        assert pre["live"] is None and "watermark" not in pre
+        with urllib.request.urlopen(
+                srv.url.replace("/metrics", "/health"), timeout=5) as r:
+            assert _json.loads(r.read()) == {"ok": True}
+
+        job = StreamingWindowedAggregate(
+            out, window=W, aggs=AGGS, keys=["role"], num_partitions=2,
+            columns=["role", "text_len", "ts"], monitor=srv)
+        ck = job.run(stream_files, epoch_size=2)
+
+        with urllib.request.urlopen(srv.url, timeout=5) as r:
+            m = _json.loads(r.read())
+    assert m["live"] is not None            # monitor ticks flowed through
+    assert m["live"]["rows_in_cum"] > 0
+    assert m["watermark"] == ck["watermark"]
+    assert m["finalized"] is True
+    assert m["emitted_rows"] == ck["metrics"]["emitted_rows"]
+    assert len(m["epochs"]) == 3            # keep_epochs tail
+    assert m["epochs"][-1]["epoch"] == ck["metrics"]["epoch_stats"][-1]["epoch"]
+    assert m["watermark_lag_us"] > 0
+    # server is down after stop()
+    import urllib.error
+    with pytest.raises((urllib.error.URLError, ConnectionError, OSError)):
+        urllib.request.urlopen(srv.url, timeout=1)
