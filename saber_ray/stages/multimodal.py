@@ -13,8 +13,13 @@ implemented here — they need only numpy / the Python stdlib:
 - ``image/png`` — REAL PNG codec over stdlib ``zlib``: IDAT inflate +
   per-scanline unfiltering (all 5 filter types), bit depth 8, color types
   gray/RGB/gray-alpha/RGBA, no interlace. Filter-0 encoder for tests.
+- ``image/jpeg`` — REAL baseline JPEG codec (``stages/jpeg.py``): full
+  ITU-T T.81 baseline sequential DCT decode (grayscale + YCbCr, 1/2
+  sampling factors, restart markers) and a standards-compliant JFIF
+  encoder (Annex K tables, 4:2:0 or 4:4:4, quality scaling) — numpy +
+  stdlib only.
 
-Lossy compressed formats (JPEG/MP3/MP4/...) genuinely require codec
+Audio/video compressed formats (MP3/MP4/...) genuinely require codec
 libraries this container lacks; for those ``MediaDecoder`` raises
 ``NotImplementedError`` unless ``deterministic_fake=True`` (a seeded
 content-derived fake so downstream plumbing stays exercisable). The
@@ -298,6 +303,9 @@ class MediaDecoder:
             return _image_features(ppm_decode(payload), d)
         if media_type == "image/png":
             return _image_features(_as_rgb(png_decode(payload)), d)
+        if media_type == "image/jpeg":
+            from saber_ray.stages.jpeg import jpeg_decode
+            return _image_features(_as_rgb(jpeg_decode(payload)), d)
         if media_type == "audio/wav":
             return _audio_features(*wav_decode(payload), d)
         if media_type == "video/raw":
@@ -335,13 +343,14 @@ def decode_features(media_ds, *, feature_dim: int = 16,
 
 
 class ImageResizer:
-    """Actor-pool stage: decode PPM/PNG → nearest-neighbor resize →
+    """Actor-pool stage: decode PPM/PNG/JPEG → nearest-neighbor resize →
     re-encode in the same container format."""
 
     def __init__(self, out_h: int, out_w: int):
         self.out_h, self.out_w = out_h, out_w
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from saber_ray.stages.jpeg import jpeg_decode, jpeg_encode
         out = []
         for t, p in zip(df["media_type"], df["payload"]):
             if t == "image/ppm":
@@ -350,11 +359,15 @@ class ImageResizer:
             elif t == "image/png":
                 out.append(png_encode(resize_nearest(
                     png_decode(p), self.out_h, self.out_w)))
+            elif t == "image/jpeg":
+                out.append(jpeg_encode(resize_nearest(
+                    _as_rgb(jpeg_decode(p)), self.out_h, self.out_w)))
             else:
                 out.append(p)
         res = df.copy()
         res["payload"] = out
-        is_img = df["media_type"].isin(["image/ppm", "image/png"])
+        is_img = df["media_type"].isin(["image/ppm", "image/png",
+                                        "image/jpeg"])
         res["meta_width"] = np.where(is_img, self.out_w,
                                      df["meta_width"]).astype("int32")
         res["meta_height"] = np.where(is_img, self.out_h,
@@ -405,24 +418,29 @@ def frame_sample(media_ds, *, every_n: int = 10, batch_size: int = 16,
 
 
 def synthesize_media(n: int = 64, seed: int = 42, *,
-                     include_png: bool = False) -> pa.Table:
+                     include_png: bool = False,
+                     include_jpeg: bool = False) -> pa.Table:
     """Deterministic media table with REAL payloads (PPM / WAV / RAWV,
-    plus PNG when ``include_png`` — kept opt-in so existing fixtures'
-    type mix is unchanged)."""
+    plus PNG / JPEG when ``include_png`` / ``include_jpeg`` — kept opt-in
+    so existing fixtures' type mix is unchanged)."""
+    from saber_ray.stages.jpeg import jpeg_encode
     rng = np.random.default_rng(seed)
     kinds = ["image/ppm", "audio/wav", "video/raw"] + \
-        (["image/png"] if include_png else [])
+        (["image/png"] if include_png else []) + \
+        (["image/jpeg"] if include_jpeg else [])
     types = np.array(kinds)[rng.integers(0, len(kinds), size=n)]
     rows = {k: [] for k in ("payload", "w", "h", "sr", "nf")}
     for t in types:
-        if t in ("image/ppm", "image/png"):
+        if t in ("image/ppm", "image/png", "image/jpeg"):
             h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             yy, xx = np.mgrid[0:h, 0:w]
             img = np.stack([(yy * 255 // max(1, h - 1)),
                             (xx * 255 // max(1, w - 1)),
                             rng.integers(0, 256, (h, w))], axis=2).astype(np.uint8)
-            rows["payload"].append(ppm_encode(img) if t == "image/ppm"
-                                   else png_encode(img))
+            rows["payload"].append(
+                ppm_encode(img) if t == "image/ppm"
+                else png_encode(img) if t == "image/png"
+                else jpeg_encode(img))
             rows["w"].append(w); rows["h"].append(h)
             rows["sr"].append(0); rows["nf"].append(0)
         elif t == "audio/wav":

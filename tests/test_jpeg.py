@@ -1,0 +1,139 @@
+"""Baseline JPEG codec tests: roundtrip fidelity, structural compliance,
+decoder robustness (restart markers, odd dims, grayscale, subsampling),
+and the image/jpeg wiring through MediaDecoder / ImageResizer."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from saber_ray.stages.jpeg import (JpegFormatError, jpeg_decode, jpeg_encode)
+from saber_ray.stages.multimodal import (MediaDecoder, decode_features,
+                                         resize_images, synthesize_media)
+from tests.oracle_util import to_pandas
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10.0 * np.log10(255.0 ** 2 / mse)
+
+
+def _smooth_image(h: int = 48, w: int = 64) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        128 + 100 * np.sin(xx / 9.0) * np.cos(yy / 7.0),
+        yy * 255 / max(1, h - 1),
+        xx * 255 / max(1, w - 1),
+    ], axis=2).clip(0, 255).astype(np.uint8)
+
+
+def test_roundtrip_fidelity_by_quality():
+    img = _smooth_image()
+    for q, sub, floor in [(95, False, 45.0), (85, True, 33.0),
+                          (60, True, 30.0)]:
+        dec = jpeg_decode(jpeg_encode(img, quality=q, subsample=sub))
+        assert dec.shape == img.shape
+        p = _psnr(img, dec)
+        assert p > floor, (q, sub, p)
+    # higher quality ⇒ larger file
+    sizes = [len(jpeg_encode(img, quality=q)) for q in (30, 60, 90)]
+    assert sizes == sorted(sizes)
+
+
+def test_uniform_color_exact():
+    # a flat block is pure DC — quantization cannot disturb it beyond
+    # colorspace rounding, which the 4:4:4 path keeps to 0 here
+    uni = np.full((17, 23, 3), (200, 50, 90), np.uint8)
+    dec = jpeg_decode(jpeg_encode(uni, quality=90, subsample=False))
+    assert int(np.abs(dec.astype(int) - uni.astype(int)).max()) <= 1
+
+
+def test_grayscale_and_2d_input():
+    yy = np.mgrid[0:40, 0:56][0]
+    g = (yy * 255 / 39).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(g, quality=90))
+    assert dec.shape == g.shape and dec.ndim == 2
+    assert _psnr(g, dec) > 45.0
+    # (h, w, 1) input behaves like grayscale
+    dec1 = jpeg_decode(jpeg_encode(g[:, :, None], quality=90))
+    np.testing.assert_array_equal(dec1, dec)
+
+
+def test_odd_dimensions_crop_exact():
+    for h, w in [(33, 21), (8, 8), (9, 16), (1, 1), (7, 3)]:
+        img = _smooth_image(h, w)
+        dec = jpeg_decode(jpeg_encode(img, quality=90, subsample=True))
+        assert dec.shape == (h, w, 3)
+
+
+def test_restart_markers_bit_identical():
+    img = _smooth_image()
+    plain = jpeg_decode(jpeg_encode(img, quality=85, subsample=True))
+    withrst = jpeg_decode(jpeg_encode(img, quality=85, subsample=True,
+                                      restart_interval=2))
+    np.testing.assert_array_equal(plain, withrst)
+
+
+def test_file_structure_markers():
+    enc = jpeg_encode(_smooth_image(16, 16), quality=80)
+    assert enc[:2] == b"\xFF\xD8" and enc[-2:] == b"\xFF\xD9"
+    assert b"JFIF\x00" in enc[:32]
+    assert bytes([0xFF, 0xC0]) in enc           # SOF0 = baseline
+    # SOF0 carries the true (unpadded) dimensions
+    i = enc.index(bytes([0xFF, 0xC0]))
+    h = int.from_bytes(enc[i + 5:i + 7], "big")
+    w = int.from_bytes(enc[i + 7:i + 9], "big")
+    assert (h, w) == (16, 16)
+
+
+def test_decoder_rejects_non_baseline_and_garbage():
+    with pytest.raises(JpegFormatError):
+        jpeg_decode(b"not a jpeg")
+    enc = bytearray(jpeg_encode(_smooth_image(16, 16)))
+    i = enc.index(bytes([0xFF, 0xC0]))
+    enc[i + 1] = 0xC2                            # masquerade as progressive
+    with pytest.raises(JpegFormatError):
+        jpeg_decode(bytes(enc))
+
+
+def test_subsampled_chroma_is_half_resolution():
+    # red/blue checkerboard at pixel scale: 4:2:0 must blur chroma while
+    # 4:4:4 keeps it — detectable via reconstruction error
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[::2, ::2, 0] = 255
+    img[1::2, 1::2, 2] = 255
+    e444 = _psnr(img, jpeg_decode(jpeg_encode(img, 95, subsample=False)))
+    e420 = _psnr(img, jpeg_decode(jpeg_encode(img, 95, subsample=True)))
+    assert e444 > e420 + 3.0
+
+
+def test_media_decoder_jpeg_features(ray_session):
+    media = rd.from_arrow(synthesize_media(36, seed=5, include_jpeg=True))
+    src = synthesize_media(36, seed=5, include_jpeg=True).to_pandas()
+    assert (src["media_type"] == "image/jpeg").any()
+    out = to_pandas(decode_features(media, feature_dim=8))
+    assert len(out) == 36
+    jp = out[out["media_type"] == "image/jpeg"]
+    feats = np.stack([np.asarray(v) for v in jp["feature"]])
+    assert np.isfinite(feats).all() and feats.std() > 0
+
+
+def test_resize_stage_reencodes_jpeg(ray_session):
+    media = rd.from_arrow(synthesize_media(24, seed=5, include_jpeg=True))
+    res = to_pandas(resize_images(media, 12, 10))
+    jp = res[res["media_type"] == "image/jpeg"]
+    assert len(jp) > 0
+    for p in jp["payload"]:
+        assert jpeg_decode(p).shape == (12, 10, 3)
+    assert (jp["meta_width"] == 10).all() and (jp["meta_height"] == 12).all()
+
+
+def test_jpeg_features_close_to_lossless_path():
+    """The feature vector of a JPEG-compressed image stays close to the
+    PPM (lossless) feature vector of the same pixels — decode is really
+    reading the image, not hallucinating."""
+    from saber_ray.stages.multimodal import ppm_encode
+    img = _smooth_image(32, 32)
+    dec = MediaDecoder(feature_dim=8)
+    f_ppm = dec._decode_one("image/ppm", ppm_encode(img))
+    f_jpg = dec._decode_one("image/jpeg", jpeg_encode(img, quality=90))
+    np.testing.assert_allclose(f_jpg, f_ppm, atol=0.02)

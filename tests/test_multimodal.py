@@ -38,7 +38,7 @@ def test_resize_nearest_shape_and_identity():
 def test_decode_stub_raises_for_compressed_formats():
     dec = MediaDecoder()
     with pytest.raises(NotImplementedError):
-        dec._decode_one("image/jpeg", b"xx")
+        dec._decode_one("audio/mp3", b"xx")
 
 
 def test_real_decode_features_deterministic(ray_session):
