@@ -32,8 +32,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_MERSENNE = (1 << 61) - 1
-
 
 def _col_np(t: pa.Table, name: str) -> np.ndarray:
     col = t[name]

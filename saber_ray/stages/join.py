@@ -54,9 +54,13 @@ def _group_codes(g: pa.Table, cols: Sequence[str]) -> np.ndarray:
     Arrow/numpy (no pandas MultiIndex staging of key columns through
     Python objects). Single key: one ``dictionary_encode``. Multi-key:
     per-column dictionary codes combined pairwise with an exact
-    ``code * (max+1) + next`` mix, re-densified by ``np.unique`` after
-    every step so magnitudes stay < block rows (no overflow for any key
-    count). Codes are equality labels only — numbering is arbitrary."""
+    ``code * base + (next + 1)`` mix (nulls carry code -1, so the +1
+    shift keeps the mix injective — 0 <= next+1 <= max+1 < base — for
+    any mixture of null and non-null tuples), re-densified by
+    ``np.unique`` after every step so magnitudes stay < block rows (no
+    overflow for any key count). A null key is one ordinary value per
+    column (('B', null) never collides with ('A', 'p')). Codes are
+    equality labels only — numbering is arbitrary."""
     def col_codes(c):
         a = g[c]
         a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
@@ -67,7 +71,7 @@ def _group_codes(g: pa.Table, cols: Sequence[str]) -> np.ndarray:
     codes = col_codes(cols[0])
     for c in cols[1:]:
         ci = col_codes(c)
-        comb = codes * (int(ci.max(initial=0)) + 1) + ci
+        comb = codes * (int(ci.max(initial=0)) + 2) + (ci + 1)
         _, codes = np.unique(comb, return_inverse=True)
         codes = codes.astype(np.int64)
     return codes

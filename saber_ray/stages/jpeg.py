@@ -33,6 +33,7 @@ features — never pixels — entering any shuffle.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -149,8 +150,12 @@ def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     return out[0], out[1]
 
 
-def _canonical_codes(bits: list, vals: list) -> dict:
-    """(BITS, HUFFVAL) → {symbol: (code, length)} per T.81 Annex C."""
+@lru_cache(maxsize=16)
+def _canonical_codes(bits: tuple, vals: tuple) -> dict:
+    """(BITS, HUFFVAL) → {symbol: (code, length)} per T.81 Annex C.
+
+    Memoized: the encoder only ever uses the four Annex K tables, so the
+    code dicts are built once per process instead of once per payload."""
     codes, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -269,13 +274,17 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
 
 
 def jpeg_encode(img: np.ndarray, quality: int = 85, *,
-                subsample: bool = True, restart_interval: int = 0) -> bytes:
+                subsample: bool = True, restart_interval: int = 0,
+                interleave: bool = True) -> bytes:
     """(h, w, 3) or (h, w) uint8 → baseline JFIF JPEG bytes.
 
     ``subsample=True`` uses 4:2:0 chroma (2×2 mean), else 4:4:4.
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that many MCUs (and exists mainly so the decoder's restart path has a
-    self-contained test fixture)."""
+    self-contained test fixture). ``interleave=False`` writes one
+    non-interleaved scan per component (legal baseline, produced e.g. by
+    libjpeg scan scripts) — the decoder must reproduce the interleaved
+    pixels exactly, since both orders carry the same coefficients."""
     img = np.asarray(img)
     gray = img.ndim == 2
     if not gray and img.shape[2] == 1:
@@ -325,31 +334,60 @@ def jpeg_encode(img: np.ndarray, quality: int = 85, *,
         comp_zz.append(_fdct_quant(plane, qt))
         comp_bw.append(need_w // 8)
 
-    dc_l = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
-    ac_l = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
-    dc_c = _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
-    ac_c = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    dc_l = _canonical_codes(tuple(_DC_LUMA_BITS), tuple(_DC_LUMA_VALS))
+    ac_l = _canonical_codes(tuple(_AC_LUMA_BITS), tuple(_AC_LUMA_VALS))
+    dc_c = _canonical_codes(tuple(_DC_CHROMA_BITS), tuple(_DC_CHROMA_VALS))
+    ac_c = _canonical_codes(tuple(_AC_CHROMA_BITS), tuple(_AC_CHROMA_VALS))
     huff = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
 
-    bw_ = _BitWriter()
-    preds = [0] * len(planes)
-    rst = 0
-    mcu_i = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                bw_.pad_to_byte()
-                bw_.buf += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                preds = [0] * len(planes)
-            for ci, (sh, sv) in enumerate(samp):
-                for by in range(sv):
-                    for bx in range(sh):
-                        bi = (my * sv + by) * comp_bw[ci] + (mx * sh + bx)
-                        preds[ci] = _encode_block(
-                            bw_, comp_zz[ci][bi], preds[ci], *huff[ci])
-            mcu_i += 1
-    bw_.pad_to_byte()
+    if interleave:
+        bw_ = _BitWriter()
+        preds = [0] * len(planes)
+        rst = 0
+        mcu_i = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_i and \
+                        mcu_i % restart_interval == 0:
+                    bw_.pad_to_byte()
+                    bw_.buf += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    preds = [0] * len(planes)
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            bi = (my * sv + by) * comp_bw[ci] \
+                                + (mx * sh + bx)
+                            preds[ci] = _encode_block(
+                                bw_, comp_zz[ci][bi], preds[ci], *huff[ci])
+                mcu_i += 1
+        bw_.pad_to_byte()
+        scan_payloads = [bytes(bw_.buf)]
+    else:
+        # non-interleaved: one scan per component; the data unit is ONE
+        # block and the scan covers only the component's own block grid
+        # (T.81 A.2.2) — restart_interval counts blocks here
+        scan_payloads = []
+        for ci, (sh, sv) in enumerate(samp):
+            cw = -(-w * sh // hmax)
+            chh = -(-h * sv // vmax)
+            cbw, cbh = -(-cw // 8), -(-chh // 8)
+            bw_ = _BitWriter()
+            pred, rst, u = 0, 0, 0
+            for by in range(cbh):
+                for bx in range(cbw):
+                    if restart_interval and u and \
+                            u % restart_interval == 0:
+                        bw_.pad_to_byte()
+                        bw_.buf += bytes([0xFF, 0xD0 + rst])
+                        rst = (rst + 1) % 8
+                        pred = 0
+                    bi = by * comp_bw[ci] + bx
+                    pred = _encode_block(bw_, comp_zz[ci][bi], pred,
+                                         *huff[ci])
+                    u += 1
+            bw_.pad_to_byte()
+            scan_payloads.append(bytes(bw_.buf))
 
     # --- assemble the file ---
     def seg(marker: int, body: bytes) -> bytes:
@@ -378,12 +416,18 @@ def jpeg_encode(img: np.ndarray, quality: int = 85, *,
                    + bytes(_AC_CHROMA_VALS))
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += bw_.buf
+    if interleave:
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
+        out += scan_payloads[0]
+    else:
+        for ci in range(ncomp):
+            sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11, 0, 63, 0])
+            out += seg(0xDA, sos)
+            out += scan_payloads[ci]
     out += b"\xFF\xD9"                               # EOI
     return bytes(out)
 
@@ -392,8 +436,14 @@ def jpeg_encode(img: np.ndarray, quality: int = 85, *,
 # decoder
 # ---------------------------------------------------------------------------
 
-def _decode_lut(bits: list, vals: list) -> tuple[np.ndarray, np.ndarray]:
-    """Canonical Huffman table → 16-bit-peek LUT: (symbol, code length)."""
+@lru_cache(maxsize=64)
+def _decode_lut(bits: bytes, vals: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical Huffman table → 16-bit-peek LUT: (symbol, code length).
+
+    Memoized on the raw (BITS, HUFFVAL) bytes: the LUT is a 65536-entry
+    prefix fill (~1.5 MB of allocation) that would otherwise be rebuilt
+    for every payload a decode actor sees, while in practice a corpus
+    reuses a handful of tables (the encoder only ever emits Annex K)."""
     sym = np.zeros(1 << 16, dtype=np.int16)
     ln = np.zeros(1 << 16, dtype=np.uint8)
     code, k = 0, 0
@@ -413,10 +463,15 @@ class _BitReader:
 
     def __init__(self, data: bytes):
         b = np.frombuffer(data, dtype=np.uint8).astype(np.uint32)
-        b = np.concatenate([b, np.zeros(4, dtype=np.uint32)])
+        # generous zero tail: a single block consumes < 4096 bits before
+        # the next block-start truncation check, so a mid-block overrun on
+        # a truncated stream stays in-bounds (reading zeros) instead of
+        # escaping as a raw numpy IndexError; the check then raises
+        # JpegFormatError at the next block boundary
+        b = np.concatenate([b, np.zeros(4 + 520, dtype=np.uint32)])
         self.words = (b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]
         self.pos = 0
-        self.limit = (len(b) - 4) * 8
+        self.limit = len(data) * 8
 
     def peek16(self) -> int:
         p = self.pos
@@ -436,13 +491,135 @@ class JpegFormatError(ValueError):
     pass
 
 
+def _entropy_segments(entropy: bytes) -> list[bytes]:
+    """Unstuff 0xFF00 and split the scan's entropy data at RSTn markers."""
+    raw = np.frombuffer(entropy, dtype=np.uint8)
+    ff = np.nonzero(raw == 0xFF)[0]
+    segments: list[bytes] = []
+    cur = bytearray()
+    last = 0
+    for i in ff:
+        if i + 1 >= len(raw):
+            break
+        nxt = raw[i + 1]
+        if nxt == 0x00:                              # stuffed FF
+            cur += raw[last:i + 1].tobytes()
+            last = i + 2
+        elif 0xD0 <= nxt <= 0xD7:                    # restart marker
+            cur += raw[last:i].tobytes()
+            segments.append(bytes(cur))
+            cur = bytearray()
+            last = i + 2
+    cur += raw[last:].tobytes()
+    segments.append(bytes(cur))
+    return segments
+
+
+def _decode_block(rd: "_BitReader", blk: np.ndarray, dlut: tuple,
+                  alut: tuple, pred: int) -> int:
+    """Huffman-decode one 8×8 data unit into ``blk`` (zigzag order);
+    returns the updated DC predictor."""
+    if rd.pos >= rd.limit:
+        raise JpegFormatError("entropy data truncated")
+    dsym, dlen = dlut
+    asym, alen = alut
+    pk = rd.peek16()
+    ssss = int(dsym[pk])
+    ll = int(dlen[pk])
+    if ll == 0:
+        raise JpegFormatError("bad DC Huffman code")
+    rd.pos += ll
+    if ssss > 11:                    # baseline DC categories are 0..11
+        raise JpegFormatError("bad DC magnitude category")
+    diff = _extend(rd.read(ssss), ssss) if ssss else 0
+    pred += diff
+    blk[0] = pred
+    k = 1
+    while k < 64:
+        pk = rd.peek16()
+        rs = int(asym[pk])
+        ll = int(alen[pk])
+        if ll == 0:
+            raise JpegFormatError("bad AC Huffman code")
+        rd.pos += ll
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:              # ZRL
+                k += 16
+                continue
+            break                    # EOB
+        k += r
+        if k > 63:
+            raise JpegFormatError("AC run past block end")
+        blk[k] = _extend(rd.read(s), s)
+        k += 1
+    return pred
+
+
+def _decode_scan(by_id: dict, luts: dict, smap: list, entropy: bytes,
+                 dri: int, mcus_x: int, mcus_y: int, fh: int, fw: int,
+                 hmax: int, vmax: int) -> None:
+    """Decode one SOS's entropy data into the component coefficient
+    stores. Multi-component scans are MCU-interleaved; a single-component
+    scan is non-interleaved per T.81 A.2.2 — its data unit is ONE block
+    and it covers only the component's own block grid (no padding to the
+    MCU boundary), so restart intervals count blocks there."""
+    order = []
+    for cs, td, ta in smap:
+        c = by_id.get(cs)
+        if c is None:
+            raise JpegFormatError(f"SOS references unknown component {cs}")
+        order.append((c, luts.get((0, td)), luts.get((1, ta))))
+        if order[-1][1] is None or order[-1][2] is None:
+            raise JpegFormatError("SOS references missing Huffman table")
+    segments = _entropy_segments(entropy)
+
+    interleaved = len(order) > 1
+    if interleaved:
+        units = mcus_x * mcus_y
+    else:
+        c0 = order[0][0]
+        cw = -(-fw * c0["h"] // hmax)                # component samples
+        ch = -(-fh * c0["v"] // vmax)
+        cbw, cbh = -(-cw // 8), -(-ch // 8)          # component blocks
+        units = cbw * cbh
+
+    seg_i = 0
+    rd = _BitReader(segments[0])
+    preds = {cid: 0 for cid in by_id}
+    for u in range(units):
+        if dri and u and u % dri == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise JpegFormatError("missing restart segment")
+            rd = _BitReader(segments[seg_i])
+            preds = {cid: 0 for cid in by_id}
+        if interleaved:
+            my, mx = divmod(u, mcus_x)
+            for c, dlut, alut in order:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = c["coef"][(my * c["v"] + by) * c["bw"]
+                                        + (mx * c["h"] + bx)]
+                        preds[c["id"]] = _decode_block(
+                            rd, blk, dlut, alut, preds[c["id"]])
+        else:
+            c, dlut, alut = order[0]
+            by, bx = divmod(u, cbw)
+            blk = c["coef"][by * c["bw"] + bx]
+            preds[c["id"]] = _decode_block(rd, blk, dlut, alut,
+                                           preds[c["id"]])
+
+
 def jpeg_decode(payload: bytes) -> np.ndarray:
     """Baseline JPEG bytes → (h, w) or (h, w, 3) uint8.
 
     Baseline sequential DCT only (SOF0); progressive / arithmetic /
     12-bit / lossless raise ``JpegFormatError``. Handles grayscale and
-    YCbCr with any 1/2 sampling factors, restart markers, and multi-table
-    DQT/DHT segments."""
+    YCbCr with any 1/2 sampling factors, restart markers, multi-table
+    DQT/DHT segments, and both interleaved and non-interleaved
+    (one-component-per-scan) baseline scans. Truncated or corrupt
+    entropy data raises ``JpegFormatError`` (never a raw numpy error)."""
     data = payload
     if data[:2] != b"\xFF\xD8":
         raise JpegFormatError("not a JPEG payload (no SOI)")
@@ -451,7 +628,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     luts: dict[tuple, tuple] = {}
     frame = None
     dri = 0
-    scan = None
+    scans: list[tuple[list, bytes, int]] = []
     n = len(data)
     while pos + 2 <= n:
         if data[pos] != 0xFF:
@@ -466,6 +643,8 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             raise JpegFormatError("truncated segment header")
         (L,) = struct.unpack(">H", data[pos:pos + 2])
         body = data[pos + 2:pos + L]
+        if len(body) != L - 2:
+            raise JpegFormatError("truncated segment body")
         pos += L
         if m == 0xDB:                                # DQT
             i = 0
@@ -480,9 +659,9 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             i = 0
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0x0F
-                bits = list(body[i + 1:i + 17])
+                bits = bytes(body[i + 1:i + 17])
                 nv = sum(bits)
-                vals = list(body[i + 17:i + 17 + nv])
+                vals = bytes(body[i + 17:i + 17 + nv])
                 luts[(tc, th)] = _decode_lut(bits, vals)
                 i += 17 + nv
         elif m == 0xC0 or m == 0xC1:                 # SOF0/1 (baseline)
@@ -507,42 +686,23 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
                 smap.append((cs, tt >> 4, tt & 0x0F))
-            # entropy data runs until a non-RST, non-stuffed marker
+            # entropy data runs until a non-RST, non-stuffed marker; a
+            # stream that simply ENDS (EOI stripped / trailing lone byte)
+            # keeps its final byte — `p + 1 < n` as the loop bound would
+            # silently drop it and corrupt the last blocks
             start = pos
             p = pos
-            while p + 1 < n:
-                if data[p] == 0xFF and data[p + 1] != 0x00 and \
-                        not (0xD0 <= data[p + 1] <= 0xD7):
+            while p < n:
+                if (data[p] == 0xFF and p + 1 < n and data[p + 1] != 0x00
+                        and not (0xD0 <= data[p + 1] <= 0xD7)):
                     break
                 p += 1
-            scan = (smap, data[start:p])
+            scans.append((smap, data[start:p], dri))
             pos = p
         # other segments (APPn, COM) are skipped
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise JpegFormatError("missing SOF/SOS")
     fh, fw, comps = frame
-    smap, entropy = scan
-
-    # unstuff + split into restart segments
-    raw = np.frombuffer(entropy, dtype=np.uint8)
-    ff = np.nonzero(raw == 0xFF)[0]
-    segments: list[bytes] = []
-    cur = bytearray()
-    last = 0
-    for i in ff:
-        if i + 1 >= len(raw):
-            break
-        nxt = raw[i + 1]
-        if nxt == 0x00:                              # stuffed FF
-            cur += raw[last:i + 1].tobytes()
-            last = i + 2
-        elif 0xD0 <= nxt <= 0xD7:                    # restart marker
-            cur += raw[last:i].tobytes()
-            segments.append(bytes(cur))
-            cur = bytearray()
-            last = i + 2
-    cur += raw[last:].tobytes()
-    segments.append(bytes(cur))
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -554,61 +714,13 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         c["bh"] = mcus_y * c["v"]
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
     by_id = {c["id"]: c for c in comps}
-    order = []
-    for cs, td, ta in smap:
-        c = by_id.get(cs)
-        if c is None:
-            raise JpegFormatError(f"SOS references unknown component {cs}")
-        order.append((c, luts.get((0, td)), luts.get((1, ta))))
-        if order[-1][1] is None or order[-1][2] is None:
-            raise JpegFormatError("SOS references missing Huffman table")
 
-    seg_i = 0
-    rd = _BitReader(segments[0])
-    preds = {c["id"]: 0 for c in comps}
-    for mcu in range(mcus_x * mcus_y):
-        if dri and mcu and mcu % dri == 0:
-            seg_i += 1
-            if seg_i >= len(segments):
-                raise JpegFormatError("missing restart segment")
-            rd = _BitReader(segments[seg_i])
-            preds = {c["id"]: 0 for c in comps}
-        my, mx = divmod(mcu, mcus_x)
-        for c, (dsym, dlen), (asym, alen) in order:
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    if rd.pos >= rd.limit:
-                        raise JpegFormatError("entropy data truncated")
-                    blk = c["coef"][(my * c["v"] + by) * c["bw"]
-                                    + (mx * c["h"] + bx)]
-                    pk = rd.peek16()
-                    ssss = int(dsym[pk])
-                    ll = int(dlen[pk])
-                    if ll == 0:
-                        raise JpegFormatError("bad DC Huffman code")
-                    rd.pos += ll
-                    diff = _extend(rd.read(ssss), ssss) if ssss else 0
-                    preds[c["id"]] += diff
-                    blk[0] = preds[c["id"]]
-                    k = 1
-                    while k < 64:
-                        pk = rd.peek16()
-                        rs = int(asym[pk])
-                        ll = int(alen[pk])
-                        if ll == 0:
-                            raise JpegFormatError("bad AC Huffman code")
-                        rd.pos += ll
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:              # ZRL
-                                k += 16
-                                continue
-                            break                    # EOB
-                        k += r
-                        if k > 63:
-                            raise JpegFormatError("AC run past block end")
-                        blk[k] = _extend(rd.read(s), s)
-                        k += 1
+    # a baseline stream may carry several scans (non-interleaved: one
+    # component each) — decode every one into the shared coefficient
+    # stores, each with the DRI in force at its SOS
+    for smap, entropy, sdri in scans:
+        _decode_scan(by_id, luts, smap, entropy, sdri,
+                     mcus_x, mcus_y, fh, fw, hmax, vmax)
 
     # dequant + inverse zigzag + IDCT per component (vectorized)
     planes = []

@@ -484,3 +484,21 @@ def test_merge_join_empty_both_sides_no_right_cols(ray_session):
                                         how=how))) == 0
     with pytest.raises(ValueError, match="prefilter"):
         merge_join(empty, empty, on="k", how="left_outer", prefilter=True)
+
+
+def test_group_codes_null_keys_stay_distinct():
+    """Regression: mixing the null code -1 into code*(max+1)+ci made
+    ('A','p') and ('B',null) share group code 0. Null is one ordinary
+    value per column — distinct tuples must get distinct codes."""
+    import pyarrow as pa
+
+    from saber_ray.stages.join import _group_codes
+    t = pa.table({"a": ["A", "B"], "b": ["p", None]})
+    c = _group_codes(t, ["a", "b"])
+    assert c[0] != c[1]
+    t2 = pa.table({"a": ["A", "B", "A", "B"], "b": ["p", None, "p", None]})
+    c2 = _group_codes(t2, ["a", "b"])
+    assert c2[0] == c2[2] and c2[1] == c2[3] and c2[0] != c2[1]
+    t3 = pa.table({"a": ["A", "A", None], "b": [None, "x", "x"],
+                   "c": [1, None, 1]})
+    assert len(set(_group_codes(t3, ["a", "b", "c"]).tolist())) == 3

@@ -137,3 +137,53 @@ def test_jpeg_features_close_to_lossless_path():
     f_ppm = dec._decode_one("image/ppm", ppm_encode(img))
     f_jpg = dec._decode_one("image/jpeg", jpeg_encode(img, quality=90))
     np.testing.assert_allclose(f_jpg, f_ppm, atol=0.02)
+
+
+def test_non_interleaved_scans_decode_identically():
+    """A legal baseline file with one scan per component (non-interleaved,
+    T.81 A.2.2 — e.g. libjpeg scan scripts) carries the same coefficients
+    as the interleaved encoding, so the decoder must produce identical
+    pixels. Regression: the decoder used to keep only the LAST scan and
+    decode it with interleaved full-MCU geometry (silent corruption)."""
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (45, 62, 3)).astype(np.uint8)
+    for sub in (True, False):
+        b_i = jpeg_encode(img, quality=90, subsample=sub)
+        b_n = jpeg_encode(img, quality=90, subsample=sub, interleave=False)
+        assert np.array_equal(jpeg_decode(b_i), jpeg_decode(b_n))
+    # grayscale single-component scan goes through the same path
+    g = img[:, :, 0]
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode(g, quality=90, interleave=False)),
+        jpeg_decode(jpeg_encode(g, quality=90)))
+
+
+def test_non_interleaved_restart_markers():
+    """In a non-interleaved scan the restart interval counts BLOCKS."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (33, 41, 3)).astype(np.uint8)
+    b_nr = jpeg_encode(img, quality=90, restart_interval=3,
+                       interleave=False)
+    assert np.array_equal(jpeg_decode(b_nr),
+                          jpeg_decode(jpeg_encode(img, quality=90)))
+
+
+def test_truncated_entropy_raises_format_error():
+    """Corrupt/short entropy data must surface as JpegFormatError, never a
+    raw numpy IndexError escaping from the bit reader."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+    b = jpeg_encode(img, quality=80)
+    for frac in (0.3, 0.5, 0.7, 0.9):
+        with pytest.raises(JpegFormatError):
+            jpeg_decode(b[:int(len(b) * frac)])
+
+
+def test_missing_eoi_keeps_last_entropy_byte():
+    """EOI-stripped payloads (a truncation most decoders tolerate) decode
+    to the SAME pixels — the scan-end search must not drop the final
+    entropy byte when no terminating marker follows."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (37, 29, 3)).astype(np.uint8)
+    b = jpeg_encode(img, quality=80)
+    assert np.array_equal(jpeg_decode(b[:-2]), jpeg_decode(b))
