@@ -32,6 +32,9 @@ Environment:
                       throughput over the real sf tables
   --dedup             near-dup family throughput (minhash signatures,
                       LSH candidate pairs, LSH clusters, simhash)
+  --multimodal        codec throughput: decode+feature / resize / log-mel
+                      over a PPM+PNG+JPEG+WAV+raw-video corpus
+                      (SABER_BENCH_MEDIA overrides the item count)
   --streaming         sustained micro-batch load on the streaming engines:
                       >= 20 epochs each of windowed aggregate + band join
                       + CEP + quantile view, sustained rows/s + p50/p95
@@ -896,6 +899,90 @@ def run_dedup() -> dict:
     }
 
 
+def run_multimodal() -> dict:
+    """--multimodal: codec / actor-pool throughput over a mixed
+    PPM + PNG + JPEG + WAV + raw-video corpus. The corpus is synthesized
+    IN PARALLEL (map_batches over seed shards — JPEG/PNG encoding is
+    itself real compute) and materialized first, so the timings isolate
+    the decode paths: full decode→feature actor pool (items/s and
+    payload MB/s), image resize+re-encode, and log-mel over the WAV
+    subset. Payloads are sized up vs the test fixtures (64-160 px
+    images) so decode work dominates per-item overhead."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.multimodal import (decode_features,
+                                             mel_spectrogram, resize_images)
+
+    n_items = int(os.environ.get("SABER_BENCH_MEDIA", "8000"))
+    shard = 100
+    n_shards = max(1, n_items // shard)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        from saber_ray.stages.multimodal import synthesize_media
+        out = []
+        for s in batch["seed"].to_pylist():
+            t = synthesize_media(shard, seed=1000 + s, include_png=True,
+                                 include_jpeg=True, img_px=(64, 160),
+                                 wav_samples=(4000, 32000))
+            # re-key media_id so ids stay globally unique across shards
+            t = t.set_column(0, "media_id",
+                             pa.array(t["media_id"].to_numpy() + s * shard,
+                                      type=pa.int64()))
+            out.append(t)
+        return pa.concat_tables(out)
+
+    media = rd.from_arrow(pa.table({"seed": list(range(n_shards))})) \
+        .repartition(n_shards) \
+        .map_batches(synth, batch_size=1, batch_format="pyarrow") \
+        .materialize()
+    n_total = media.count()
+    total_bytes = media.map_batches(
+        lambda t: pa.table({"b": [sum(len(p) for p in
+                                      t["payload"].to_pylist())]}),
+        batch_format="pyarrow").sum("b")
+
+    times, rows = {}, {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        rows[name] = fn()
+        times[name] = round(time.monotonic() - t0, 3)
+
+    timed("decode_features",
+          lambda: decode_features(media, feature_dim=16).count())
+    images = media.filter(
+        lambda r: r["media_type"].startswith("image/")).materialize()
+    n_images = images.count()
+    timed("resize_images", lambda: resize_images(images, 64, 64).count())
+    audio = media.filter(
+        lambda r: r["media_type"] == "audio/wav").materialize()
+    n_audio = audio.count()
+    timed("mel_spectrogram", lambda: mel_spectrogram(audio).count())
+    ray.shutdown()
+    return {
+        "metric": "multimodal codec wall time (decode+feature, resize "
+                  "re-encode, log-mel) over synthesized media",
+        "value": round(sum(times.values()), 3), "unit": "sec",
+        "ops_sec": times, "rows_out": rows,
+        "n_items": n_total, "n_images": n_images, "n_audio": n_audio,
+        "payload_mb": round(total_bytes / 1e6, 1),
+        "items_per_sec": {
+            "decode_features": int(n_total / times["decode_features"]),
+            "resize_images": int(n_images / times["resize_images"]),
+            "mel_spectrogram": int(n_audio / times["mel_spectrogram"]),
+        },
+        "decode_mb_per_sec": round(
+            total_bytes / 1e6 / times["decode_features"], 1),
+        "sf": SF_DIR, "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         result = run_scaling()
@@ -913,6 +1000,8 @@ if __name__ == "__main__":
         result = run_graph()
     elif "--dedup" in sys.argv:
         result = run_dedup()
+    elif "--multimodal" in sys.argv:
+        result = run_multimodal()
     else:
         result = run_suite()
     print(json.dumps(result))

@@ -245,7 +245,7 @@ class _BpeEncoder:
 
 def bpe_encode(ds, model, *, text_col: str = "text",
                id_col: str = "doc_id", lowercase: bool = False,
-               emit_tokens: bool = False, concurrency=(1, 8),
+               emit_tokens: bool = False, concurrency=(1, 32),
                batch_size: int = 2048):
     """Encode every document with a trained BPE model (``train_bpe``
     output or a ``ray.put`` ref of it). Output: id_col, ``n_bpe_tokens``,

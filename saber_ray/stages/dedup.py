@@ -675,7 +675,7 @@ class SimHasher:
                                     names=[self.id_col, "simhash"])
 
 
-def simhash(ds, *, text_col="text", id_col="doc_id", concurrency=(1, 4)):
+def simhash(ds, *, text_col="text", id_col="doc_id", concurrency=(1, 32)):
     return ds.map_batches(SimHasher, batch_format="pyarrow",
                           zero_copy_batch=True,
                           concurrency=concurrency, num_cpus=0.5,

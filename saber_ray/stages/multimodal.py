@@ -332,7 +332,7 @@ class MediaDecoder:
 
 def decode_features(media_ds, *, feature_dim: int = 16,
                     deterministic_fake: bool = False,
-                    batch_size: int = 64, concurrency=(1, 4)):
+                    batch_size: int = 64, concurrency=(1, 32)):
     """payload → feature vectors. Small batch_size: batches are sized by
     payload bytes, not row count."""
     return media_ds.map_batches(
@@ -376,7 +376,7 @@ class ImageResizer:
 
 
 def resize_images(media_ds, out_h: int, out_w: int, *, batch_size: int = 32,
-                  concurrency=(1, 4)):
+                  concurrency=(1, 32)):
     return media_ds.map_batches(
         ImageResizer, batch_format="pandas", batch_size=batch_size,
         concurrency=concurrency, num_cpus=0.5,
@@ -419,10 +419,15 @@ def frame_sample(media_ds, *, every_n: int = 10, batch_size: int = 16,
 
 def synthesize_media(n: int = 64, seed: int = 42, *,
                      include_png: bool = False,
-                     include_jpeg: bool = False) -> pa.Table:
+                     include_jpeg: bool = False,
+                     img_px: tuple = (8, 48),
+                     wav_samples: tuple = (200, 2000)) -> pa.Table:
     """Deterministic media table with REAL payloads (PPM / WAV / RAWV,
     plus PNG / JPEG when ``include_png`` / ``include_jpeg`` — kept opt-in
-    so existing fixtures' type mix is unchanged)."""
+    so existing fixtures' type mix is unchanged). ``img_px`` /
+    ``wav_samples`` size the payloads (defaults keep every existing
+    fixture bit-identical; the bench passes bigger ranges so decode work
+    dominates per-item overhead)."""
     from saber_ray.stages.jpeg import jpeg_encode
     rng = np.random.default_rng(seed)
     kinds = ["image/ppm", "audio/wav", "video/raw"] + \
@@ -432,7 +437,8 @@ def synthesize_media(n: int = 64, seed: int = 42, *,
     rows = {k: [] for k in ("payload", "w", "h", "sr", "nf")}
     for t in types:
         if t in ("image/ppm", "image/png", "image/jpeg"):
-            h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            h = int(rng.integers(img_px[0], img_px[1]))
+            w = int(rng.integers(img_px[0], img_px[1]))
             yy, xx = np.mgrid[0:h, 0:w]
             img = np.stack([(yy * 255 // max(1, h - 1)),
                             (xx * 255 // max(1, w - 1)),
@@ -445,7 +451,7 @@ def synthesize_media(n: int = 64, seed: int = 42, *,
             rows["sr"].append(0); rows["nf"].append(0)
         elif t == "audio/wav":
             sr = 16000
-            dur = int(rng.integers(200, 2000))
+            dur = int(rng.integers(wav_samples[0], wav_samples[1]))
             tgrid = np.arange(dur) / sr
             freq = float(rng.uniform(100, 3000))
             x = (np.sin(2 * np.pi * freq * tgrid) * 12000
@@ -557,7 +563,7 @@ class MelSpectrogram:
 
 def mel_spectrogram(media_ds, *, n_fft: int = 512, hop: int = 256,
                     n_mels: int = 40, batch_size: int = 32,
-                    concurrency=(1, 4)):
+                    concurrency=(1, 32)):
     """WAV rows → pooled log-mel features (2*n_mels list<double>) +
     n_frames. Filter to audio/wav upstream; batch small (payload-sized
     rows)."""
