@@ -187,3 +187,72 @@ def test_missing_eoi_keeps_last_entropy_byte():
     img = rng.integers(0, 256, (37, 29, 3)).astype(np.uint8)
     b = jpeg_encode(img, quality=80)
     assert np.array_equal(jpeg_decode(b[:-2]), jpeg_decode(b))
+
+
+# ---------------------------------------------------------------------------
+# property tests: the codec must hold its contracts for ARBITRARY images —
+# any shape (incl. 1-px edges and odd dims), any content, gray or color,
+# any quality, interleaved or not, with or without restart markers
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@st.composite
+def _images(draw):
+    h = draw(st.integers(min_value=1, max_value=40))
+    w = draw(st.integers(min_value=1, max_value=40))
+    gray = draw(st.booleans())
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    # mix smooth gradients with noise so both DC- and AC-heavy blocks occur
+    base = np.linspace(0, 255, h * w).reshape(h, w)
+    if not gray:
+        base = np.stack([base, base[::-1], base.T[:w, :h].T
+                         if False else base], axis=2)
+    noise_amp = draw(st.integers(min_value=0, max_value=128))
+    img = np.clip(base.reshape(shape[:2] + ((3,) if not gray else ()))
+                  + rng.integers(-noise_amp, noise_amp + 1, shape),
+                  0, 255).astype(np.uint8)
+    return img
+
+
+@settings(max_examples=40, deadline=None)
+@given(img=_images(),
+       quality=st.integers(min_value=30, max_value=95),
+       subsample=st.booleans(),
+       interleave=st.booleans(),
+       dri=st.sampled_from([0, 1, 3]))
+def test_jpeg_roundtrip_properties(img, quality, subsample, interleave, dri):
+    """Encode/decode holds for arbitrary shapes, content, and encoder
+    options: shape preserved, decode deterministic, byte-stream
+    deterministic, and reconstruction error bounded (RMSE over a
+    lossy codec at quality>=30 stays far from random noise)."""
+    b = jpeg_encode(img, quality=quality, subsample=subsample,
+                    interleave=interleave, restart_interval=dri)
+    assert b[:2] == b"\xFF\xD8" and b[-2:] == b"\xFF\xD9"
+    dec = jpeg_decode(b)
+    exp_shape = img.shape if img.ndim == 3 else img.shape[:2]
+    assert dec.shape == exp_shape
+    # determinism: same input -> same bytes -> same pixels
+    assert jpeg_encode(img, quality=quality, subsample=subsample,
+                       interleave=interleave, restart_interval=dri) == b
+    assert np.array_equal(jpeg_decode(b), dec)
+    # bounded loss: even full-range noise at quality 30 + 4:2:0 stays
+    # near RMSE ~50; unrelated pixels would sit near ~104. The loose 70
+    # bound catches geometry bugs that scramble blocks without crashing
+    # while never flaking on legitimately noisy low-quality cases
+    rmse = float(np.sqrt(np.mean(
+        (dec.astype(np.float64) - img.astype(np.float64)) ** 2)))
+    assert rmse < 70.0, rmse
+
+
+@settings(max_examples=25, deadline=None)
+@given(img=_images(), quality=st.integers(min_value=50, max_value=95))
+def test_jpeg_scan_order_is_pixel_invariant(img, quality):
+    """Interleaved and non-interleaved encodings carry the same
+    coefficients, so decoded pixels must be IDENTICAL for any image."""
+    a = jpeg_decode(jpeg_encode(img, quality=quality))
+    b = jpeg_decode(jpeg_encode(img, quality=quality, interleave=False))
+    assert np.array_equal(a, b)
