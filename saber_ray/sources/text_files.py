@@ -26,6 +26,15 @@ owns every line whose FIRST byte lies in ``[start, end)`` (a line starts at
 offset 0 or right after a newline — the classic distributed text-split
 rule), so a line straddling a boundary is read exactly once, by the
 fragment it starts in. Tasks seek; they never read the whole file.
+
+Gzip (``*.csv.gz`` / ``*.jsonl.gz``, the standard delivery format for
+sharded web corpora): gzip members are not byte-seekable, so the FILE is
+the split unit — parallelism comes from the shard count, each task
+decompresses its whole shard (files should be shard-sized; one giant .gz
+is a data-layout problem no reader can split). Multi-member (concatenated)
+gzip decodes transparently. Everything else — ordering, ordinal contract,
+column pruning, header handling — is identical to the plain path, and
+plain and .gz shards may be mixed in one directory.
 """
 
 from __future__ import annotations
@@ -46,9 +55,18 @@ _TARGET_BYTES = 32 << 20
 
 def _text_files(path: str, ext: str) -> list[str]:
     if os.path.isdir(path):
-        return sorted(glob.glob(os.path.join(path, "**", f"*{ext}"),
-                                recursive=True))
+        plain = glob.glob(os.path.join(path, "**", f"*{ext}"),
+                          recursive=True)
+        gz = glob.glob(os.path.join(path, "**", f"*{ext}.gz"),
+                       recursive=True)
+        return sorted(plain + gz)
     return [path]
+
+
+def _gz_first_line(f: str) -> bytes:
+    import gzip
+    with gzip.open(f, "rb") as fh:
+        return fh.readline()
 
 
 def _plan_fragments(files: Sequence[str], target_bytes: int,
@@ -60,6 +78,25 @@ def _plan_fragments(files: Sequence[str], target_bytes: int,
     frags = []
     for f in files:
         size = os.path.getsize(f)
+        if f.endswith(".gz"):
+            # gzip members are not byte-seekable: the file IS the split
+            # unit (parallelism across shard files — the standard layout
+            # for compressed web corpora; one giant .gz is a data-layout
+            # smell this reader cannot fix). The task decompresses the
+            # whole shard, so files should be shard-sized.
+            if skip_header:
+                line = _gz_first_line(f)
+                h = line.decode("utf-8").rstrip("\r\n")
+                if header is None:
+                    header = h
+                elif header != h:
+                    raise ValueError(f"CSV header mismatch in {f}")
+                if size == 0:
+                    continue
+            frags.append({"file": f, "start": 0, "end": int(size),
+                          "fstart": 0, "gz": True,
+                          "skip_hdr": bool(skip_header)})
+            continue
         first = 0
         if skip_header:
             with open(f, "rb") as fh:
@@ -78,12 +115,23 @@ def _plan_fragments(files: Sequence[str], target_bytes: int,
             if bounds[i + 1] > bounds[i]:
                 frags.append({"file": f, "start": int(bounds[i]),
                               "end": int(bounds[i + 1]),
-                              "fstart": first})
+                              "fstart": first,
+                              "gz": False, "skip_hdr": False})
     return frags, header
 
 
 def _owned_bytes(frag: dict) -> bytes:
-    """All complete lines that START in [start, end) — see module doc."""
+    """All complete lines that START in [start, end) — see module doc.
+    A gzip fragment owns its whole (decompressed) file, minus the header
+    line for CSV."""
+    if frag.get("gz"):
+        import gzip
+        with gzip.open(frag["file"], "rb") as fh:
+            buf = fh.read()
+        if frag.get("skip_hdr"):
+            nl = buf.find(b"\n")
+            buf = buf[nl + 1:] if nl >= 0 else b""
+        return buf
     start, end = frag["start"], frag["end"]
     with open(frag["file"], "rb") as fh:
         if start > frag["fstart"]:
@@ -181,7 +229,7 @@ def _read_text(path: str, fmt: str, *, columns=None, column_types=None,
     ext = ".csv" if fmt == "csv" else ".jsonl"
     files = _text_files(path, ext)
     if not files:
-        raise FileNotFoundError(f"no {ext} files under {path}")
+        raise FileNotFoundError(f"no {ext}[.gz] files under {path}")
     frags, header = _plan_fragments(files, target_bytes, fmt == "csv")
     if not frags:
         raise ValueError(f"only empty {ext} files under {path}")

@@ -103,3 +103,68 @@ def test_jsonl_pruning_and_ordinal(ray_session, events_twins):
     assert (got["__ord"].to_numpy() == np.arange(t.num_rows)).all()
     assert (got["event_id"].to_numpy()
             == t["event_id"].to_numpy()).all()
+
+
+@pytest.fixture(scope="module")
+def gz_twins(tmp_path_factory, sf_dir):
+    """Gzipped CSV/JSONL shards of the events table: 3 .gz shards plus one
+    PLAIN shard mixed into the same directory (per the reader contract),
+    one gz shard written as concatenated members (multi-member gzip)."""
+    import gzip
+    root = tmp_path_factory.mktemp("text_src_gz")
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                     t["ts"].cast(pa.int64()))
+    q = t.num_rows // 4
+    parts = [t.slice(0, q), t.slice(q, q), t.slice(2 * q, q),
+             t.slice(3 * q)]
+    import io as _io
+    for i, part in enumerate(parts):
+        sink = _io.BytesIO()
+        pacsv.write_csv(part, sink)
+        csv_bytes = sink.getvalue()
+        jl = "".join(json.dumps(r) + "\n" for r in part.to_pylist()) \
+            .encode()
+        if i == 3:                       # plain shard mixed in
+            (root / f"ev{i}.csv").write_bytes(csv_bytes)
+            (root / f"ev{i}.jsonl").write_bytes(jl)
+        elif i == 2:                     # multi-member gzip: one logical
+            # shard stored as two concatenated members (header only in
+            # the first — it is one csv stream, just compressed in parts)
+            half = len(jl) // 2
+            cut = jl.rfind(b"\n", 0, half) + 1
+            (root / f"ev{i}.jsonl.gz").write_bytes(
+                gzip.compress(jl[:cut]) + gzip.compress(jl[cut:]))
+            chalf = csv_bytes.find(b"\n", len(csv_bytes) // 2) + 1
+            (root / f"ev{i}.csv.gz").write_bytes(
+                gzip.compress(csv_bytes[:chalf])
+                + gzip.compress(csv_bytes[chalf:]))
+        else:
+            (root / f"ev{i}.csv.gz").write_bytes(gzip.compress(csv_bytes))
+            (root / f"ev{i}.jsonl.gz").write_bytes(gzip.compress(jl))
+    return str(root), t
+
+
+def test_gz_csv_roundtrip_mixed_shards(ray_session, gz_twins):
+    """.csv.gz shards (incl. one multi-member) + a plain .csv in one dir:
+    values and global line order match the source table exactly."""
+    root, t = gz_twins
+    got = to_pandas(read_csv(root, column_types=CTYPES,
+                             with_global_ordinal=True))
+    want = t.to_pandas()
+    got = _sorted_by(got, "__ord")
+    assert (got["__ord"].to_numpy() == np.arange(t.num_rows)).all()
+    assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+    pd.testing.assert_frame_equal(
+        got[list(want.columns)], want, check_dtype=False)
+
+
+def test_gz_jsonl_roundtrip_and_pruning(ray_session, gz_twins):
+    root, t = gz_twins
+    got = to_pandas(read_jsonl(root, columns=["event_id"],
+                               with_global_ordinal=True))
+    assert list(got.columns) == ["event_id", "__ord"]
+    got = _sorted_by(got, "__ord")
+    assert (got["__ord"].to_numpy() == np.arange(t.num_rows)).all()
+    assert (got["event_id"].to_numpy()
+            == t["event_id"].to_numpy()).all()
