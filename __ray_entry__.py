@@ -2041,17 +2041,18 @@ def _q_mel_spectrogram(sf):
 
 def _q_multimodal_features(sf):
     """Multimodal pipeline with REAL codecs: synthesized PPM + PNG + JPEG
-    images / WAV audio / raw-video payloads → actor-pool decode
-    (numpy/stdlib kernels: zlib PNG codec, baseline-JPEG decoder in
-    stages/jpeg.py, stages/multimodal.py) → feature summary. Rows-only
-    check: features are content-derived and deterministic across
-    runs/actors. MP3/MP4 stay honestly stubbed — no codec libs in this
-    container."""
+    + animated-GIF images / WAV audio / raw-video payloads → actor-pool
+    decode (numpy/stdlib kernels: zlib PNG codec, baseline-JPEG decoder
+    in stages/jpeg.py, LZW GIF codec in stages/gif.py,
+    stages/multimodal.py) → feature summary. Rows-only check: features
+    are content-derived and deterministic across runs/actors. MP3/MP4
+    stay honestly stubbed — no codec libs in this container."""
     import pyarrow as pa
     import ray.data as rd
     from saber_ray.stages.multimodal import decode_features, synthesize_media
     media = rd.from_arrow(synthesize_media(n=96, seed=7, include_png=True,
-                                           include_jpeg=True))
+                                           include_jpeg=True,
+                                           include_gif=True))
     feats = decode_features(media, feature_dim=8)
 
     def summarize(df):

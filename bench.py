@@ -928,7 +928,8 @@ def run_multimodal() -> dict:
         out = []
         for s in batch["seed"].to_pylist():
             t = synthesize_media(shard, seed=1000 + s, include_png=True,
-                                 include_jpeg=True, img_px=(64, 160),
+                                 include_jpeg=True, include_gif=True,
+                                 img_px=(64, 160),
                                  wav_samples=(4000, 32000))
             # re-key media_id so ids stay globally unique across shards
             t = t.set_column(0, "media_id",

@@ -18,6 +18,11 @@ implemented here — they need only numpy / the Python stdlib:
   sampling factors, restart markers) and a standards-compliant JFIF
   encoder (Annex K tables, 4:2:0 or 4:4:4, quality scaling) — numpy +
   stdlib only.
+- ``image/gif`` — REAL GIF87a/89a codec (``stages/gif.py``): LZW decode,
+  global/local palettes, interlace, animation frames with transparency +
+  disposal compositing; exact-palette LZW encoder. A decoded GIF is
+  ``(n_frames, h, w, 3)`` — animations flow through the video stages
+  (``frame_sample``) as well as the image ones.
 
 Audio/video compressed formats (MP3/MP4/...) genuinely require codec
 libraries this container lacks; for those ``MediaDecoder`` raises
@@ -312,6 +317,10 @@ class MediaDecoder:
             frames = rawvideo_decode(payload)
             # mean over frames of per-frame image features
             return np.mean([_image_features(f, d) for f in frames], axis=0)
+        if media_type == "image/gif":
+            from saber_ray.stages.gif import gif_decode
+            frames = gif_decode(payload)     # (n, h, w, 3): animation-aware
+            return np.mean([_image_features(f, d) for f in frames], axis=0)
         if not self.fake:
             raise NotImplementedError(
                 f"no codec for {media_type!r} in this environment "
@@ -362,12 +371,20 @@ class ImageResizer:
             elif t == "image/jpeg":
                 out.append(jpeg_encode(resize_nearest(
                     _as_rgb(jpeg_decode(p)), self.out_h, self.out_w)))
+            elif t == "image/gif":
+                from saber_ray.stages.gif import gif_decode, gif_encode
+                # nearest-neighbor SELECTS source pixels, so the palette
+                # only shrinks — re-encode can never exceed 256 colors
+                frames = gif_decode(p)
+                out.append(gif_encode(np.stack(
+                    [resize_nearest(f, self.out_h, self.out_w)
+                     for f in frames])))
             else:
                 out.append(p)
         res = df.copy()
         res["payload"] = out
         is_img = df["media_type"].isin(["image/ppm", "image/png",
-                                        "image/jpeg"])
+                                        "image/jpeg", "image/gif"])
         res["meta_width"] = np.where(is_img, self.out_w,
                                      df["meta_width"]).astype("int32")
         res["meta_height"] = np.where(is_img, self.out_h,
@@ -410,6 +427,11 @@ def frame_sample(media_ds, *, every_n: int = 10, batch_size: int = 16,
                     if o not in cache:
                         cache[o] = rawvideo_decode(payloads[o])
                     frames.append(ppm_encode(cache[o][fi]))
+                elif types[o] == "image/gif":
+                    if o not in cache:
+                        from saber_ray.stages.gif import gif_decode
+                        cache[o] = gif_decode(payloads[o])
+                    frames.append(ppm_encode(cache[o][fi]))
                 else:
                     frames.append(None)
             out["frame_ppm"] = frames
@@ -420,19 +442,21 @@ def frame_sample(media_ds, *, every_n: int = 10, batch_size: int = 16,
 def synthesize_media(n: int = 64, seed: int = 42, *,
                      include_png: bool = False,
                      include_jpeg: bool = False,
+                     include_gif: bool = False,
                      img_px: tuple = (8, 48),
                      wav_samples: tuple = (200, 2000)) -> pa.Table:
     """Deterministic media table with REAL payloads (PPM / WAV / RAWV,
-    plus PNG / JPEG when ``include_png`` / ``include_jpeg`` — kept opt-in
-    so existing fixtures' type mix is unchanged). ``img_px`` /
-    ``wav_samples`` size the payloads (defaults keep every existing
-    fixture bit-identical; the bench passes bigger ranges so decode work
-    dominates per-item overhead)."""
+    plus PNG / JPEG / animated GIF when ``include_png`` / ``include_jpeg``
+    / ``include_gif`` — kept opt-in so existing fixtures' type mix is
+    unchanged). ``img_px`` / ``wav_samples`` size the payloads (defaults
+    keep every existing fixture bit-identical; the bench passes bigger
+    ranges so decode work dominates per-item overhead)."""
     from saber_ray.stages.jpeg import jpeg_encode
     rng = np.random.default_rng(seed)
     kinds = ["image/ppm", "audio/wav", "video/raw"] + \
         (["image/png"] if include_png else []) + \
-        (["image/jpeg"] if include_jpeg else [])
+        (["image/jpeg"] if include_jpeg else []) + \
+        (["image/gif"] if include_gif else [])
     types = np.array(kinds)[rng.integers(0, len(kinds), size=n)]
     rows = {k: [] for k in ("payload", "w", "h", "sr", "nf")}
     for t in types:
@@ -449,6 +473,23 @@ def synthesize_media(n: int = 64, seed: int = 42, *,
                 else jpeg_encode(img))
             rows["w"].append(w); rows["h"].append(h)
             rows["sr"].append(0); rows["nf"].append(0)
+        elif t == "image/gif":
+            from saber_ray.stages.gif import gif_encode
+            h = int(rng.integers(img_px[0], img_px[1]))
+            w = int(rng.integers(img_px[0], img_px[1]))
+            nf = int(rng.integers(2, 6))
+            yy, xx = np.mgrid[0:h, 0:w]
+            # palettized base (16x16 color levels = ≤256 colors); frames
+            # roll the base so the animation shares ONE exact palette
+            base = np.stack([(yy * 15 // max(1, h - 1)) * 17,
+                             (xx * 15 // max(1, w - 1)) * 17,
+                             np.full((h, w), int(rng.integers(0, 256)))],
+                            axis=2).astype(np.uint8)
+            gframes = np.stack([np.roll(base, f, axis=1)
+                                for f in range(nf)])
+            rows["payload"].append(gif_encode(gframes))
+            rows["w"].append(w); rows["h"].append(h)
+            rows["sr"].append(0); rows["nf"].append(nf)
         elif t == "audio/wav":
             sr = 16000
             dur = int(rng.integers(wav_samples[0], wav_samples[1]))
