@@ -136,9 +136,14 @@ def run_partitioned(
         ds = build(spec)
         if format == "jsonl":
             ds.write_json(tmp_dir)
+            # an all-rows-filtered partition writes no files at all — it
+            # must still commit (empty dir + manifest row), or resume
+            # would re-run it forever and the rename below would crash
+            os.makedirs(tmp_dir, exist_ok=True)
             rows, files = _rows_in_jsonl(tmp_dir)
         else:
             ds.write_parquet(tmp_dir)
+            os.makedirs(tmp_dir, exist_ok=True)
             rows, files = _rows_in(tmp_dir)
         os.replace(tmp_dir, final_dir)            # atomic visibility
         res = PartitionResult(pid, rows, files, spec, time.monotonic() - t0, epoch)
