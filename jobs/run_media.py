@@ -57,18 +57,23 @@ def synthesize_corpus(media_dir: str, n_items: int, *, shard: int = 100,
     marker = os.path.join(media_dir, "_SYNTH_DONE")
     if os.path.exists(marker):
         return
-    n_shards = max(1, n_items // shard)
+    # exact item count: full shards + one remainder shard
+    sizes = [shard] * (n_items // shard)
+    if n_items % shard:
+        sizes.append(n_items % shard)
+    starts = [sum(sizes[:i]) for i in range(len(sizes))]
 
     def synth(batch: pa.Table) -> pa.Table:
         from saber_ray.stages.multimodal import synthesize_media
         out = []
-        for s in batch["seed"].to_pylist():
-            t = synthesize_media(shard, seed=seed0 + s, include_png=True,
+        for s, sz, st in zip(batch["seed"].to_pylist(),
+                             batch["size"].to_pylist(),
+                             batch["start"].to_pylist()):
+            t = synthesize_media(sz, seed=seed0 + s, include_png=True,
                                  include_jpeg=True, include_gif=True)
             t = t.set_column(
                 0, "media_id",
-                pa.array(t["media_id"].to_numpy() + s * shard,
-                         type=pa.int64()))
+                pa.array(t["media_id"].to_numpy() + st, type=pa.int64()))
             out.append(t)
         return pa.concat_tables(out)
 
@@ -76,8 +81,9 @@ def synthesize_corpus(media_dir: str, n_items: int, *, shard: int = 100,
     import shutil
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    rd.from_arrow(pa.table({"seed": list(range(n_shards))})) \
-        .repartition(n_shards) \
+    rd.from_arrow(pa.table({"seed": list(range(len(sizes))),
+                            "size": sizes, "start": starts})) \
+        .repartition(len(sizes)) \
         .map_batches(synth, batch_size=1, batch_format="pyarrow") \
         .write_parquet(tmp)
     if os.path.exists(media_dir):
@@ -104,11 +110,15 @@ def run(media_dir: str, out_dir: str, *, threshold: float = 0.98,
     media = rd.read_parquet(media_dir)
     n_in = media.count()
 
-    # 1) decode once → feature table (ids + vectors only; payloads stay put)
+    # 1) decode once → feature table (ids + vectors only; payloads stay
+    # put). MATERIALIZED: the near-dup stage consumes this dataset several
+    # times (auto-dispatch count, corpus refs, scoring pass) — without
+    # this the decode actor pool (the dominant cost) would re-run per
+    # consumption
     feats = decode_features(media, feature_dim=feature_dim) \
         .map_batches(lambda t: t.select(["media_id", "feature"])
                      .rename_columns(["vec_id", "embedding"]),
-                     batch_format="pyarrow")
+                     batch_format="pyarrow").materialize()
 
     # 2) near-dup pairs (a < b, cos >= threshold) → drop the later id
     pairs = embedding_near_dup_pairs(feats, threshold=threshold)
@@ -136,9 +146,11 @@ def run(media_dir: str, out_dir: str, *, threshold: float = 0.98,
 
         def flt(t: pa.Table) -> pa.Table:
             ids = t["media_id"].to_numpy(zero_copy_only=False)
-            # Knuth multiplicative hash — deterministic, SQL-reproducible
-            h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
-                % np.uint64(n_buckets)
+            # multiplicative hash mixes into the HIGH bits — take them
+            # (a product mod 2^k would be a no-op: 2654435761 ≡ 1 mod 64,
+            # leaving bucket == id % 2^k and any id stride unmixed)
+            h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+                 >> np.uint64(32)) % np.uint64(n_buckets)
             return t.filter(pa.array(h == b))
 
         return curated.map_batches(flt, batch_format="pyarrow")
@@ -171,8 +183,10 @@ def main(argv=None) -> dict:
 
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+        # honor RAY_ADDRESS so `ray job submit` connects to the cluster
+        # instead of silently starting a fresh single-node instance
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 

@@ -34,7 +34,12 @@ decompresses its whole shard (files should be shard-sized; one giant .gz
 is a data-layout problem no reader can split). Multi-member (concatenated)
 gzip decodes transparently. Everything else — ordering, ordinal contract,
 column pruning, header handling — is identical to the plain path, and
-plain and .gz shards may be mixed in one directory.
+plain and .gz shards may be mixed in one directory. Honest cost note:
+``with_global_ordinal=True`` inflates each gz shard TWICE (the counting
+pass cannot byte-scan a compressed file; line counts require a full
+inflate, then the read pass inflates again) — for ordinal-heavy flows
+over compressed data, prefer Parquet or plain shards, where the count is
+metadata/byte-scan-cheap.
 """
 
 from __future__ import annotations
@@ -84,15 +89,17 @@ def _plan_fragments(files: Sequence[str], target_bytes: int,
             # for compressed web corpora; one giant .gz is a data-layout
             # smell this reader cannot fix). The task decompresses the
             # whole shard, so files should be shard-sized.
+            if size == 0:
+                continue                  # interrupted writer's empty shard
             if skip_header:
                 line = _gz_first_line(f)
+                if not line:
+                    continue              # empty gzip member — no rows
                 h = line.decode("utf-8").rstrip("\r\n")
                 if header is None:
                     header = h
                 elif header != h:
                     raise ValueError(f"CSV header mismatch in {f}")
-                if size == 0:
-                    continue
             frags.append({"file": f, "start": 0, "end": int(size),
                           "fstart": 0, "gz": True,
                           "skip_hdr": bool(skip_header)})

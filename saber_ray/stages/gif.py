@@ -195,8 +195,12 @@ def _interlace_order(h: int) -> np.ndarray:
                            for first, step in _INTERLACE_PASSES])
 
 
-def gif_decode(payload: bytes) -> np.ndarray:
-    """GIF bytes → composited frames ``(n_frames, h, w, 3)`` uint8."""
+def gif_decode(payload: bytes, *, return_delays: bool = False):
+    """GIF bytes → composited frames ``(n_frames, h, w, 3)`` uint8.
+
+    With ``return_delays=True`` also returns the per-frame delay array
+    (centiseconds, 0 where no Graphic Control Extension set one) so a
+    re-encode can round-trip animation timing."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise GifFormatError("not a GIF payload")
     if len(payload) < 13:
@@ -222,6 +226,8 @@ def gif_decode(payload: bytes) -> np.ndarray:
     canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
     transparent = -1
     disposal = 0
+    delay = 0
+    delays: list[int] = []
     n = len(payload)
     while pos < n:
         block = payload[pos]
@@ -244,6 +250,7 @@ def gif_decode(payload: bytes) -> np.ndarray:
                 flags = gce[0]
                 disposal = (flags >> 2) & 0x07
                 transparent = gce[3] if flags & 0x01 else -1
+                delay = struct.unpack("<H", gce[1:3])[0]
             continue
         if block != 0x2C:
             raise GifFormatError(f"unknown GIF block 0x{block:02X}")
@@ -290,6 +297,8 @@ def gif_decode(payload: bytes) -> np.ndarray:
         else:
             region[:] = rgb
         frames.append(canvas.copy())
+        delays.append(delay)
+        delay = 0
         if disposal == 2:                            # restore background
             canvas[top:top + ih, left:left + iw] = bg_rgb
         elif disposal == 3 and saved is not None:    # restore previous
@@ -298,17 +307,47 @@ def gif_decode(payload: bytes) -> np.ndarray:
         transparent = -1
     if not frames:
         raise GifFormatError("GIF contains no image data")
+    if return_delays:
+        return np.stack(frames), np.asarray(delays, dtype=np.int64)
     return np.stack(frames)
 
 
-def gif_encode(frames: np.ndarray, *, delay_cs: int = 4,
+def _palette_of(flat: np.ndarray, what: str):
+    """(m, 3) uint8 pixels → (colors int64 array, inverse indices)."""
+    packed = (flat[:, 0].astype(np.int64) << 16) \
+        | (flat[:, 1].astype(np.int64) << 8) | flat[:, 2].astype(np.int64)
+    colors, inverse = np.unique(packed, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(
+            f"gif_encode: {len(colors)} distinct colors (>256) in "
+            f"{what} — quantize first (exact-palette codec)")
+    return colors, inverse
+
+
+def _palette_bytes(colors: np.ndarray) -> tuple[bytes, int, int]:
+    """colors → (padded table bytes, size-bits, min code size)."""
+    bits = max(1, int(len(colors) - 1).bit_length())
+    ct_n = 1 << bits
+    palette = np.zeros((ct_n, 3), dtype=np.uint8)
+    palette[:len(colors), 0] = (colors >> 16) & 0xFF
+    palette[:len(colors), 1] = (colors >> 8) & 0xFF
+    palette[:len(colors), 2] = colors & 0xFF
+    return palette.tobytes(), bits, max(2, bits)
+
+
+def gif_encode(frames: np.ndarray, *, delay_cs=4,
                interlace: bool = False) -> bytes:
     """``(h, w, 3)`` or ``(n, h, w, 3)`` uint8 → GIF89a bytes.
 
-    Exact-palette: all frames together must use ≤ 256 distinct colors
-    (raises otherwise — quantization belongs to the pipeline, not the
-    codec), so decode(encode(x)) is BIT-EXACT. Multi-frame inputs become
-    an animation with ``delay_cs`` (1/100 s) between frames."""
+    Exact-palette: EACH FRAME must use ≤ 256 distinct colors (raises
+    otherwise — quantization belongs to the pipeline, not the codec), so
+    decode(encode(x)) is BIT-EXACT. When all frames together fit one
+    palette it is written as a global color table; otherwise each frame
+    gets its own LOCAL color table (legal GIF, and exactly what
+    re-encoding a decoded multi-palette animation needs). Multi-frame
+    inputs become an animation with ``delay_cs`` (1/100 s) between
+    frames — an int for a uniform delay or a per-frame sequence (as
+    returned by ``gif_decode(..., return_delays=True)``)."""
     frames = np.asarray(frames, dtype=np.uint8)
     if frames.ndim == 3:
         frames = frames[None]
@@ -319,36 +358,46 @@ def gif_encode(frames: np.ndarray, *, delay_cs: int = 4,
         raise ValueError("gif_encode: empty input")
     if h > 0xFFFF or w > 0xFFFF:
         raise ValueError("gif_encode: dimensions exceed GIF's 16-bit limit")
+    delays = np.full(nf, delay_cs, dtype=np.int64) \
+        if np.isscalar(delay_cs) else np.asarray(delay_cs, dtype=np.int64)
+    if delays.shape != (nf,):
+        raise ValueError(f"delay_cs: expected scalar or {nf} entries")
+
     flat = frames.reshape(-1, 3)
-    # exact palette via unique on a packed rgb view
     packed = (flat[:, 0].astype(np.int64) << 16) \
         | (flat[:, 1].astype(np.int64) << 8) | flat[:, 2].astype(np.int64)
-    colors, inverse = np.unique(packed, return_inverse=True)
-    if len(colors) > 256:
-        raise ValueError(
-            f"gif_encode: {len(colors)} distinct colors (>256) — quantize "
-            "first (exact-palette codec)")
-    # color table size must be a power of two ≥ 2; min code size ≥ 2
-    bits = max(1, int(len(colors) - 1).bit_length())
-    ct_n = 1 << bits
-    mcs = max(2, bits)
-    palette = np.zeros((ct_n, 3), dtype=np.uint8)
-    palette[:len(colors), 0] = (colors >> 16) & 0xFF
-    palette[:len(colors), 1] = (colors >> 8) & 0xFF
-    palette[:len(colors), 2] = colors & 0xFF
-    indices = inverse.astype(np.uint8).reshape(nf, h, w)
+    global_ok = len(np.unique(packed)) <= 256
 
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0)
-    out += palette.tobytes()
-    for f in range(nf):
+    if global_ok:
+        colors, inverse = _palette_of(flat, "the image")
+        pal, bits, mcs = _palette_bytes(colors)
+        out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0)
+        out += pal
+        per_frame = [(inverse.astype(np.uint8).reshape(nf, h, w)[f],
+                      None, mcs) for f in range(nf)]
+    else:
+        # per-frame LOCAL color tables: no global table at all
+        out += struct.pack("<HHBBB", w, h, 0, 0, 0)
+        per_frame = []
+        for f in range(nf):
+            colors, inverse = _palette_of(frames[f].reshape(-1, 3),
+                                          f"frame {f}")
+            pal, bits, mcs = _palette_bytes(colors)
+            per_frame.append((inverse.astype(np.uint8).reshape(h, w),
+                              (pal, bits), mcs))
+
+    for f, (idx, local, mcs) in enumerate(per_frame):
         if nf > 1:
             # Graphic Control Extension: delay, no transparency, keep
             out += bytes([0x21, 0xF9, 4, 0x04]) \
-                + struct.pack("<H", delay_cs) + bytes([0, 0])
-        out += bytes([0x2C]) + struct.pack(
-            "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0x00)
-        idx = indices[f]
+                + struct.pack("<H", int(delays[f])) + bytes([0, 0])
+        ipacked = 0x40 if interlace else 0x00
+        if local is not None:
+            ipacked |= 0x80 | ((local[1] - 1) & 0x07)
+        out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+        if local is not None:
+            out += local[0]
         if interlace:
             idx = idx[_interlace_order(h)]
         out += bytes([mcs])

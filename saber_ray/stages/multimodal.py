@@ -373,12 +373,14 @@ class ImageResizer:
                     _as_rgb(jpeg_decode(p)), self.out_h, self.out_w)))
             elif t == "image/gif":
                 from saber_ray.stages.gif import gif_decode, gif_encode
-                # nearest-neighbor SELECTS source pixels, so the palette
-                # only shrinks — re-encode can never exceed 256 colors
-                frames = gif_decode(p)
+                # nearest-neighbor SELECTS source pixels, so each frame's
+                # palette only shrinks (a multi-palette animation re-encodes
+                # with per-frame local tables); original per-frame delays
+                # round-trip through the re-encode
+                frames, delays = gif_decode(p, return_delays=True)
                 out.append(gif_encode(np.stack(
                     [resize_nearest(f, self.out_h, self.out_w)
-                     for f in frames])))
+                     for f in frames]), delay_cs=delays))
             else:
                 out.append(p)
         res = df.copy()

@@ -216,3 +216,57 @@ def test_stages_over_gif_corpus(ray_session):
     for _, row in gfs.iterrows():
         want = by_id[int(row["media_id"])][int(row["frame_idx"])]
         assert np.array_equal(ppm_decode(row["frame_ppm"]), want)
+
+
+def test_multi_palette_animation_local_tables():
+    """Two frames whose palettes TOGETHER exceed 256 colors (each ≤ 256)
+    must encode with per-frame local color tables and roundtrip exactly —
+    the shape of a real-world animated GIF with per-frame palettes."""
+    rng = np.random.default_rng(5)
+    # frame 0: 256 distinct reds+greens; frame 1: 256 distinct blues
+    f0 = np.zeros((16, 16, 3), np.uint8)
+    f0[..., 0] = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    f0[..., 1] = 7
+    f1 = np.zeros((16, 16, 3), np.uint8)
+    f1[..., 2] = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    frames = np.stack([f0, f1])
+    b = gif_encode(frames)
+    dec = gif_decode(b)
+    assert np.array_equal(dec, frames)
+    # global color table flag must be OFF in the screen descriptor
+    assert (b[10] & 0x80) == 0
+    # a single >256-color FRAME still raises (its own frame index named)
+    big = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    solid = np.zeros((32, 32, 3), np.uint8)
+    with pytest.raises(ValueError, match="frame 0"):
+        gif_encode(np.stack([big, solid]))
+
+
+def test_per_frame_delays_roundtrip():
+    frames = np.stack([_palettized(8, 8, seed=s, levels=3)
+                       for s in range(3)])
+    b = gif_encode(frames, delay_cs=[10, 250, 3])
+    dec, delays = gif_decode(b, return_delays=True)
+    assert np.array_equal(dec, frames)
+    assert delays.tolist() == [10, 250, 3]
+
+
+def test_resizer_handles_multi_palette_gif_and_keeps_delays(ray_session):
+    """Regression: ImageResizer used to crash on composited animations
+    whose cross-frame palette union exceeds 256 colors, and silently
+    replaced per-frame delays with the encoder default."""
+    import pandas as pd
+    from saber_ray.stages.multimodal import ImageResizer
+    f0 = np.zeros((16, 16, 3), np.uint8)
+    f0[..., 0] = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    f1 = np.zeros((16, 16, 3), np.uint8)
+    f1[..., 2] = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    payload = gif_encode(np.stack([f0, f1]), delay_cs=[33, 77])
+    df = pd.DataFrame({
+        "media_id": [1], "media_type": ["image/gif"],
+        "payload": [payload], "meta_width": [16], "meta_height": [16],
+        "meta_sample_rate": [0], "meta_n_frames": [2]})
+    out = ImageResizer(8, 8)(df)
+    dec, delays = gif_decode(out["payload"].iloc[0], return_delays=True)
+    assert dec.shape == (2, 8, 8, 3)
+    assert delays.tolist() == [33, 77]

@@ -209,8 +209,7 @@ def _images(draw):
     # mix smooth gradients with noise so both DC- and AC-heavy blocks occur
     base = np.linspace(0, 255, h * w).reshape(h, w)
     if not gray:
-        base = np.stack([base, base[::-1], base.T[:w, :h].T
-                         if False else base], axis=2)
+        base = np.stack([base, base[::-1], base], axis=2)
     noise_amp = draw(st.integers(min_value=0, max_value=128))
     img = np.clip(base.reshape(shape[:2] + ((3,) if not gray else ()))
                   + rng.integers(-noise_amp, noise_amp + 1, shape),

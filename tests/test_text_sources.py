@@ -168,3 +168,20 @@ def test_gz_jsonl_roundtrip_and_pruning(ray_session, gz_twins):
     assert (got["__ord"].to_numpy() == np.arange(t.num_rows)).all()
     assert (got["event_id"].to_numpy()
             == t["event_id"].to_numpy()).all()
+
+
+def test_empty_gz_shard_is_skipped(ray_session, gz_twins, tmp_path):
+    """A 0-byte .gz (interrupted writer) and an empty-but-valid gzip
+    member must be skipped, not poison the CSV header or crash."""
+    import gzip
+    import shutil
+    root, t = gz_twins
+    alt = tmp_path / "with_empty"
+    shutil.copytree(root, alt)
+    (alt / "aaa0.csv.gz").write_bytes(b"")             # sorts FIRST
+    (alt / "aaa1.csv.gz").write_bytes(gzip.compress(b""))
+    (alt / "aaa0.jsonl.gz").write_bytes(b"")
+    got = to_pandas(read_csv(str(alt), column_types=CTYPES))
+    assert len(got) == t.num_rows
+    got_j = to_pandas(read_jsonl(str(alt), columns=["event_id"]))
+    assert len(got_j) == t.num_rows
