@@ -33,8 +33,11 @@ Environment:
   --dedup             near-dup family throughput (minhash signatures,
                       LSH candidate pairs, LSH clusters, simhash)
   --multimodal        codec throughput: decode+feature / resize / log-mel
-                      over a PPM+PNG+JPEG+WAV+raw-video corpus
+                      over a PPM+PNG+JPEG+GIF+WAV+raw-video corpus
                       (SABER_BENCH_MEDIA overrides the item count)
+  --sources           text-source read throughput: csv/jsonl, plain vs
+                      .gz shards, ± global ordinal
+                      (SABER_BENCH_LINES overrides the row count)
   --streaming         sustained micro-batch load on the streaming engines:
                       >= 20 epochs each of windowed aggregate + band join
                       + CEP + quantile view, sustained rows/s + p50/p95
@@ -984,6 +987,85 @@ def run_multimodal() -> dict:
     }
 
 
+def run_sources() -> dict:
+    """--sources: ordered text-source throughput — CSV and JSONL, plain
+    (byte-range fragment splitting) vs .gz shards (file-unit splitting),
+    each with and without the global-ordinal counting pass. Corpus =
+    deterministic event-like lines sharded across files."""
+    import gzip
+
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from saber_ray.sources.text_files import read_csv, read_jsonl
+
+    n_rows = int(os.environ.get("SABER_BENCH_LINES", "2000000"))
+    n_shards = 32
+    root = "/tmp/saber_ray_src_bench"
+    marker = os.path.join(root, f"_DONE_{n_rows}")
+    if not os.path.exists(marker):
+        import shutil
+        if os.path.exists(root):
+            shutil.rmtree(root)
+        os.makedirs(os.path.join(root, "csv"))
+        os.makedirs(os.path.join(root, "csv_gz"))
+        os.makedirs(os.path.join(root, "jsonl"))
+        os.makedirs(os.path.join(root, "jsonl_gz"))
+        per = n_rows // n_shards
+        hdr = "event_id,ts,user_id,value\n"
+        for s in range(n_shards):
+            base = s * per
+            lines_c = [f"{base+i},{1700000000+i},{(base+i)*7%100000},"
+                       f"{(i%1000)/10.0}\n" for i in range(per)]
+            lines_j = [('{"event_id": %d, "ts": %d, "user_id": %d, '
+                        '"value": %.1f}\n')
+                       % (base + i, 1700000000 + i, (base + i) * 7 % 100000,
+                          (i % 1000) / 10.0) for i in range(per)]
+            cbuf = (hdr + "".join(lines_c)).encode()
+            jbuf = "".join(lines_j).encode()
+            open(f"{root}/csv/s{s:02d}.csv", "wb").write(cbuf)
+            open(f"{root}/csv_gz/s{s:02d}.csv.gz", "wb").write(
+                gzip.compress(cbuf, compresslevel=1))
+            open(f"{root}/jsonl/s{s:02d}.jsonl", "wb").write(jbuf)
+            open(f"{root}/jsonl_gz/s{s:02d}.jsonl.gz", "wb").write(
+                gzip.compress(jbuf, compresslevel=1))
+        open(marker, "w").write("ok\n")
+
+    import pyarrow as pa
+    ctypes = {"event_id": pa.int64(), "ts": pa.int64(),
+              "user_id": pa.int64(), "value": pa.float64()}
+    legs = {
+        "csv": lambda: read_csv(f"{root}/csv", column_types=ctypes),
+        "csv_gz": lambda: read_csv(f"{root}/csv_gz", column_types=ctypes),
+        "csv_gz_ordinal": lambda: read_csv(
+            f"{root}/csv_gz", column_types=ctypes,
+            with_global_ordinal=True),
+        "jsonl": lambda: read_jsonl(f"{root}/jsonl"),
+        "jsonl_gz": lambda: read_jsonl(f"{root}/jsonl_gz"),
+        "jsonl_pruned": lambda: read_jsonl(f"{root}/jsonl",
+                                           columns=["event_id"]),
+    }
+    times, rows = {}, {}
+    legs["csv"]().count()                         # warm page cache
+    for name, build in legs.items():
+        t0 = time.monotonic()
+        rows[name] = build().count()
+        times[name] = round(time.monotonic() - t0, 3)
+    ray.shutdown()
+    assert all(r == n_rows for r in rows.values()), rows
+    return {
+        "metric": "text-source read wall time (plain vs gz, csv vs jsonl)",
+        "value": round(sum(times.values()), 3), "unit": "sec",
+        "ops_sec": times,
+        "rows_per_sec": {k: int(n_rows / v) for k, v in times.items()},
+        "n_rows": n_rows, "n_shards": n_shards,
+        "sf": SF_DIR, "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         result = run_scaling()
@@ -1003,6 +1085,8 @@ if __name__ == "__main__":
         result = run_dedup()
     elif "--multimodal" in sys.argv:
         result = run_multimodal()
+    elif "--sources" in sys.argv:
+        result = run_sources()
     else:
         result = run_suite()
     print(json.dumps(result))
