@@ -23,6 +23,19 @@ overlap (every starting position reports independently — LEAD semantics);
 set ``non_overlapping=True`` for disjoint greedy-from-left matches (the
 MATCH_RECOGNIZE SKIP PAST LAST ROW policy), resolved per key with a simple
 scan over match STARTS only (bounded by matches, not rows).
+
+Quantifiers: a step may be written ``(pred, "+")`` — one-or-more
+consecutive rows, GREEDY and POSSESSIVE (the run takes every consecutive
+matching row and the next step must match AFTER it; no regex-style
+backtracking — the same deterministic semantics as a possessive ``B++``,
+chosen because backtracking would destroy the vectorized kernel and is
+rarely what a pipeline means). Runs never cross key boundaries. The
+quantified kernel stays fully vectorized: per-step run lengths come from
+one ``searchsorted`` over break positions, and candidate starts advance
+through the pattern as whole numpy arrays (O(rows × steps), no per-row
+Python). Batch-only: the streaming engine raises on quantified patterns —
+a greedy run open at the watermark has unbounded look-ahead, so sealing
+is impossible without a length bound.
 """
 
 from __future__ import annotations
@@ -61,12 +74,23 @@ def match_pattern(
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
-    pattern = list(pattern)
-    if not pattern:
+    preds, quants = [], []
+    for step in pattern:
+        if isinstance(step, tuple):
+            pred, q = step
+            if q != "+":
+                raise ValueError(f"unknown quantifier {q!r} (only '+')")
+            preds.append(pred)
+            quants.append("+")
+        else:
+            preds.append(step)
+            quants.append(1)
+    if not preds:
         raise ValueError("pattern must have at least one step")
     if within is not None and ts_col is None:
         raise ValueError("within requires ts_col")
-    m = len(pattern)
+    has_quant = "+" in quants
+    m = len(preds)                   # minimum match length ('+' takes ≥ 1)
     ord0 = order_by[0]
 
     from saber_ray.stages.window_agg import _encode_null_keys
@@ -99,15 +123,13 @@ def match_pattern(
         same_key = ~key_change_mask(g, sort_keys)
         rid = np.cumsum(~same_key)            # run id per row
         # step masks, evaluated once over the whole block
-        ok = np.ones(n - m + 1, dtype=bool)
-        for j, pred in enumerate(pattern):
+        mks = []
+        for pred in preds:
             mask = pred(g)
             if isinstance(mask, pa.ChunkedArray):
                 mask = mask.combine_chunks()
-            mj = np.asarray(pc.fill_null(mask, False).to_numpy(
-                zero_copy_only=False), dtype=bool)
-            ok &= mj[j:n - m + 1 + j]
-        ok &= rid[:n - m + 1] == rid[m - 1:]  # all steps in one key run
+            mks.append(np.asarray(pc.fill_null(mask, False).to_numpy(
+                zero_copy_only=False), dtype=bool))
         tus = tvalid = None
         if ts_col is not None:
             tc = g[ts_col].combine_chunks()
@@ -117,24 +139,77 @@ def match_pattern(
             # the int64 output build); emit NULL bounds for such matches
             tvalid = pc.is_valid(tc).to_numpy(zero_copy_only=False)
             tus = pc.fill_null(tc, 0).to_numpy(zero_copy_only=False)
+
+        if not has_quant:
+            # fixed-length fast path: AND of offset-shifted step masks
+            ok = np.ones(n - m + 1, dtype=bool)
+            for j, mj in enumerate(mks):
+                ok &= mj[j:n - m + 1 + j]
+            ok &= rid[:n - m + 1] == rid[m - 1:]   # one key run
             if within is not None:
                 # SQL comparison semantics: a NULL ts can never satisfy
                 # `end.ts - start.ts <= within`
                 ok &= (tus[m - 1:] - tus[:n - m + 1]) <= within
                 ok &= tvalid[m - 1:] & tvalid[:n - m + 1]
-        starts = np.flatnonzero(ok)
+            starts = np.flatnonzero(ok)
+            ends = starts + m - 1
+        else:
+            # quantified path: every row is a candidate start; candidates
+            # advance through the steps as whole arrays. A '+' step
+            # consumes its GREEDY run (possessive — no backtracking).
+            run_start = np.empty(n, dtype=bool)
+            run_start[0] = True
+            run_start[1:] = rid[1:] != rid[:-1]
+            idx = np.arange(n)
+
+            def runlens(b: np.ndarray) -> np.ndarray:
+                # length of the consecutive b-run starting at each row,
+                # never crossing a key-run boundary. blocked[j] = a run
+                # cannot CONTINUE into j; one searchsorted finds, per i,
+                # the first blocked position AFTER i.
+                blocked = ~b | run_start
+                blocked[0] = True
+                stops = np.flatnonzero(blocked)
+                nxt = np.searchsorted(stops, idx, side="right")
+                j = np.where(nxt < len(stops),
+                             stops[np.minimum(nxt, len(stops) - 1)], n)
+                return np.where(b, j - idx, 0)
+
+            cur = idx.copy()
+            alive = np.ones(n, dtype=bool)
+            for mk, q in zip(mks, quants):
+                inb = cur < n
+                safe = np.minimum(cur, n - 1)
+                same_run = rid[safe] == rid[idx]
+                if q == 1:
+                    alive &= inb & mk[safe] & same_run
+                    cur = cur + 1
+                else:
+                    ln = runlens(mk)[safe]
+                    alive &= inb & (ln >= 1) & same_run
+                    cur = cur + np.maximum(ln, 1)
+            ends_all = cur - 1
+            ok = alive & (ends_all < n)
+            if within is not None:
+                e_safe = np.minimum(ends_all, n - 1)
+                ok &= (tus[e_safe] - tus[idx]) <= within
+                ok &= tvalid[e_safe] & tvalid[idx]
+            starts = np.flatnonzero(ok)
+            ends = ends_all[starts]
+
         if non_overlapping and len(starts) > 1:
             # greedy from the left per key: drop starts inside the previous
             # accepted match — scan over match STARTS only
-            keep, last_end, last_rid = [], -1, -1
-            for s in starts:
+            keep_s, keep_e, last_end, last_rid = [], [], -1, -1
+            for s, e in zip(starts, ends):
                 if rid[s] != last_rid or s > last_end:
-                    keep.append(s)
-                    last_end, last_rid = s + m - 1, rid[s]
-            starts = np.asarray(keep, dtype=np.int64)
+                    keep_s.append(s)
+                    keep_e.append(e)
+                    last_end, last_rid = e, rid[s]
+            starts = np.asarray(keep_s, dtype=np.int64)
+            ends = np.asarray(keep_e, dtype=np.int64)
         if not len(starts):
             return dec(schema.empty_table())
-        ends = starts + m - 1
         cols: list = [g[k].combine_chunks().take(pa.array(starts))
                       for k in keys + [f"__nn_{k}" for k in keys]]
         ocol = g[ord0].combine_chunks()

@@ -230,6 +230,12 @@ class StreamingMatchPattern(KeyedStreamEngine):
                  monitor=None):
         if not pattern:
             raise ValueError("pattern must have at least one step")
+        if any(isinstance(s, tuple) for s in pattern):
+            raise ValueError(
+                "streaming CEP does not support quantified steps "
+                "(pred, '+'): a greedy run open at the watermark has "
+                "unbounded look-ahead, so sealed emission is impossible "
+                "without a length bound — use the batch match_pattern")
         self.monitor = monitor
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)

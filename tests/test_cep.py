@@ -126,3 +126,144 @@ def test_match_pattern_null_ts(ray_session):
         rd.from_arrow(t), pat, keys="conv_id", order_by="turn_idx",
         ts_col="ts", within=1_000_000))
     assert sorted(within["match_start_turn_idx"]) == [2]
+
+
+# ---------------------------------------------------------------------------
+# quantified patterns: (pred, "+") — greedy, possessive
+# ---------------------------------------------------------------------------
+
+def _quant_sql(extra_where: str = "", select_ts: bool = False) -> str:
+    """Oracle for [user, assistant+, user]: assistant-run lengths via
+    gaps-and-islands, then rn arithmetic — the same possessive-greedy
+    semantics (the run is the FULL consecutive assistant island)."""
+    ts = (", s.tu AS match_start_us, e.tu AS match_end_us"
+          if select_ts else "")
+    return f"""
+        WITH transcripts AS ({TRANSCRIPTS_SQL}),
+        r AS (
+          SELECT conv_id, turn_idx, role, epoch_us(ts) AS tu,
+                 ROW_NUMBER() OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS rn
+          FROM transcripts),
+        isl AS (
+          SELECT *, rn - ROW_NUMBER() OVER (
+                   PARTITION BY conv_id, (role = 'assistant')
+                   ORDER BY rn) AS grp
+          FROM r),
+        runs AS (
+          SELECT *, CASE WHEN role = 'assistant' THEN
+                   COUNT(*) OVER (PARTITION BY conv_id,
+                                  (role = 'assistant'), grp
+                                  ORDER BY rn ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING)
+                 ELSE 0 END AS runlen
+          FROM isl)
+        SELECT s.conv_id, s.turn_idx AS match_start_turn_idx,
+               e.turn_idx AS match_end_turn_idx{ts}
+        FROM runs s
+        JOIN runs b ON b.conv_id = s.conv_id AND b.rn = s.rn + 1
+        JOIN runs e ON e.conv_id = s.conv_id AND e.rn = s.rn + 1 + b.runlen
+        WHERE s.role = 'user' AND b.runlen >= 1 AND e.role = 'user'
+        {extra_where}"""
+
+
+QPATTERN = [col("role") == "user", (col("role") == "assistant", "+"),
+            col("role") == "user"]
+
+
+def test_quantified_pattern_vs_islands_oracle(ray_session, sf_dir):
+    out = match_pattern(transcripts_from_events(sf_dir), QPATTERN,
+                        keys="conv_id", order_by="turn_idx")
+    got = to_pandas(out)
+    assert len(got) > 0
+    # variable-length matches really occur (some assistant runs > 1)
+    spans = got["match_end_turn_idx"] - got["match_start_turn_idx"]
+    assert spans.max() > 2
+    assert_matches_oracle(got, _quant_sql(), sf_dir)
+
+
+def test_quantified_within_vs_oracle(ray_session, sf_dir):
+    within = 24 * 3600 * 1_000_000
+    out = match_pattern(transcripts_from_events(sf_dir), QPATTERN,
+                        keys="conv_id", order_by="turn_idx",
+                        ts_col="ts", within=within)
+    assert_matches_oracle(
+        out, _quant_sql(f"AND e.tu - s.tu <= {within}", select_ts=True),
+        sf_dir)
+
+
+def test_quantified_partition_invariance(ray_session, sf_dir):
+    a = canon(to_pandas(match_pattern(
+        transcripts_from_events(sf_dir), QPATTERN, keys="conv_id",
+        order_by="turn_idx")))
+    b = canon(to_pandas(match_pattern(
+        transcripts_from_events(sf_dir).repartition(7), QPATTERN,
+        keys="conv_id", order_by="turn_idx")))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_quantifier_is_possessive(ray_session):
+    """B+ followed by a step that ALSO matches B rows: possessive (no
+    backtracking) means the run swallows every consecutive B and the next
+    step must match strictly after it."""
+    import pyarrow as pa
+    import ray.data as rd
+    t = pa.table({
+        "k": ["c"] * 4,
+        "i": [0, 1, 2, 3],
+        "v": ["a", "b", "b", "x"]})
+    ds = rd.from_arrow(t)
+    # pattern: v=='a', (v in {'b','x'})+, v=='x' — the greedy run takes
+    # b,b,x so no row remains for the final step: NO match (a
+    # backtracking matcher would yield one by stopping the run at i=2)
+    pat = [col("v") == "a",
+           ((col("v") == "b") | (col("v") == "x"), "+"),
+           col("v") == "x"]
+    out = to_pandas(match_pattern(ds, pat, keys="k", order_by="i"))
+    assert len(out) == 0
+    # with a disjoint run predicate the same data matches once, end at x
+    pat2 = [col("v") == "a", (col("v") == "b", "+"), col("v") == "x"]
+    out2 = to_pandas(match_pattern(ds, pat2, keys="k", order_by="i"))
+    assert len(out2) == 1
+    assert out2["match_start_i"].iloc[0] == 0
+    assert out2["match_end_i"].iloc[0] == 3
+
+
+def test_quantified_non_overlapping_variable_ends(ray_session):
+    """SKIP PAST LAST ROW with variable-length matches: the second match
+    must start after the FIRST match's actual (greedy) end."""
+    import pyarrow as pa
+    import ray.data as rd
+    v = ["a", "b", "b", "b", "a", "a", "b", "a"]
+    t = pa.table({"k": ["c"] * len(v), "i": list(range(len(v))), "v": v})
+    pat = [col("v") == "a", (col("v") == "b", "+"), col("v") == "a"]
+    ds = rd.from_arrow(t)
+    over = to_pandas(match_pattern(ds, pat, keys="k", order_by="i"))
+    non = to_pandas(match_pattern(ds, pat, keys="k", order_by="i",
+                                  non_overlapping=True))
+    # overlapping: starts at 0 (a bbb a) and 5 (a b a)
+    assert sorted(over["match_start_i"]) == [0, 5]
+    assert sorted(over["match_end_i"]) == [4, 7]
+    # match 0 ends at i=4; the next candidate start 5 is AFTER it -> kept
+    assert sorted(non["match_start_i"]) == [0, 5]
+
+
+def test_quantifier_never_crosses_keys(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    t = pa.table({
+        "k": ["c", "c", "d", "d"],
+        "i": [0, 1, 0, 1],
+        "v": ["a", "b", "b", "a"]})
+    pat = [col("v") == "a", (col("v") == "b", "+"), col("v") == "a"]
+    out = to_pandas(match_pattern(rd.from_arrow(t), pat,
+                                  keys="k", order_by="i"))
+    assert len(out) == 0          # the b-run would have to span c into d
+
+
+def test_streaming_cep_rejects_quantifiers(tmp_path):
+    from saber_ray.streaming_cep import StreamingMatchPattern
+    with pytest.raises(ValueError, match="quantified"):
+        StreamingMatchPattern(
+            str(tmp_path / "cep"),
+            pattern=[(col("role") == "assistant", "+")])
