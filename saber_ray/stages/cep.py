@@ -24,18 +24,22 @@ set ``non_overlapping=True`` for disjoint greedy-from-left matches (the
 MATCH_RECOGNIZE SKIP PAST LAST ROW policy), resolved per key with a simple
 scan over match STARTS only (bounded by matches, not rows).
 
-Quantifiers: a step may be written ``(pred, "+")`` — one-or-more
-consecutive rows, GREEDY and POSSESSIVE (the run takes every consecutive
-matching row and the next step must match AFTER it; no regex-style
-backtracking — the same deterministic semantics as a possessive ``B++``,
-chosen because backtracking would destroy the vectorized kernel and is
-rarely what a pipeline means). Runs never cross key boundaries. The
-quantified kernel stays fully vectorized: per-step run lengths come from
-one ``searchsorted`` over break positions, and candidate starts advance
-through the pattern as whole numpy arrays (O(rows × steps), no per-row
-Python). Batch-only: the streaming engine raises on quantified patterns —
-a greedy run open at the watermark has unbounded look-ahead, so sealing
-is impossible without a length bound.
+Quantifiers: a step may be written ``(pred, "+")`` (one-or-more),
+``(pred, "*")`` (zero-or-more) or ``(pred, "?")`` (zero-or-one) —
+consecutive rows, GREEDY and POSSESSIVE (a quantified step takes every
+consecutive matching row it can and the next step must match AFTER it;
+no regex-style backtracking — the same deterministic semantics as
+possessive ``B++``/``B*+``/``B?+``, chosen because backtracking would
+destroy the vectorized kernel and is rarely what a pipeline means —
+e.g. ``(B,'*') (B,'+')`` never matches, because the ``*`` swallows the
+whole run). Runs never cross key boundaries; the first step must be
+non-optional (a zero-row first step would leave the match start
+undefined). The quantified kernel stays fully vectorized: per-step run
+lengths come from one ``searchsorted`` over break positions, and
+candidate starts advance through the pattern as whole numpy arrays
+(O(rows × steps), no per-row Python). Batch-only: the streaming engine
+raises on quantified patterns — a greedy run open at the watermark has
+unbounded look-ahead, so sealing is impossible without a length bound.
 """
 
 from __future__ import annotations
@@ -78,10 +82,11 @@ def match_pattern(
     for step in pattern:
         if isinstance(step, tuple):
             pred, q = step
-            if q != "+":
-                raise ValueError(f"unknown quantifier {q!r} (only '+')")
+            if q not in ("+", "*", "?"):
+                raise ValueError(
+                    f"unknown quantifier {q!r} (one of '+', '*', '?')")
             preds.append(pred)
-            quants.append("+")
+            quants.append(q)
         else:
             preds.append(step)
             quants.append(1)
@@ -89,8 +94,18 @@ def match_pattern(
         raise ValueError("pattern must have at least one step")
     if within is not None and ts_col is None:
         raise ValueError("within requires ts_col")
-    has_quant = "+" in quants
-    m = len(preds)                   # minimum match length ('+' takes ≥ 1)
+    has_quant = any(q != 1 for q in quants)
+    # minimum rows a match consumes: 1 per plain/'+' step, 0 per '*'/'?'
+    min_len = sum(1 for q in quants if q in (1, "+"))
+    if min_len == 0:
+        raise ValueError("pattern needs at least one non-optional step "
+                         "(all-'*'/'?' patterns would match zero rows)")
+    if quants[0] not in (1, "+"):
+        raise ValueError(
+            "the first pattern step must be non-optional ('*'/'?' first "
+            "steps would leave the match start undefined when they "
+            "consume zero rows)")
+    m = min_len
     ord0 = order_by[0]
 
     from saber_ray.stages.window_agg import _encode_null_keys
@@ -184,10 +199,18 @@ def match_pattern(
                 if q == 1:
                     alive &= inb & mk[safe] & same_run
                     cur = cur + 1
-                else:
+                elif q == "+":
                     ln = runlens(mk)[safe]
                     alive &= inb & (ln >= 1) & same_run
                     cur = cur + np.maximum(ln, 1)
+                elif q == "*":
+                    # zero-or-more: optional, so never kills a candidate;
+                    # consumes its greedy run when present and in-bounds
+                    ln = np.where(inb & same_run, runlens(mk)[safe], 0)
+                    cur = cur + ln
+                else:                      # '?': zero-or-one, possessive
+                    take = inb & same_run & mk[safe]
+                    cur = cur + take.astype(np.int64)
             ends_all = cur - 1
             ok = alive & (ends_all < n)
             if within is not None:

@@ -267,3 +267,79 @@ def test_streaming_cep_rejects_quantifiers(tmp_path):
         StreamingMatchPattern(
             str(tmp_path / "cep"),
             pattern=[(col("role") == "assistant", "+")])
+
+
+def _star_sql() -> str:
+    """Oracle for [user, assistant*, user]: same islands construction,
+    but the middle run may be EMPTY (b.runlen = 0 on a non-assistant
+    row), so adjacent user-user pairs match too."""
+    return f"""
+        WITH transcripts AS ({TRANSCRIPTS_SQL}),
+        r AS (
+          SELECT conv_id, turn_idx, role,
+                 ROW_NUMBER() OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS rn
+          FROM transcripts),
+        isl AS (
+          SELECT *, rn - ROW_NUMBER() OVER (
+                   PARTITION BY conv_id, (role = 'assistant')
+                   ORDER BY rn) AS grp
+          FROM r),
+        runs AS (
+          SELECT *, CASE WHEN role = 'assistant' THEN
+                   COUNT(*) OVER (PARTITION BY conv_id,
+                                  (role = 'assistant'), grp
+                                  ORDER BY rn ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING)
+                 ELSE 0 END AS runlen
+          FROM isl)
+        SELECT s.conv_id, s.turn_idx AS match_start_turn_idx,
+               e.turn_idx AS match_end_turn_idx
+        FROM runs s
+        JOIN runs b ON b.conv_id = s.conv_id AND b.rn = s.rn + 1
+        JOIN runs e ON e.conv_id = s.conv_id AND e.rn = s.rn + 1 + b.runlen
+        WHERE s.role = 'user' AND e.role = 'user'"""
+
+
+def test_star_quantifier_vs_islands_oracle(ray_session, sf_dir):
+    pat = [col("role") == "user", (col("role") == "assistant", "*"),
+           col("role") == "user"]
+    out = match_pattern(transcripts_from_events(sf_dir), pat,
+                        keys="conv_id", order_by="turn_idx")
+    got = to_pandas(out)
+    # star matches strictly MORE than plus (adjacent user-user pairs)
+    plus = to_pandas(match_pattern(transcripts_from_events(sf_dir),
+                                   QPATTERN, keys="conv_id",
+                                   order_by="turn_idx"))
+    assert len(got) > len(plus)
+    assert_matches_oracle(got, _star_sql(), sf_dir)
+
+
+def test_question_quantifier(ray_session):
+    """a b? x: matches both with and without the optional middle row,
+    possessively (b consumed when present)."""
+    import pyarrow as pa
+    import ray.data as rd
+    t = pa.table({
+        "k": ["c"] * 3 + ["d"] * 2,
+        "i": [0, 1, 2, 0, 1],
+        "v": ["a", "b", "x", "a", "x"]})
+    pat = [col("v") == "a", (col("v") == "b", "?"), col("v") == "x"]
+    out = to_pandas(match_pattern(rd.from_arrow(t), pat,
+                                  keys="k", order_by="i"))
+    out = out.sort_values("k").reset_index(drop=True)
+    assert len(out) == 2
+    assert out["match_end_i"].tolist() == [2, 1]  # with b / without b
+
+
+def test_quantifier_validation():
+    import pyarrow as pa
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({"k": ["c"], "i": [0], "v": ["a"]}))
+    with pytest.raises(ValueError, match="non-optional"):
+        match_pattern(ds, [(col("v") == "a", "*")], keys="k", order_by="i")
+    with pytest.raises(ValueError, match="first pattern step"):
+        match_pattern(ds, [(col("v") == "a", "?"), col("v") == "a"],
+                      keys="k", order_by="i")
+    with pytest.raises(ValueError, match="quantifier"):
+        match_pattern(ds, [(col("v") == "a", "++")], keys="k", order_by="i")
